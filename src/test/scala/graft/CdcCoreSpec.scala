@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Dedup, Lww}
+import graft.feed.{ChangeFeed, EventGen, FeedConfig}
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.stream.CdcIngest
+import graft.verify.FoldOracle
+
+/** Core CDC slice: generator determinism, dedup, LWW (plain + salted),
+  * batch replay == in-memory fold.
+  */
+class CdcCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = FeedConfig(seed = 42L, numEvents = 20000L, numDocs = 400L,
+    deletePct = 8, maxTokens = 32)
+
+  test("generator is deterministic and pure") {
+    val a = EventGen.event(cfg, 123L)
+    val b = EventGen.event(cfg, 123L)
+    assert(a.doc_id == b.doc_id && a.lsn == 123L && a.op == b.op)
+    if (a.tokens != null) {
+      assert(a.tokens.sameElements(b.tokens))
+      assert(a.n_tok == a.tokens.length)
+      assert(a.tokens.forall(t => t >= 0 && t < EventGen.VocabSize))
+    }
+    // distributed materialisation matches the pure function
+    val fromSpark = ChangeFeed.events(spark, cfg.copy(numEvents = 500))
+      .collect().sortBy(_.lsn)
+    (0 until 500).foreach { i =>
+      val e = EventGen.event(cfg, i.toLong)
+      val s = fromSpark(i)
+      assert(s.doc_id == e.doc_id && s.op == e.op && s.lsn == e.lsn)
+    }
+  }
+
+  test("dedup drops duplicate (doc_id, lsn) deliveries exactly") {
+    val withDups = ChangeFeed.eventsWithDuplicates(spark, cfg.copy(numEvents = 5000), dupPct = 20)
+    val total = withDups.count()
+    assert(total > 5000)
+    val deduped = Dedup.exact(withDups.toDF())
+    assert(deduped.count() == 5000)
+  }
+
+  test("LWW keeps max-lsn event per key; salted == unsalted") {
+    val events = ChangeFeed.events(spark, cfg).toDF()
+    val plain = Lww.reduce(events)
+    // one row per key, and it carries the max lsn
+    val check = plain.groupBy("doc_id").count().filter($"count" > 1).count()
+    assert(check == 0)
+    val expectedMax = events.groupBy("doc_id").agg(max("lsn").as("m"))
+    val joined = plain.join(expectedMax, "doc_id").filter($"lsn" =!= $"m").count()
+    assert(joined == 0)
+
+    val salted = Lww.reduceSalted(events, saltBuckets = 8)
+    val d1 = plain.select("doc_id", "lsn", "op", "n_tok")
+    val d2 = salted.select("doc_id", "lsn", "op", "n_tok")
+    assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
+  }
+
+  test("single-batch replay matches the in-memory fold oracle") {
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 8)
+    val events = ChangeFeed.events(spark, cfg).toDF()
+    CdcIngest.applyBatch(table, events, epochId = 0L)
+    val errs = FoldOracle.diff(table.read(), FoldOracle.finalState(cfg))
+    assert(errs.isEmpty, errs.take(10).mkString("; "))
+  }
+
+  test("multi-batch replay (LSN-chunked) matches fold; epoch re-delivery is a no-op") {
+    val c0 = cfg // local copy: Spark closures must not capture the suite
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 8)
+    val n = cfg.numEvents
+    val chunks = 7
+    val per = (n + chunks - 1) / chunks
+    (0 until chunks).foreach { c =>
+      val lo = c * per; val hi = math.min(n, lo + per)
+      if (lo < hi) {
+        val batch = spark.range(lo, hi).mapPartitions(_.map(i => EventGen.event(c0, i))).toDF()
+        CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+      }
+    }
+    val expected = FoldOracle.finalState(cfg)
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+
+    // re-deliver an old epoch: must be skipped, table unchanged
+    val before = table.currentSnapshotId
+    val stale = spark.range(0, per).mapPartitions(_.map(i => EventGen.event(c0, i))).toDF()
+    CdcIngest.applyBatch(table, stale, epochId = 0L)
+    assert(table.currentSnapshotId == before)
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+  }
+
+  test("out-of-order + duplicate feed converges to the same state") {
+    val oooCfg = cfg.copy(numEvents = 8000L, maxLatenessSec = 120)
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 8)
+    // chunks applied in a scrambled order with duplicates — LWW + dedup must not care
+    val n = oooCfg.numEvents; val chunks = 5; val per = (n + chunks - 1) / chunks
+    val order = Seq(2, 0, 4, 1, 3)
+    order.zipWithIndex.foreach { case (c, epoch) =>
+      val lo = c * per; val hi = math.min(n, lo + per)
+      val batch = spark.range(lo, hi).mapPartitions(_.map(i => EventGen.event(oooCfg, i))).toDF()
+      val withDup = batch.union(batch.limit(50))
+      CdcIngest.applyBatch(table, withDup, epochId = epoch.toLong)
+    }
+    assert(FoldOracle.diff(table.read(), FoldOracle.finalState(oooCfg)).isEmpty)
+  }
+
+  test("hot-key skewed feed with salting matches fold") {
+    val hotCfg = cfg.copy(numEvents = 10000L, hotFraction = 0.6, numHot = 3)
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 8)
+    val events = ChangeFeed.events(spark, hotCfg).toDF()
+    CdcIngest.applyBatch(table, events, epochId = 0L, saltBuckets = 16)
+    assert(FoldOracle.diff(table.read(), FoldOracle.finalState(hotCfg)).isEmpty)
+  }
+
+  test("compaction preserves state and drops delete files") {
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val n = 6000L; val c1 = cfg.copy(numEvents = n)
+    (0 until 3).foreach { c =>
+      val lo = c * 2000L; val hi = lo + 2000L
+      val batch = spark.range(lo, hi).mapPartitions(_.map(i => EventGen.event(c1, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val expected = FoldOracle.finalState(c1)
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+    val (dBefore, delBefore) = table.liveFiles()
+    assert(delBefore.nonEmpty)
+    table.compact()
+    val (dAfter, delAfter) = table.liveFiles()
+    assert(delAfter.isEmpty)
+    assert(dAfter.size <= table.numBuckets)
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+    // time travel still sees the pre-compaction snapshot
+    val prevSnap = table.snapshots.dropRight(1).last.snapshotId
+    assert(FoldOracle.diff(table.readAt(prevSnap), expected).isEmpty)
+  }
+
+  test("lineage records cover the full offset range") {
+    val c0 = cfg
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val batch = spark.range(0, 1000).mapPartitions(_.map(i => EventGen.event(c0, i))).toDF()
+    CdcIngest.applyBatch(table, batch, epochId = 0L)
+    val lin = graft.stream.LineageLog.read(table)
+    val agg = lin.agg(min("offset_start"), max("offset_end"), sum("rows_applied")).head()
+    assert(agg.getLong(0) == 0L && agg.getLong(1) == 999L && agg.getLong(2) == 1000L)
+  }
+}
