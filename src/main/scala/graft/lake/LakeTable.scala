@@ -252,7 +252,7 @@ class LakeTable private (
     val fields = newSpark.fields.toSeq.map { sf =>
       byName.get(sf.name) match {
         case Some(old) =>
-          require(old.dataType == sf.dataType || widenable(old.dataType, sf.dataType),
+          require(sameType(old.dataType, sf.dataType) || widenable(old.dataType, sf.dataType),
             s"illegal type change for ${sf.name}: ${old.dataType} -> ${sf.dataType}")
           old.copy(dataType = sf.dataType, nullable = sf.nullable || old.nullable)
         case None =>
@@ -330,6 +330,19 @@ object LakeTable {
     case (FloatType, DoubleType) => true
     case (ShortType, IntegerType | LongType) => true
     case _ => false
+  }
+
+  /** Structural type equality ignoring nullability flags — schema JSON
+    * round-trips through DDL text, which does not carry containsNull.
+    */
+  def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ea, _), ArrayType(eb, _)) => sameType(ea, eb)
+    case (MapType(ka, va, _), MapType(kb, vb, _)) => sameType(ka, kb) && sameType(va, vb)
+    case (StructType(fa), StructType(fb)) =>
+      fa.length == fb.length && fa.zip(fb).forall { case (x, y) =>
+        x.name == y.name && sameType(x.dataType, y.dataType)
+      }
+    case _ => a == b
   }
 
   def create(spark: SparkSession, root: String, schema: StructType,
