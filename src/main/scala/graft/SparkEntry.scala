@@ -1,13 +1,492 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Lww
+import graft.functions.TextOps
+import graft.operators._
+
+/** Driver contract (see SURVEY.md §2 for the operator inventory each query
+  * evidences). Every query has a DuckDB-oracle twin in [[oracleSql]] unless
+  * it is inherently approximate (noted per entry).
+  *
+  * Portability conventions shared by query + oracle:
+  *  - double aggregations go through DECIMAL casts (float addition order
+  *    differs between engines; decimal doesn't);
+  *  - double→int conversions use floor() (Spark casts truncate, DuckDB
+  *    casts round);
+  *  - content hashing is md5 (identical everywhere);
+  *  - every ranked/limited query has a total deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full CDC replay (dedup → LWW → merge-on-read snapshot
+    * table → merged read) driven from the shared events table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CdcQueries.replayToTable(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / filters / aggregation (S1, F*, A*; SURVEY §2.1/2.3/2.5) ---
+    "q01_agg_filter" -> ((s, dir) => { implicit val sp = s
+      t(dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1997-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+             count(lit(1)).as("cnt"))
+    }),
+    "q02_join_broadcast" -> ((s, dir) => { implicit val sp = s
+      t(dir, "orders").join(broadcast(t(dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+    }),
+    "q03_chain_join" -> ((s, dir) => { implicit val sp = s
+      // sequence-path shape J1: supplier/nation/region hop chain
+      t(dir, "supplier")
+        .join(broadcast(t(dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_name"), col("n_name"), col("r_name"))
+    }),
+    "q04_topk" -> ((s, dir) => { implicit val sp = s
+      t(dir, "orders").join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+    "q05_window_latest" -> ((s, dir) => { implicit val sp = s
+      // per-key latest = the windowed LWW pattern (SURVEY §2.6)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(dir, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    }),
+    "q06_window_running" -> ((s, dir) => { implicit val sp = s
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).as("running_qty"))
+    }),
+    "q07_intersect" -> ((s, dir) => { implicit val sp = s
+      t(dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(t(dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+    }),
+    "q08_except" -> ((s, dir) => { implicit val sp = s
+      t(dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .except(t(dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+    }),
+    "q09_semi_join" -> ((s, dir) => { implicit val sp = s
+      t(dir, "customer").join(t(dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q10_anti_join" -> ((s, dir) => { implicit val sp = s
+      t(dir, "customer").join(t(dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q11_values_in" -> ((s, dir) => { implicit val sp = s
+      // VALUES-inlining / isin filter (F2)
+      t(dir, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("l_discount").cast("decimal(18,4)")).as("sum_disc"))
+    }),
+    "q12_limit_offset" -> ((s, dir) => { implicit val sp = s
+      t(dir, "orders").orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("total"))
+        .offset(10).limit(20)
+    }),
+    "q13_distinct" -> ((s, dir) => { implicit val sp = s
+      t(dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }),
+    "q14_union_all" -> ((s, dir) => { implicit val sp = s
+      val ev = t(dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), lit("click").as("kind"), col("user_id"))
+        .unionAll(ev.filter(col("event_type") === "view")
+          .select(col("event_id"), lit("view").as("kind"), col("user_id")))
+    }),
+    "q15_coercions" -> ((s, dir) => { implicit val sp = s
+      // the coercion-matrix operator (P4): numeric/string/temporal casts
+      t(dir, "events").select(
+        col("event_id"),
+        col("value").cast("decimal(18,2)").as("v_dec"),
+        floor(col("value")).cast("bigint").as("v_floor"),
+        col("value").cast("decimal(18,2)").cast("string").as("v_str"),
+        (col("value") > 100).as("is_big"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"))
+    }),
+    "q16_json" -> ((s, dir) => { implicit val sp = s
+      t(dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+    }),
+    "q17_templater" -> ((s, dir) => { implicit val sp = s
+      // templater 1→N expansion (P1/P2): row → property quads
+      t(dir, "documents").select(col("doc_id"),
+          explode(array(
+            struct(lit("lang").as("predicate"), col("lang").as("object")),
+            struct(lit("n_chars").as("predicate"), col("n_chars").cast("string").as("object")),
+            struct(lit("text_head").as("predicate"), substring(col("text"), 1, 16).as("object"))))
+            .as("kv"),
+          col("source"))
+        .select(col("doc_id"), col("kv.predicate").as("predicate"),
+          col("kv.object").as("object"), col("source"))
+    }),
+    "q18_closure" -> ((s, dir) => { implicit val sp = s
+      // ZeroOrMore/OneOrMore path (J4/J5): iterative transitive closure
+      val nations = t(dir, "nation").select(col("n_nationkey").cast("int").as("src"),
+        (col("n_regionkey") + 100).cast("int").as("dst"))
+      val regions = t(dir, "region").select((col("r_regionkey") + 100).cast("int").as("src"),
+        lit(999).cast("int").as("dst"))
+      GraphOps.transitiveClosure(nations.unionAll(regions))
+    }),
+    "q19_rollup" -> ((s, dir) => { implicit val sp = s
+      t(dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q20_stats" -> ((s, dir) => { implicit val sp = s
+      t(dir, "events").groupBy(col("event_type"))
+        .agg(TextOps.round4(stddev_samp(col("value"))).as("sd"),
+             TextOps.round4(avg(col("value"))).as("mean"),
+             TextOps.round4(min(col("value"))).as("mn"),
+             TextOps.round4(max(col("value"))).as("mx"))
+    }),
+
+    // --- CDC engine operators on shared data (SURVEY §2.5 A2/A3, §7) ---
+    "q21_lww" -> ((s, dir) => { implicit val sp = s
+      Lww.reduce(CdcQueries.eventsAsFeed(s, dir))
+        .select(col("doc_id"), col("lsn"), col("source"))
+    }),
+    "q22_lww_salted" -> ((s, dir) => { implicit val sp = s
+      // same semantics through the two-phase salted reduce — same oracle
+      Lww.reduceSalted(CdcQueries.eventsAsFeed(s, dir), saltBuckets = 8)
+        .select(col("doc_id"), col("lsn"), col("source"))
+    }),
+    "q23_cdc_e2e" -> ((s, dir) => CdcQueries.replayToTable(s, dir)),
+
+    // --- text analysis (training-data ops) ---
+    "qt24_tokenstats" -> ((s, dir) => { implicit val sp = s
+      t(dir, "documents").select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("bigint").as("n_words"),
+        TextOps.alphaRunCount(col("text")).cast("bigint").as("n_runs"))
+    }),
+    "qt25_langid" -> ((s, dir) => { implicit val sp = s
+      t(dir, "documents").select(col("doc_id"), col("lang").as("labeled"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    }),
+    "qt26_quality" -> ((s, dir) => { implicit val sp = s
+      t(dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("bigint").as("len"),
+        TextOps.meanWordLen(col("text")).as("mean_word_len"),
+        TextOps.stopRatio(col("text")).as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    }),
+    "qt27_fingerprint" -> ((s, dir) => { implicit val sp = s
+      // min-shingle md5 rolling fingerprint over the first 64 chars
+      t(dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("tx"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(lit(1), length(col("tx")) - 7))).as("i"),
+          col("tx"))
+        .groupBy(col("doc_id"))
+        .agg(min(md5(col("tx").substr(col("i"), lit(8)))).as("fp"))
+    }),
+
+    // --- dedup family (training-data ops) ---
+    "qd28_dedup_exact" -> ((s, dir) => { implicit val sp = s
+      DedupOps.exactClusters(t(dir, "documents"), "text", prefixLen = 24)
+    }),
+    "qd29_ngram_jaccard" -> ((s, dir) => { implicit val sp = s
+      DedupOps.ngramJaccard(t(dir, "documents").filter(col("doc_id") < 40),
+        w = 3, maxLen = 40, minJaccard = 0.04)
+    }),
+    "qd30_minhash_lsh" -> ((s, dir) => { implicit val sp = s
+      DedupOps.minhashLshCandidates(t(dir, "documents").filter(col("doc_id") < 60),
+        w = 3, maxLen = 40, k = 8, bands = 4)
+    }),
+    "qd31_simhash" -> ((s, dir) => { implicit val sp = s
+      DedupOps.simhash16(t(dir, "documents"), maxLen = 64)
+    }),
+
+    // --- similarity search (training-data ops) ---
+    "qd32_embed_topk" -> ((s, dir) => { implicit val sp = s
+      Similarity.bruteForceTopK(t(dir, "embeddings"), numQueries = 8, k = 3)
+    }),
+    // approximate by construction → no SQL oracle (rows-only check);
+    // recall vs brute force is asserted in SimilaritySpec
+    "qd33_ann_lsh" -> ((s, dir) => { implicit val sp = s
+      Similarity.lshTopK(t(dir, "embeddings"), dim = 64, bits = 4, seed = 42L,
+        numQueries = 8, k = 3)
+    }),
+
+    // --- multimodal plumbing (stubbed decode, real Spark contract) ---
+    "qm34_multimodal" -> ((s, dir) => { implicit val sp = s
+      Multimodal.decodeImageStub(t(dir, "documents")).select(
+        col("doc_id"), col("n_bytes").cast("bigint").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"),
+        element_at(col("feature"), 1).as("f0"),
+        element_at(col("feature"), 2).as("f1"),
+        element_at(col("feature"), 3).as("f2"))
+    }),
+    "qm35_framesample" -> ((s, dir) => { implicit val sp = s
+      Multimodal.frameSampleStub(t(dir, "documents"), k = 4)
+    }),
+    "q36_source_restrict" -> ((s, dir) => { implicit val sp = s
+      // graph-restriction analog (F1): scope to a source/partition set
+      t(dir, "documents").filter(col("source").isin("src0", "src1"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_filter" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+         count(*) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q03_chain_join" ->
+      """SELECT s_name, n_name, r_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+    "q04_topk" ->
+      """SELECT c_custkey, c_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+    "q05_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q06_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         FROM lineitem""",
+    "q07_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q08_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q11_values_in" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+         sum(CAST(l_discount AS DECIMAL(18,4))) AS sum_disc
+         FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag""",
+    "q12_limit_offset" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+         FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10""",
+    "q13_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q14_union_all" ->
+      """SELECT event_id, 'click' AS kind, user_id FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, 'view' AS kind, user_id FROM events WHERE event_type = 'view'""",
+    "q15_coercions" ->
+      """SELECT event_id,
+         CAST(value AS DECIMAL(18,2)) AS v_dec,
+         CAST(floor(value) AS BIGINT) AS v_floor,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str,
+         value > 100 AS is_big,
+         CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h
+         FROM events""",
+    "q16_json" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+         count(*) AS cnt FROM events GROUP BY event_type""",
+    "q17_templater" ->
+      """SELECT doc_id, 'lang' AS predicate, lang AS object, source FROM documents
+         UNION ALL
+         SELECT doc_id, 'n_chars' AS predicate, CAST(n_chars AS VARCHAR) AS object, source FROM documents
+         UNION ALL
+         SELECT doc_id, 'text_head' AS predicate, substr(text, 1, 16) AS object, source FROM documents""",
+    "q18_closure" ->
+      """WITH RECURSIVE e(src, dst) AS (
+           SELECT CAST(n_nationkey AS INT), CAST(n_regionkey + 100 AS INT) FROM nation
+           UNION ALL
+           SELECT CAST(r_regionkey + 100 AS INT), 999 FROM region
+         ), tc(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+         ) SELECT src, dst FROM tc""",
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q20_stats" ->
+      """SELECT event_type, floor((stddev_samp(value))*10000 + 0.5)/10000 AS sd,
+         floor((avg(value))*10000 + 0.5)/10000 AS mean, floor((min(value))*10000 + 0.5)/10000 AS mn,
+         floor((max(value))*10000 + 0.5)/10000 AS mx
+         FROM events GROUP BY event_type""",
+    "q21_lww" ->
+      """SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS lsn,
+         event_type AS source FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q22_lww_salted" ->
+      """SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS lsn,
+         event_type AS source FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q23_cdc_e2e" ->
+      """SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(floor(value * 100) AS INT) AS tok0, 1 AS n_tok,
+         event_type AS source FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1 AND event_type <> 'error'""",
+    "qt24_tokenstats" ->
+      """SELECT doc_id,
+         (length(text) - length(replace(text, ' ', ''))) + 1 AS n_words,
+         len(regexp_extract_all(text, '[a-z]+')) + len(regexp_extract_all(text, '[0-9]+')) AS n_runs
+         FROM documents""",
+    "qt25_langid" ->
+      """SELECT doc_id, lang AS labeled,
+         CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+              WHEN es >= de AND es > 0 THEN 'es'
+              WHEN de > 0 THEN 'de' ELSE 'unk' END AS lang_pred
+         FROM (SELECT doc_id, lang,
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+             + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS INT) AS en,
+           CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS INT)
+             + CAST((length(text) - length(replace(text, ' de ', ''))) / 4 AS INT) AS es,
+           CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS INT)
+             + CAST((length(text) - length(replace(text, ' und ', ''))) / 5 AS INT) AS de
+           FROM documents)""",
+    "qt26_quality" ->
+      """WITH f AS (SELECT doc_id, length(text) AS len,
+           (length(text) - length(replace(text, ' ', ''))) + 1 AS nw,
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+             + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS INT)
+             + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS INT)
+             + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS INT) AS stops
+           FROM documents)
+         SELECT doc_id, len,
+           floor((CAST(len - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE))*10000 + 0.5)/10000 AS mean_word_len,
+           floor((CAST(stops AS DOUBLE) / CAST(nw AS DOUBLE))*10000 + 0.5)/10000 AS stop_ratio,
+           floor((least(1.0, CAST(len AS DOUBLE) / 400.0) * 0.5
+             + least(1.0, round(CAST(stops AS DOUBLE) / CAST(nw AS DOUBLE), 4) * 10.0) * 0.3
+             + CASE WHEN round(CAST(len - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE), 4)
+                 BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END)*10000 + 0.5)/10000 AS quality
+         FROM f""",
+    "qt27_fingerprint" ->
+      """SELECT d.doc_id, min(md5(substr(d.tx, gs.i, 8))) AS fp
+         FROM (SELECT doc_id, substr(text, 1, 64) AS tx FROM documents) d,
+              (SELECT unnest(generate_series(1, 64)) AS i) gs
+         WHERE gs.i <= greatest(1, length(d.tx) - 7)
+         GROUP BY d.doc_id""",
+    "qd28_dedup_exact" ->
+      """SELECT md5(substr(text, 1, 24)) AS h, min(doc_id) AS canonical_id,
+         count(*) AS cluster_size FROM documents GROUP BY md5(substr(text, 1, 24))""",
+    "qd29_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS tx FROM documents WHERE doc_id < 40),
+         g AS (SELECT DISTINCT d.doc_id, substr(d.tx, gs.i, 3) AS gram
+               FROM d, (SELECT unnest(generate_series(1, 40)) AS i) gs
+               WHERE gs.i <= greatest(1, length(d.tx) - 2)),
+         sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+         SELECT id1, id2,
+           floor((CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE))*10000 + 0.5)/10000 AS jaccard
+         FROM p JOIN sz s1 ON p.id1 = s1.doc_id JOIN sz s2 ON p.id2 = s2.doc_id
+         WHERE floor((CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE))*10000 + 0.5)/10000 >= 0.04""",
+    "qd30_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS tx FROM documents WHERE doc_id < 60),
+         g AS (SELECT DISTINCT d.doc_id, substr(d.tx, gs.i, 3) AS gram
+               FROM d, (SELECT unnest(generate_series(1, 40)) AS i) gs
+               WHERE gs.i <= greatest(1, length(d.tx) - 2)),
+         mh AS (SELECT g.doc_id, sd.seed,
+                  min(md5(CAST(sd.seed AS VARCHAR) || g.gram)) AS mh
+                FROM g, (SELECT unnest(generate_series(0, 7)) AS seed) sd
+                GROUP BY g.doc_id, sd.seed),
+         banded AS (SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+                  md5(array_to_string(array_agg(
+                    lpad(CAST(seed AS VARCHAR), 4, '0') || ':' || mh
+                    ORDER BY lpad(CAST(seed AS VARCHAR), 4, '0') || ':' || mh), ',')) AS bkey
+                FROM mh GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT))
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+    "qd31_simhash" ->
+      """WITH w AS (SELECT doc_id, md5(word) AS h FROM (
+             SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word
+             FROM documents) WHERE length(word) > 0),
+         bits AS (SELECT doc_id, j.j, sum(CASE WHEN substr(h, j.j + 1, 1) IN
+             ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+           FROM w, (SELECT unnest(generate_series(0, 15)) AS j) j
+           GROUP BY doc_id, j.j)
+         SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN pow(2.0, j) ELSE 0.0 END) AS INT) AS simhash
+         FROM bits GROUP BY doc_id""",
+    "qd32_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+         pairs AS (SELECT q.qid, e.vec_id AS nid,
+             (SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+              FROM (SELECT unnest(q.qvec) AS a, unnest(e.embedding) AS b) x) AS dab,
+             (SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.a AS DOUBLE))
+              FROM (SELECT unnest(q.qvec) AS a) x) AS daa,
+             (SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
+              FROM (SELECT unnest(e.embedding) AS b) x) AS dbb
+           FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         sims AS (SELECT qid, nid, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs),
+         ranked AS (SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM sims)
+         SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3""",
+    "qm34_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+         CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+         3 AS channels,
+         floor((CAST(octet_length(encode(text)) AS DOUBLE) / 100.0)*10000 + 0.5)/10000 AS f0,
+         floor((CAST(octet_length(encode(text)) % 97 AS DOUBLE) / 97.0)*10000 + 0.5)/10000 AS f1,
+         floor((CAST(octet_length(encode(text)) % 31 AS DOUBLE) / 31.0)*10000 + 0.5)/10000 AS f2
+         FROM documents""",
+    "qm35_framesample" ->
+      """SELECT doc_id, CAST(f.frame AS INT) AS frame,
+         CAST(floor(f.frame * octet_length(encode(text)) / 4.0) AS INT) + 1 AS boff,
+         ascii(substr(text,
+           CAST(floor(f.frame * octet_length(encode(text)) / 4.0) AS INT) + 1, 1)) AS sample
+         FROM documents, (SELECT unnest(generate_series(0, 3)) AS frame) f""",
+    "q36_source_restrict" ->
+      """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE source IN ('src0','src1') GROUP BY source"""
+  )
 }

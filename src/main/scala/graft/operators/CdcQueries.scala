@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.stream.CdcIngest
+
+/** The CDC pipeline driven from the shared `events` test table, so the
+  * whole dedup→LWW→merge→read path has an independent SQL oracle (DuckDB
+  * window + filter) on data we didn't generate ourselves.
+  *
+  * Mapping: event_id → lsn (total order), user_id → doc_id,
+  * event_type 'error' → D, 'signup' → I, else U; payload token =
+  * floor(value*100).
+  */
+object CdcQueries {
+
+  def eventsAsFeed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val isDel = col("event_type") === "error"
+    ev.select(
+      when(isDel, "D").when(col("event_type") === "signup", "I").otherwise("U").as("op"),
+      col("user_id").cast("string").as("doc_id"),
+      col("event_id").as("lsn"),
+      col("ts"),
+      when(isDel, lit(null)).otherwise(array(floor(col("value") * 100).cast("int"))).as("tokens"),
+      when(isDel, lit(null)).otherwise(lit(1)).cast("int").as("n_tok"),
+      col("event_type").as("source"))
+  }
+
+  /** Full engine replay: LSN-chunked batches through dedup→LWW→merge into
+    * a fresh snapshot-log table, then the merged read. Output one row per
+    * surviving key: (doc_id, tok0, n_tok, source).
+    */
+  def replayToTable(spark: SparkSession, dir: String, chunks: Int = 4): DataFrame = {
+    val feed = eventsAsFeed(spark, dir)
+    val bounds = feed.agg(min("lsn"), max("lsn")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val root = Files.createTempDirectory("graft-q-lake").toString
+    val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = 8)
+    val per = (hi - lo + chunks) / chunks
+    var c = 0
+    while (lo + c * per <= hi) {
+      val a = lo + c * per
+      val b = math.min(hi, a + per - 1)
+      val batch = feed.filter(col("lsn").between(a, b))
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+      c += 1
+    }
+    table.read().select(
+      col("doc_id"),
+      element_at(col("tokens"), 1).as("tok0"),
+      col("n_tok"),
+      col("source"))
+  }
+}

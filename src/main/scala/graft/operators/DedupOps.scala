@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Deduplication family for training corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All hashing is md5-based so every stage has an
+  * exact DuckDB-SQL twin (verified oracles, not rows-only checks).
+  *
+  * The dedup-key philosophy follows grafter's `triple=` — payload equality
+  * ignoring provenance (/root/reference/grafter.core/src/grafter_2/rdf/
+  * protocols.cljc:457-469): all of these key on content, never on
+  * `source`/`doc_id`.
+  *
+  * Scale notes (100 TB): every stage is shuffle-by-content-key — exact
+  * dedup is one hash aggregate; shingling fans out rows but each shingle
+  * row is ~50 bytes and partial aggregation collapses (doc, gram) locally;
+  * LSH banding turns the quadratic candidate problem into an equi-join on
+  * band keys. The only quadratic step left (exact Jaccard on candidates)
+  * runs on the candidate set, not the corpus.
+  */
+object DedupOps {
+
+  /** Exact content dedup: hash-groupBy on md5(content), keep the smallest
+    * doc_id as canonical. One shuffle, map-side partial agg.
+    */
+  def exactClusters(docs: DataFrame, contentCol: String, prefixLen: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.prefixFingerprint(col(contentCol), prefixLen).as("h"))
+      .groupBy(col("h"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("cluster_size"))
+
+  /** Explode text into (doc_id, gram) rows of w-char shingles over the
+    * first `maxLen` chars. DISTINCT per doc (set semantics for Jaccard).
+    */
+  def shingles(docs: DataFrame, w: Int, maxLen: Int): DataFrame =
+    docs
+      .select(col("doc_id"), substring(col("text"), 1, maxLen).as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(lit(1), length(col("t")) - (w - 1)))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("t").substr(col("pos"), lit(w)).as("gram"))
+      .distinct()
+
+  /** Pairwise n-gram Jaccard similarity for all doc pairs sharing at least
+    * one shingle (id1 < id2). |A∩B| from the gram equi-join; |A|,|B| from
+    * per-doc counts; J = inter / (|A|+|B|-inter).
+    */
+  def ngramJaccard(docs: DataFrame, w: Int, maxLen: Int, minJaccard: Double): DataFrame = {
+    val sh = shingles(docs, w, maxLen).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
+      .select(col("id1"), col("id2"),
+        graft.functions.TextOps.round4(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures: for seed s in [0, k), minhash_s(doc) =
+    * min over shingles of md5(s || gram). Row shape (doc_id, seed, mh).
+    */
+  def minhash(docs: DataFrame, w: Int, maxLen: Int, k: Int): DataFrame = {
+    val sh = shingles(docs, w, maxLen)
+    sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("gram"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), col("gram")))).as("mh"))
+  }
+
+  /** LSH banding: group the k minhashes into `bands` bands of k/bands rows,
+    * band key = md5 of the concatenated (seed-ordered) minhashes. Candidate
+    * pairs = docs sharing any band key. Equi-join on (band, key) — never a
+    * cross join.
+    */
+  def minhashLshCandidates(docs: DataFrame, w: Int, maxLen: Int,
+                           k: Int, bands: Int): DataFrame = {
+    val mh = minhash(docs, w, maxLen, k)
+    val rowsPerBand = k / bands
+    val banded = mh
+      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      // array_agg ordered by seed → deterministic band key
+      .agg(md5(concat_ws(",", array_sort(collect_list(
+        concat_ws(":", lpad(col("seed").cast("string"), 4, "0"), col("mh")))))).as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over whitespace words: bit j of md5(word) is the top
+    * bit of hex nibble j; simhash bit j = majority vote across words.
+    * Output (doc_id, simhash int).
+    */
+  def simhash16(docs: DataFrame, maxLen: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(substring(col("text"), 1, maxLen), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), md5(col("word")).as("h"))
+    val bits = words
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("h"))
+      .select(col("doc_id"), col("j"),
+        // nibble j of the md5 hex >= '8' → bit set → vote +1 else -1
+        when(col("h").substr(col("j") + 1, lit(1)).isin(
+          "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1).as("vote"))
+      .groupBy("doc_id", "j")
+      .agg(sum("vote").as("v"))
+    bits
+      .select(col("doc_id"),
+        when(col("v") > 0, pow(lit(2.0), col("j"))).otherwise(lit(0.0)).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").cast("int").as("simhash"))
+  }
+}

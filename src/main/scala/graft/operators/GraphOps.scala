@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property-path shapes from the reference's path DSL
+  * (/root/reference/grafter.repository/src/clj/grafter_2/rdf4j/sparql/
+  * path.clj:34-112), re-expressed as join builders (SURVEY.md §2.4).
+  *
+  * Sequence (`/`), alternative (`|`), inverse (`^`), zero-or-one (`?`) and
+  * negated sets (`!`) are single Catalyst operators; the closures (`*`/`+`)
+  * are the one genuinely iterative shape — a semi-naive frontier loop with
+  * `localCheckpoint` to cut lineage growth per iteration.
+  */
+object GraphOps {
+
+  /** SequencePath A/B: hop1.dst = hop2.src (path.clj:84-87). */
+  def seqPath(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("src"), col("dst").as("mid"))
+      .join(b.select(col("src").as("mid"), col("dst")), "mid")
+      .select("src", "dst")
+
+  /** AlternativePath A|B (path.clj:89-92). */
+  def altPath(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("src", "dst").union(b.select("src", "dst")).distinct()
+
+  /** InversePath ^A — pure projection, no shuffle (path.clj:79-82). */
+  def inversePath(a: DataFrame): DataFrame =
+    a.select(col("dst").as("src"), col("src").as("dst"))
+
+  /** OneOrMorePath `+`: transitive closure (≥1 hop) by semi-naive
+    * iteration: frontier ⋈ edges, minus already-known pairs, until empty.
+    * `localCheckpoint` truncates plan lineage each round (without it the
+    * plan doubles per iteration). Distributed-safe: per-iteration work is
+    * one equi-join + one distinct; never collects edges to the driver.
+    */
+  def transitiveClosure(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    var closure = e
+    var frontier = e
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val next = frontier.withColumnRenamed("dst", "mid")
+        .join(e.withColumnRenamed("src", "mid"), "mid")
+        .select("src", "dst")
+        .exceptAll(closure)
+        .distinct()
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        closure = closure.union(next).localCheckpoint()
+        frontier = next
+      }
+      i += 1
+    }
+    closure
+  }
+
+  /** ZeroOrMorePath `*`: closure ∪ identity over the node set. */
+  def reflexiveTransitiveClosure(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val nodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct()
+    transitiveClosure(edges, maxIters)
+      .union(nodes.select(col("n").as("src"), col("n").as("dst")))
+      .distinct()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k with a bounded query set (broadcast
+  * the queries, never cross-join the corpus with itself). Scale path:
+  * random-hyperplane LSH bucketing — queries only join candidates in their
+  * bucket, turning O(Q×N) into O(Q×N/2^bits) expected.
+  *
+  * Dot products are `zip_with`/`aggregate` higher-order functions —
+  * Catalyst expressions, codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine similarity between two array<float/double>
+    * columns. Left-to-right fold matches DuckDB's list_cosine_similarity
+    * evaluation order, so rounded values agree with the oracle.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, e) => acc + e)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Brute-force top-k cosine neighbors for the query subset
+    * `vec_id < numQueries` against the full corpus. The query side is tiny
+    * and broadcast; the corpus streams through one pass (one wide scan, no
+    * shuffle besides the final per-query top-k).
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val queries = broadcast(
+      embeddings.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val scored = embeddings.join(queries, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.TextOps.round4(cosine(col("qvec"), col("embedding"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` pseudo-hyperplanes, plane j's
+    * component for dimension d is ±1 from a deterministic md5-derived bit
+    * (no RNG state → replayable). bucket = sum_j sign_j(v) * 2^j.
+    *
+    * At cluster scale the corpus is written bucketed by this id; queries
+    * probe only their own bucket (and optionally Hamming-1 neighbors).
+    */
+  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val planeSign: (Int, Int) => Double = (j, d) => {
+      // deterministic ±1 from splitmix64 — mirrors feed.EventGen.mix64
+      val h = graft.feed.EventGen.mix64(seed ^ (j.toLong << 32) ^ d.toLong)
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+    val bitCols = (0 until bits).map { j =>
+      val proj = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeSign(j, d))
+      }.reduce(_ + _)
+      when(proj > 0, pow(lit(2.0), lit(j.toDouble))).otherwise(lit(0.0))
+    }
+    bitCols.reduce(_ + _).cast("int")
+  }
+
+  /** Approximate top-k: same scoring as brute force but only within the
+    * query's LSH bucket. Recall < 1 by construction — verified rows-only
+    * (no SQL oracle), with a recall assertion in SimilaritySpec.
+    */
+  def lshTopK(embeddings: DataFrame, dim: Int, bits: Int, seed: Long,
+              numQueries: Int, k: Int): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket",
+      lshBucket(col("embedding"), dim, bits, seed))
+    val queries = broadcast(
+      bucketed.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("bucket").as("qbucket")))
+    val scored = bucketed
+      .join(queries, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.TextOps.round4(cosine(col("qvec"), col("embedding"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+}
