@@ -1,24 +1,56 @@
 package graft
+
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
+
+import graft.feed.FeedConfig
+
+/** Per-round benchmark main (driver contract): times every SparkEntry
+  * query on SPARK_GRAFT_SF_DIR (forced via the noop sink — full plan
+  * execution, no driver collect), plus one CDC replay throughput probe,
+  * and prints ONE JSON line.
+  */
 object Bench {
+  private def f3(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // CDC replay probe at this core count (full pipeline incl. commits)
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "2000000").toLong
+    val cdc = CdcBench.replayThroughput(spark, FeedConfig(
+      seed = 42L, numEvents = nEvents, numDocs = math.max(1000L, nEvents / 10),
+      deletePct = 5, maxTokens = 64), chunks = 8, saltBuckets = 0)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println("{\"metric\":\"total\",\"value\":" + f3(total) +
+      ",\"unit\":\"sec\",\"queries\":" + qs +
+      ",\"sf\":\"" + sfDir + "\"" +
+      ",\"cdc\":{\"events\":" + nEvents +
+      ",\"sec\":" + f3(cdc.sec) +
+      ",\"events_per_sec\":" + f3(cdc.eps) +
+      ",\"cpus\":" + cpus + "}}")
     spark.stop()
   }
 }

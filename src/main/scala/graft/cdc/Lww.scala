@@ -30,6 +30,24 @@ object Lww {
       .select(cols.map(c => col(s"w.$c")): _*)
   }
 
+  /** Fused bucketed LWW: one explicit `repartition(numBuckets, key)` is the
+    * ONLY shuffle — the groupBy's required distribution is already
+    * satisfied, so the aggregate runs in the same stage and the writer
+    * downstream inherits the bucket placement (task N = bucket N). This is
+    * the hot path of [[graft.lake.LakeTable.upsert]].
+    */
+  def reduceBucketed(events: DataFrame, keyCol: String, numBuckets: Int): DataFrame = {
+    val cols = payloadCols(events)
+    events.repartition(numBuckets, col(keyCol))
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(cols.map(col): _*), col("lsn")).as("w"),
+        // source-offset stats ride along per key; parquet footer min/max
+        // of these columns gives each bucket's consumed offset range for
+        // lineage without any extra pass (see stream.LineageLog)
+        min(col("lsn")).as("_src_min"), max(col("lsn")).as("_src_max"))
+      .select(cols.map(c => col(s"w.$c")) ++ Seq(col("_src_min"), col("_src_max")): _*)
+  }
+
   /** Two-phase salted LWW for pathological hot keys: phase 1 reduces
     * (doc_id, salt) groups — splitting a hot key across `saltBuckets`
     * reducers — phase 2 reduces the ≤saltBuckets survivors per key.
@@ -42,10 +60,12 @@ object Lww {
     val salted = events.withColumn("_salt", pmod(xxhash64(col("lsn")), lit(saltBuckets)))
     val phase1 = salted
       .groupBy(col("doc_id"), col("_salt"))
-      .agg(max_by(struct(cols.map(col): _*), col("lsn")).as("w"))
+      .agg(max_by(struct(cols.map(col): _*), col("lsn")).as("w"),
+        min(col("lsn")).as("_src_min"), max(col("lsn")).as("_src_max"))
     phase1
       .groupBy(col("doc_id"))
-      .agg(max_by(col("w"), col("w.lsn")).as("w"))
-      .select(cols.map(c => col(s"w.$c")): _*)
+      .agg(max_by(col("w"), col("w.lsn")).as("w"),
+        min(col("_src_min")).as("_src_min"), max(col("_src_max")).as("_src_max"))
+      .select(cols.map(c => col(s"w.$c")) ++ Seq(col("_src_min"), col("_src_max")): _*)
   }
 }

@@ -5,12 +5,13 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.cdc.Lww
 
 /** Field of a table schema, identified by a stable numeric id so columns can
   * be renamed/added/widened without rewriting data files (Iceberg-style
@@ -25,11 +26,15 @@ final case class LakeSchema(schemaId: Int, fields: Seq[LakeField]) {
   def byId: Map[Int, LakeField] = fields.map(f => f.id -> f).toMap
 }
 
-/** One parquet file tracked by a snapshot. `schemaId` records the schema the
-  * file was written with (read-time column mapping resolves it to the
-  * current schema by field id).
+/** One parquet delta file tracked by a snapshot. `schemaId` records the
+  * schema the file was written with (read-time column mapping resolves it
+  * to the current schema by field id); `bucket` is the key-hash bucket the
+  * file covers — `pmod(murmur3(doc_id), numBuckets)`, i.e. Spark's own
+  * HashPartitioning placement, so bucket-local work never needs an extra
+  * shuffle.
   */
-final case class FileEntry(path: String, bucket: Int, bytes: Long, schemaId: Int)
+final case class FileEntry(path: String, bucket: Int, bytes: Long, schemaId: Int,
+    rows: Long, minLsn: Long, maxLsn: Long)
 
 /** An atomic table version. The log of snapshots IS the table state:
   * live files = fold of added − removed over snapshots 0..N.
@@ -47,37 +52,42 @@ final case class Snapshot(
     parentId: Long,
     epochId: Long,
     addedData: Seq[FileEntry],
-    addedDeletes: Seq[FileEntry],
     removedData: Set[String],
-    removedDeletes: Set[String],
     summary: Map[String, String])
 
-/** A from-scratch Iceberg-style lake table: parquet data files + parquet
-  * equality-delete files + a JSON snapshot log with atomic commits.
+/** A from-scratch Iceberg-style lake table: bucketed parquet delta files +
+  * a JSON snapshot log with atomic commits.
   *
   * Layout:
   * {{{
-  *   root/meta/schema-<id>.json         field-id'd schemas
-  *   root/meta/snap-<%012d id>.json     snapshot log (atomic rename commit)
-  *   root/data/snap-<id>/bucket=<b>/part.parquet   rows + hidden _lsn column
-  *   root/deletes/snap-<id>/bucket=<b>/part.parquet   (doc_id, _lsn) keys
+  *   root/meta/schema-<id>.json      field-id'd schemas
+  *   root/meta/snap-<%012d id>.json  snapshot log (atomic rename commit)
+  *   root/data/snap-<id>/part-<bucket>-....parquet
   * }}}
   *
-  * Merge-on-read LWW semantics: every upsert batch writes, per key, an
-  * equality-delete `(doc_id, lsn_w)` and (unless the winning op is a
-  * delete) a data row carrying `_lsn = lsn_w`. A data row is visible iff no
-  * delete exists with the same `doc_id` and strictly greater lsn. Because
-  * max-LSN is the global order, the visible set is exactly the
-  * last-writer-wins state regardless of batch arrival order — the MERGE
-  * condition "WHEN MATCHED AND source.lsn > target.lsn" holds by
-  * construction, with no read-modify-write of the target.
+  * Merge-on-read LWW semantics: each upsert batch writes exactly one file
+  * set of LWW *winner* rows — schema columns plus hidden `_lsn` (the
+  * winning WAL position) and `_tomb` (true when the winning op was a
+  * delete). A row is visible iff `!_tomb` and no row of any batch carries
+  * the same key with a strictly greater `_lsn`. Because max-LSN is the
+  * global order, the visible set is exactly the last-writer-wins state
+  * regardless of batch arrival order — the MERGE condition "WHEN MATCHED
+  * AND source.lsn > target.lsn" holds by construction with no
+  * read-modify-write of the target. Tombstone rows ARE the merge-on-read
+  * deletes; the "delete file" view is a column-pruned re-scan of the same
+  * parquet (reads only (key, _lsn) — parquet column pruning makes it a
+  * fraction of the data scan).
   *
-  * Scale design: data and deletes are co-bucketed by
-  * `pmod(xxhash64(doc_id), numBuckets)`, so the read-side anti-join and
-  * compaction are bucket-local — on a real cluster each bucket is an
-  * independent unit of work and the delete-application join never needs an
-  * all-to-all shuffle wider than a bucket. Commits are O(files) driver-side
-  * JSON; compaction bounds both file count and delete debt.
+  * Scale design:
+  *  - The upsert pipeline is ONE shuffle: `repartition(numBuckets, key)`
+  *    feeds a complete-mode hash aggregate (Catalyst skips the partial
+  *    step because the child partitioning already satisfies the grouping)
+  *    and each task writes its own bucket file — no second exchange, no
+  *    dynamic-partition sort, no caching of intermediate batches.
+  *  - Data is physically bucketed by `pmod(murmur3(key), numBuckets)`;
+  *    read-side merge joins and compaction are bucket-local units of work.
+  *  - Commits are O(files) driver-side JSON; compaction bounds file count
+  *    and tombstone debt.
   *
   * Single-writer: commit conflicts (a snapshot file that already exists)
   * throw; a production deployment would CAS through a catalog service.
@@ -106,21 +116,22 @@ class LakeTable private (
 
   def lastCommittedEpoch: Long = snapshots.lastOption.map(_.epochId).getOrElse(-1L)
 
-  /** Live (data, delete) files as of snapshot `asOf` (latest if None). */
-  def liveFiles(asOf: Option[Long] = None): (Seq[FileEntry], Seq[FileEntry]) = {
+  /** Live delta files as of snapshot `asOf` (latest if None), plus the ids
+    * of the snapshots that contributed them.
+    */
+  def liveFiles(asOf: Option[Long] = None): Seq[FileEntry] = liveState(asOf)._1
+
+  private def liveState(asOf: Option[Long]): (Seq[FileEntry], Set[Long]) = {
     val snaps = asOf match {
       case Some(id) => snapshots.takeWhile(_.snapshotId <= id)
       case None     => snapshots
     }
-    val data = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
-    val dels = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    val data = scala.collection.mutable.LinkedHashMap[String, (FileEntry, Long)]()
     snaps.foreach { s =>
-      s.addedData.foreach(f => data(f.path) = f)
-      s.addedDeletes.foreach(f => dels(f.path) = f)
+      s.addedData.foreach(f => data(f.path) = (f, s.snapshotId))
       s.removedData.foreach(data.remove)
-      s.removedDeletes.foreach(dels.remove)
     }
-    (data.values.toSeq, dels.values.toSeq)
+    (data.values.map(_._1).toSeq, data.values.map(_._2).toSet)
   }
 
   // ---- read path ----
@@ -134,108 +145,124 @@ class LakeTable private (
   private def readAt(asOf: Option[Long]): DataFrame =
     readWithLsn(asOf).drop(LsnCol)
 
-  /** Merged state including the `_lsn` version column. */
+  /** Merged (visible) state including the `_lsn` version column. */
   def readWithLsn(asOf: Option[Long] = None): DataFrame = {
-    val (dataFiles, delFiles) = liveFiles(asOf)
+    val (files, contributingSnaps) = liveState(asOf)
     val schema = asOf match {
       case None => currentSchema
       case Some(_) =>
-        val maxSid = (dataFiles.map(_.schemaId) ++ Seq(0)).max
+        val maxSid = (files.map(_.schemaId) ++ Seq(0)).max
         schemas.find(_.schemaId == maxSid).getOrElse(currentSchema)
     }
-    val data = readDataFiles(dataFiles, schema)
-    if (delFiles.isEmpty) data
+    val data = readDataFiles(files, schema)
+    val visible = data.filter(!col(TombCol))
+    // fast path: every key appears at most once when all live files come
+    // from a single snapshot (one post-LWW batch, or one compaction)
+    if (contributingSnaps.size <= 1) visible.drop(TombCol)
     else {
-      val delBytes = delFiles.map(_.bytes).sum
-      val delsRaw = spark.read.schema(deleteSchema).parquet(delFiles.map(abs): _*)
+      // "delete view": column-pruned re-scan of the same files — only
+      // (key, _lsn) columns are materialised. AQE broadcasts it when small.
+      val keys = spark.read
+        .schema(StructType(Seq(
+          StructField(keyCol, StringType, nullable = false),
+          StructField(LsnCol, LongType, nullable = false))))
+        .parquet(files.map(abs): _*)
         .withColumnRenamed(keyCol, DelKeyCol)
-      // Equality-delete application: broadcast when the delete set is small
-      // (the common steady state after compaction), else a co-partitioned
-      // anti-join on the bucket key.
-      val dels = if (delBytes <= BroadcastDeleteBytes) broadcast(delsRaw) else delsRaw
-      data.join(
-        dels,
-        data(keyCol) === dels(DelKeyCol) && dels(LsnCol) > data(LsnCol),
-        "left_anti")
+        .withColumnRenamed(LsnCol, DelLsnCol)
+      visible.join(keys,
+          visible(keyCol) === keys(DelKeyCol) && keys(DelLsnCol) > visible(LsnCol),
+          "left_anti")
+        .drop(TombCol)
     }
   }
 
-  /** Read a heterogeneous-schema set of data files, mapping each file's
-    * columns to the current schema by field id (nulls for added columns,
+  /** Read a heterogeneous-schema set of delta files, mapping each file's
+    * columns to the target schema by field id (nulls for added columns,
     * `cast` for legal widenings).
     */
   private def readDataFiles(files: Seq[FileEntry], target: LakeSchema): DataFrame = {
+    val hidden = Seq(
+      StructField(LsnCol, LongType, nullable = false),
+      StructField(TombCol, BooleanType, nullable = false))
     if (files.isEmpty) {
-      val s = StructType(target.sparkSchema.fields :+ StructField(LsnCol, LongType, nullable = false))
+      val s = StructType(target.sparkSchema.fields ++ hidden)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
     val byId = schemas.map(s => s.schemaId -> s).toMap
     files.groupBy(_.schemaId).map { case (sid, group) =>
       val fileSchema = byId(sid)
       val nameById = fileSchema.fields.map(f => f.id -> f.name).toMap
-      val readSchema = StructType(
-        fileSchema.sparkSchema.fields :+ StructField(LsnCol, LongType, nullable = false))
+      val readSchema = StructType(fileSchema.sparkSchema.fields ++ hidden)
       val df = spark.read.schema(readSchema).parquet(group.map(abs): _*)
       val cols: Seq[Column] = target.fields.map { tf =>
         nameById.get(tf.id) match {
           case Some(oldName) => col(oldName).cast(tf.dataType).as(tf.name)
           case None          => lit(null).cast(tf.dataType).as(tf.name)
         }
-      } :+ col(LsnCol)
+      } ++ Seq(col(LsnCol), col(TombCol))
       df.select(cols: _*)
     }.reduce(_ unionByName _)
   }
 
   // ---- write path ----
 
-  /** Apply one deduped, LWW-reduced change batch.
+  /** Apply one change batch as a new snapshot.
     *
     * `batch` columns: `op` ("I"|"U"|"D"), `lsn`, plus payload columns
-    * matched to the current schema by NAME (missing → null, widenable types
-    * cast). At most one row per key (enforce upstream via [[graft.cdc.Lww]]).
+    * matched to the current schema by NAME (missing → null, widenable
+    * types cast). With `reduce = true` (default) the batch may contain
+    * many events per key: the fused bucketed LWW reduce runs inside the
+    * single upsert shuffle. With `reduce = false` the caller guarantees at
+    * most one row per key (e.g. a pre-salted reduce) and rows are only
+    * re-placed onto buckets.
     *
     * Returns None (and writes nothing) when `epochId` was already
     * committed — the exactly-once re-delivery check.
     */
   def upsert(batch: DataFrame, epochId: Long,
-             summary: Map[String, String] = Map.empty): Option[Snapshot] = {
+             summary: Map[String, String] = Map.empty,
+             reduce: Boolean = true): Option[Snapshot] = {
     if (epochId <= lastCommittedEpoch) return None
     val snapId = currentSnapshotId + 1
     val schema = currentSchema
 
-    val withBucket = batch.withColumn(BucketCol, bucketOf(col(keyCol)))
-    // every change (incl. deletes) contributes an equality-delete key
-    val delDir = s"deletes/snap-$snapId"
-    val delDf = withBucket.select(col(keyCol), col("lsn").as(LsnCol), col(BucketCol))
-    val delEntries = writeBucketed(delDf, delDir, schema.schemaId)
-
-    // upserts contribute a data row aligned to the current schema
-    val dataDir = s"data/snap-$snapId"
-    val dataCols: Seq[Column] = schema.fields.map { f =>
+    val winners =
+      if (reduce) Lww.reduceBucketed(batch, keyCol, numBuckets)
+      else batch.repartition(numBuckets, col(keyCol))
+    // project to the current schema AFTER the reduce — selections preserve
+    // the bucket partitioning, so no further exchange is planned
+    val srcMin = if (winners.columns.contains("_src_min")) col("_src_min") else col("lsn")
+    val srcMax = if (winners.columns.contains("_src_max")) col("_src_max") else col("lsn")
+    val outCols: Seq[Column] = schema.fields.map { f =>
       if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    } ++ Seq(col("lsn").as(LsnCol), col(BucketCol))
-    val dataDf = withBucket.filter(col("op") =!= "D").select(dataCols: _*)
-    val dataEntries = writeBucketed(dataDf, dataDir, schema.schemaId)
+    } ++ Seq(col("lsn").as(LsnCol), (col("op") === "D").as(TombCol),
+        srcMin.as(SrcMinCol), srcMax.as(SrcMaxCol))
+    val delta = winners.select(outCols: _*)
 
-    val snap = Snapshot(snapId, snapId - 1, epochId, dataEntries, delEntries,
-      Set.empty, Set.empty, summary + ("operation" -> "upsert"))
+    val entries = writeDelta(delta, s"data/snap-$snapId", schema.schemaId)
+    val snap = Snapshot(snapId, snapId - 1, epochId, entries,
+      Set.empty, summary + ("operation" -> "upsert"))
     commit(snap)
     Some(snap)
   }
 
-  /** Rewrite every bucket to a single merged data file and drop all delete
-    * files — bounds read amplification. Bucket-local: no cross-bucket
-    * shuffle beyond the per-bucket merge join.
+  /** Rewrite the visible state as one file per bucket and drop all old
+    * files (removes tombstones and superseded versions) — bounds read
+    * amplification. The rewrite is the same single-shuffle placement as
+    * upsert.
     */
   def compact(summary: Map[String, String] = Map.empty): Snapshot = {
-    val (dataFiles, delFiles) = liveFiles()
+    val oldFiles = liveFiles()
     val snapId = currentSnapshotId + 1
-    val merged = readWithLsn().withColumn(BucketCol, bucketOf(col(keyCol)))
-    val entries = writeBucketed(merged, s"data/snap-$snapId", currentSchema.schemaId)
-    val snap = Snapshot(snapId, snapId - 1, lastCommittedEpoch, entries, Seq.empty,
-      dataFiles.map(_.path).toSet, delFiles.map(_.path).toSet,
-      summary + ("operation" -> "compact"))
+    val merged = readWithLsn()
+      .withColumn(TombCol, lit(false))
+      .repartition(numBuckets, col(keyCol))
+    val entries = writeDelta(merged.select(
+        (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
+      s"data/snap-$snapId", currentSchema.schemaId)
+    val snap = Snapshot(snapId, snapId - 1, lastCommittedEpoch, entries,
+      oldFiles.map(_.path).toSet, summary + ("operation" -> "compact"))
     commit(snap)
     snap
   }
@@ -243,11 +270,13 @@ class LakeTable private (
   /** Evolve the table schema: new columns get fresh field ids; same-name
     * columns keep their id; `int→long` / `float→double` widenings are the
     * legal type changes. Old files keep their bytes and are re-mapped at
-    * read time.
+    * read time. The key column must keep its name (the pruned delete-view
+    * scan reads it by name across schema versions).
     */
   def evolveSchema(newSpark: StructType): LakeSchema = {
     val cur = currentSchema
     val byName = cur.fields.map(f => f.name -> f).toMap
+    require(newSpark.fieldNames.contains(keyCol), s"key column $keyCol must remain")
     var nextId = (schemas.flatMap(_.fields.map(_.id)) :+ 0).max + 1
     val fields = newSpark.fields.toSeq.map { sf =>
       byName.get(sf.name) match {
@@ -268,40 +297,59 @@ class LakeTable private (
 
   // ---- internals ----
 
-  private def bucketOf(key: Column): Column =
-    pmod(xxhash64(key), lit(numBuckets)).cast(IntegerType)
+  private def abs(f: FileEntry): String = s"$root/${f.path}"
 
-  private def deleteSchema = StructType(Seq(
-    StructField(keyCol, StringType, nullable = false),
-    StructField(LsnCol, LongType, nullable = false)))
-
-  /** Write `df` (which carries a `_bucket` column) under root/`relDir`,
-    * one file per non-empty bucket, and return the tracked entries.
+  /** Plain parquet write — task N's output file IS bucket N (the input is
+    * hash-partitioned on the key with exactly `numBuckets` partitions).
+    * Returns the tracked entries; bucket parsed from the part number;
+    * per-file row counts and `_lsn` min/max lifted from the parquet footer
+    * (driver-side, no Spark job) — these are the manifest-style file stats
+    * that feed lineage and future scan pruning.
     */
-  private def writeBucketed(df: DataFrame, relDir: String, schemaId: Int): Seq[FileEntry] = {
+  private def writeDelta(df: DataFrame, relDir: String, schemaId: Int): Seq[FileEntry] = {
     val out = s"$root/$relDir"
-    df.repartition(numBuckets, col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(out)
-    // enumerate what we just wrote (driver-side, O(files))
-    val written = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    df.write.mode("overwrite").parquet(out)
     val base = Paths.get(out)
-    if (Files.exists(base)) {
-      Files.list(base).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
-        .foreach { bdir =>
-          val b = bdir.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-          Files.list(bdir).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .foreach { f =>
-              val rel = Paths.get(root).relativize(f).toString
-              written += FileEntry(rel, b, Files.size(f), schemaId)
-            }
-        }
-    }
-    written.toSeq
+    if (!Files.exists(base)) return Seq.empty
+    val conf = spark.sessionState.newHadoopConf()
+    Files.list(base).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
+        val bucket = name.stripPrefix("part-").take(5).toInt
+        val (rows, minLsn, maxLsn) = footerStats(f, conf)
+        FileEntry(s"$relDir/$name", bucket, Files.size(f), schemaId, rows, minLsn, maxLsn)
+      }
+      .toSeq.sortBy(_.bucket)
   }
 
-  private def abs(f: FileEntry): String = s"$root/${f.path}"
+  /** (rowCount, min(_lsn), max(_lsn)) from the parquet footer. */
+  private def footerStats(f: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long, Long) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val path = c.getPath.toDotString
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty) {
+            // source offset range if present (upsert deltas), else the
+            // winner lsn range (compaction rewrites)
+            if (path == SrcMinCol || (path == LsnCol && mn == Long.MaxValue))
+              st.genericGetMin match { case l: java.lang.Long => mn = math.min(mn, l); case _ => () }
+            if (path == SrcMaxCol || (path == LsnCol && mx == Long.MinValue))
+              st.genericGetMax match { case l: java.lang.Long => mx = math.max(mx, l); case _ => () }
+          }
+        }
+      }
+      (rows, if (mn == Long.MaxValue) -1L else mn, if (mx == Long.MinValue) -1L else mx)
+    } finally reader.close()
+  }
 
   private def commit(s: Snapshot): Unit = {
     val tmp = metaDir.resolve(s"snap-.tmp-${UUID.randomUUID()}")
@@ -318,10 +366,11 @@ class LakeTable private (
 
 object LakeTable {
   val LsnCol = "_lsn"
-  val BucketCol = "_bucket"
+  val TombCol = "_tomb"
+  val SrcMinCol = "_src_min"
+  val SrcMaxCol = "_src_max"
   private val DelKeyCol = "_del_key"
-  /** Broadcast the delete side of the read join below this many bytes. */
-  var BroadcastDeleteBytes: Long = 64L * 1024 * 1024
+  private val DelLsnCol = "_del_lsn"
 
   private val mapper = new ObjectMapper()
 
@@ -405,21 +454,15 @@ object LakeTable {
     o.put("snapshotId", s.snapshotId)
     o.put("parentId", s.parentId)
     o.put("epochId", s.epochId)
-    def files(name: String, fs: Seq[FileEntry]): Unit = {
-      val arr = o.putArray(name)
-      fs.foreach { f =>
-        val fo = arr.addObject()
-        fo.put("path", f.path); fo.put("bucket", f.bucket)
-        fo.put("bytes", f.bytes); fo.put("schemaId", f.schemaId)
-      }
+    val arr = o.putArray("addedData")
+    s.addedData.foreach { f =>
+      val fo = arr.addObject()
+      fo.put("path", f.path); fo.put("bucket", f.bucket)
+      fo.put("bytes", f.bytes); fo.put("schemaId", f.schemaId)
+      fo.put("rows", f.rows); fo.put("minLsn", f.minLsn); fo.put("maxLsn", f.maxLsn)
     }
-    files("addedData", s.addedData)
-    files("addedDeletes", s.addedDeletes)
-    def strs(name: String, xs: Set[String]): Unit = {
-      val arr = o.putArray(name); xs.toSeq.sorted.foreach(arr.add)
-    }
-    strs("removedData", s.removedData)
-    strs("removedDeletes", s.removedDeletes)
+    val rem = o.putArray("removedData")
+    s.removedData.toSeq.sorted.foreach(rem.add)
     val sum = o.putObject("summary")
     s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sum.put(k, v) }
     o.toPrettyString
@@ -427,17 +470,15 @@ object LakeTable {
 
   private def readSnapshot(p: Path): Snapshot = {
     val n = mapper.readTree(Files.readString(p))
-    def files(name: String): Seq[FileEntry] =
-      n.get(name).elements().asScala.map { f =>
-        FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
-          f.get("bytes").asLong(), f.get("schemaId").asInt())
-      }.toSeq
-    def strs(name: String): Set[String] =
-      n.get(name).elements().asScala.map(_.asText()).toSet
+    val added = n.get("addedData").elements().asScala.map { f =>
+      FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+        f.get("bytes").asLong(), f.get("schemaId").asInt(),
+        f.get("rows").asLong(), f.get("minLsn").asLong(), f.get("maxLsn").asLong())
+    }.toSeq
+    val removed = n.get("removedData").elements().asScala.map(_.asText()).toSet
     val summary = n.get("summary").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
     Snapshot(n.get("snapshotId").asLong(), n.get("parentId").asLong(),
-      n.get("epochId").asLong(), files("addedData"), files("addedDeletes"),
-      strs("removedData"), strs("removedDeletes"), summary)
+      n.get("epochId").asLong(), added, removed, summary)
   }
 }

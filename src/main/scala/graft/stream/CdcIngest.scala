@@ -21,28 +21,31 @@ import graft.model.Schemas
   */
 object CdcIngest {
 
-  /** Dedup → LWW → upsert one batch into the table; append lineage rows.
+  /** LWW-reduce → upsert one batch into the table; append lineage rows.
+    *
+    * In-batch exact dedup is deliberately NOT a separate stage: duplicate
+    * deliveries are byte-identical rows, and the LWW `max_by` collapses
+    * every (doc_id, lsn) group to one row anyway — a dedup shuffle before
+    * the reduce would be pure overhead. Pass `dedup = true` only for
+    * feeds where non-identical rows can share (doc_id, lsn) (none of ours
+    * can: lsn is a WAL position). Cross-batch duplicates are handled by
+    * the watermarked streaming dedup ([[graft.cdc.Dedup.streaming]]).
+    *
     * Salting engages only when requested (AQE skew handling is the
     * baseline; see SURVEY.md §4).
     */
   def applyBatch(table: LakeTable, batch: DataFrame, epochId: Long,
-                 saltBuckets: Int = 0, dedup: Boolean = true): Unit = {
-    val deduped = if (dedup) Dedup.exact(batch) else batch
-    val reduced =
-      if (saltBuckets > 1) Lww.reduceSalted(deduped, saltBuckets)
-      else Lww.reduce(deduped)
-    // per-source-partition offset ranges for lineage, computed in the same
-    // pass discipline (bounded collect: one row per partition)
-    val offsets = batch
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(min("lsn").as("offset_start"), max("lsn").as("offset_end"),
-           count(lit(1)).as("rows_seen"))
-      .collect()
-    val snap = table.upsert(reduced, epochId,
-      summary = Map("sourceRows" -> offsets.map(_.getAs[Long]("rows_seen")).sum.toString))
-    snap.foreach { s =>
-      LineageLog.append(table, epochId, s.snapshotId, offsets)
-    }
+                 saltBuckets: Int = 0, dedup: Boolean = false): Unit = {
+    val src = if (dedup) Dedup.exact(batch) else batch
+    val snap =
+      if (saltBuckets > 1)
+        table.upsert(Lww.reduceSalted(src, saltBuckets), epochId, reduce = false)
+      else
+        table.upsert(src, epochId, reduce = true)
+    // per-partition lineage comes free from the parquet footer stats of
+    // the just-written delta files (rows + lsn range per bucket) — zero
+    // extra Spark jobs per batch; the whole batch is ONE job
+    snap.foreach(s => LineageLog.append(table, epochId, s))
   }
 
   /** Replay a bounded feed directory as a stream with exactly-once commits.
@@ -72,25 +75,30 @@ object CdcIngest {
   }
 }
 
-/** Per-micro-batch lineage records (north_rule): source offset range, rows
-  * applied, commit snapshot id — appended to a plain parquet metrics table
-  * under `<table>/lineage`.
+/** Per-micro-batch, per-partition lineage records (north_rule): offset
+  * range applied, rows, commit snapshot id — appended driver-side as JSONL
+  * under `<table>/lineage/` (one file per epoch; no Spark job on the
+  * ingest critical path). Timestamps are pinned to epoch 0: replays must
+  * be bit-identical, so wall-clock never enters persisted state.
   */
 object LineageLog {
-  def append(table: LakeTable, epochId: Long, snapshotId: Long,
-             offsets: Array[org.apache.spark.sql.Row]): Unit = {
-    val spark = table.spark
-    import spark.implicits._
-    val now = new java.sql.Timestamp(0L) // deterministic: replays must be bit-identical
-    val rows = offsets.toSeq.map { r =>
-      graft.model.Lineage(epochId, r.getAs[Int]("partition_id"),
-        r.getAs[Long]("offset_start"), r.getAs[Long]("offset_end"),
-        r.getAs[Long]("rows_seen"), snapshotId, now)
+  import graft.lake.Snapshot
+
+  def append(table: LakeTable, epochId: Long, snap: Snapshot): Unit = {
+    val dir = java.nio.file.Paths.get(table.root, "lineage")
+    java.nio.file.Files.createDirectories(dir)
+    val lines = snap.addedData.map { f =>
+      s"""{"epoch_id":$epochId,"partition_id":${f.bucket},"offset_start":${f.minLsn},""" +
+        s""""offset_end":${f.maxLsn},"rows_applied":${f.rows},""" +
+        s""""snapshot_id":${snap.snapshotId},"committed_at":0}"""
     }
-    if (rows.nonEmpty)
-      rows.toDF().coalesce(1).write.mode("append").parquet(s"${table.root}/lineage")
+    val out = dir.resolve(f"epoch-$epochId%012d.jsonl")
+    java.nio.file.Files.writeString(out, lines.mkString("", "\n", "\n"))
   }
 
   def read(table: LakeTable): DataFrame =
-    table.spark.read.parquet(s"${table.root}/lineage")
+    table.spark.read
+      .schema("epoch_id LONG, partition_id INT, offset_start LONG, " +
+        "offset_end LONG, rows_applied LONG, snapshot_id LONG, committed_at LONG")
+      .json(s"${table.root}/lineage")
 }

@@ -77,7 +77,7 @@ class SchemaEvolutionSpec extends SparkSpec {
     val out2 = table.read().collect().map(r => r.getString(0) -> r).toMap
     assert(out2.keySet == Set("a", "b", "d"))
     assert(out2("a").isNullAt(3) && out2("b").getString(3) == "en")
-    val (dataFiles, _) = table.liveFiles()
+    val dataFiles = table.liveFiles()
     assert(dataFiles.forall(_.schemaId == 1))
   }
 
