@@ -80,8 +80,10 @@ object CdcBench {
     // sandbox's single-disk write bandwidth (see BENCH/BASELINE.md)
     val tmpfs = sys.env.get("SPARK_GRAFT_TMPFS").contains("1")
     val benchDir = if (tmpfs) Some("/dev/shm") else None
+    val hotFraction = sys.env.getOrElse("SPARK_GRAFT_HOT", "0.0").toDouble
     val cfg = FeedConfig(seed = 42L, numEvents = nEvents,
-      numDocs = math.max(1000L, nEvents / 10), deletePct = 5, maxTokens = 64)
+      numDocs = math.max(1000L, nEvents / 10), numHot = 4,
+      hotFraction = hotFraction, deletePct = 5, maxTokens = 64)
 
     val results = cpusList.map { cpus =>
       val b = SparkSession.builder()
@@ -125,6 +127,7 @@ object CdcBench {
         r2.eps / ((c2.toDouble / c1) * r1.eps)
       } else Double.NaN
     println("{\"metric\":\"cdc_scaling\",\"salt\":" + salt +
+      ",\"hot\":" + hotFraction +
       ",\"tmpfs\":" + tmpfs + ",\"chunks\":" + chunks +
       ",\"runs\":{" + parts + "},\"efficiency\":" + f3(eff) + "}")
   }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Lww
+import graft.feed.{ChangeFeed, FeedConfig}
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.stream.CdcIngest
+
+/** Physical-plan assertions: the plans must stay the plans we designed —
+  * filters pushed to parquet, dims broadcast, ONE exchange in the upsert
+  * pipeline, column-pruned delete view. Regressions here are performance
+  * bugs even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan (q01)") {
+    val df = SparkEntry.queries("q01_agg_filter")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_shipdate"), plan.take(2000))
+    // column pruning: unneeded columns (l_partkey etc.) absent from scan
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_partkey") && scanSchema.contains("l_quantity"))
+  }
+
+  test("dimension joins broadcast (q02, q03)") {
+    assert(planOf(SparkEntry.queries("q02_join_broadcast")(spark, sfDir))
+      .contains("BroadcastHashJoin"))
+    assert(planOf(SparkEntry.queries("q03_chain_join")(spark, sfDir))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("fused bucketed LWW plans exactly one exchange") {
+    import spark.implicits._
+    val events = ChangeFeed.events(spark, FeedConfig(numEvents = 1000)).toDF()
+    val reduced = Lww.reduceBucketed(events, "doc_id", 8)
+    val exchanges = planOf(reduced).linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
+  test("lake read's delete view is a column-pruned scan of (key, _lsn)") {
+    import spark.implicits._
+    val dir = tmpDir("plan-lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val cfg = FeedConfig(numEvents = 2000)
+    // two batches so the read path includes the anti-join
+    (0 until 2).foreach { c =>
+      val batch = spark.range(c * 1000L, (c + 1) * 1000L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val plan = planOf(table.read())
+    // one scan reads the full schema, the delete-view scan only 2 columns
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("_lsn") && !s.contains("tokens")),
+      s"no pruned delete-view scan found:\n${schemas.mkString("\n")}")
+    assert(plan.contains("LeftAnti"), "merge-on-read anti-join missing")
+  }
+
+  test("single-snapshot read takes the fast path (no join)") {
+    import spark.implicits._
+    val dir = tmpDir("plan-lake2")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val cfg = FeedConfig(numEvents = 1000)
+    val batch = spark.range(0L, 1000L)
+      .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
+    CdcIngest.applyBatch(table, batch, epochId = 0L)
+    val plan = planOf(table.read())
+    assert(!plan.contains("Join"), "fast path should not join")
+  }
+}
