@@ -1,0 +1,99 @@
+package graft.coerce
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed coercion layer — the Spark recast of grafter's XSD↔JVM matrix
+  * (/root/reference/grafter.io/src/grafter_2/rdf4j/io.clj:48-181,211-299)
+  * with the reference's pinned corner cases:
+  *
+  *  - special float lexical forms `INF`/`+INF`/`-INF`/`NaN` parse to the
+  *    IEEE values (io.clj:74-88; tests io_test.clj:167-177) — Spark's
+  *    plain cast only accepts `Infinity` spellings, so a `when` chain
+  *    front-runs it (still pure Column ops, codegen'd);
+  *  - xsd:time `24:00:00` normalises to `00:00` and fractional seconds
+  *    truncate (round down) to 9 digits/nanos (io.clj:132-144; tests
+  *    io_test.clj:110-126);
+  *  - bounded vs unbounded integers stay distinct types: int ≠ long ≠
+  *    unbounded integer ↦ Decimal(38,0) (io_test.clj:46-51);
+  *  - unknown datatypes pass through as (raw string, datatype) pairs
+  *    (io.clj:176-181) rather than failing.
+  *
+  * Open extension follows the reference's multimethod style
+  * (`backend-literal->grafter-type`, io.clj:48-56): [[registry]] maps a
+  * datatype name to a `Column => Column`, and users add entries.
+  */
+object Coerce {
+
+  /** xsd:double/xsd:float lexical space incl. INF forms → double. */
+  def parseDouble(c: Column): Column =
+    when(c === "INF" || c === "+INF", lit(Double.PositiveInfinity))
+      .when(c === "-INF", lit(Double.NegativeInfinity))
+      .when(c === "NaN", lit(Double.NaN))
+      .otherwise(c.cast(DoubleType))
+
+  def parseFloat(c: Column): Column = parseDouble(c).cast(FloatType)
+
+  /** Serialise back to the XSD lexical space (INF not Infinity). */
+  def formatDouble(c: Column): Column =
+    when(c === lit(Double.PositiveInfinity), "INF")
+      .when(c === lit(Double.NegativeInfinity), "-INF")
+      .when(isnan(c), "NaN")
+      .otherwise(c.cast(StringType))
+
+  /** xsd:time "HH:MM:SS(.fffffffff…)" → nanos-of-day (long), with the
+    * reference's rules: 24:00:00 ≡ 00:00:00; fractional digits beyond 9
+    * truncate toward zero.
+    */
+  def parseTimeNanos(c: Column): Column = {
+    val h = substring(c, 1, 2).cast(LongType)
+    val m = substring(c, 4, 2).cast(LongType)
+    val s = substring(c, 7, 2).cast(LongType)
+    // fraction: everything after the dot, right-padded then cut to 9
+    val frac = when(length(c) > 8,
+        rpad(substring(c, 10, 9), 9, "0").cast(LongType))
+      .otherwise(lit(0L))
+    val hNorm = when(h === 24, lit(0L)).otherwise(h)
+    ((hNorm * 3600L + m * 60L + s) * 1000000000L) + frac
+  }
+
+  /** Unbounded xsd:integer ↦ Decimal(38,0) (no exact Spark type — same
+    * trade-off the survey documents, SURVEY.md §1.4).
+    */
+  def parseUnboundedInteger(c: Column): Column = c.try_cast(DecimalType(38, 0))
+
+  /** Language-tagged string ↦ struct(value, tag) — grafter's LangString
+    * (protocols.cljc:199-235). Comparison: value then tag (L2).
+    */
+  def langString(value: Column, tag: Column): Column =
+    struct(value.as("value"), tag.as("tag"))
+
+  /** LangString ordering key (orderBy this column). */
+  def langStringOrder(ls: Column): Column =
+    struct(ls.getField("value"), ls.getField("tag"))
+
+  /** Unknown-datatype passthrough: keep (lexical form, datatype URI). */
+  def rawLiteral(value: Column, datatype: Column): Column =
+    struct(value.as("raw"), datatype.as("datatype"))
+
+  /** Open registry of named coercions — the extension point. */
+  // try_cast: under ANSI mode (Spark 4 default) a plain cast throws on
+  // overflow/malformed input; the reference's behavior for a value that
+  // does not fit the requested datatype is "not that datatype" → null here
+  val registry: scala.collection.mutable.Map[String, Column => Column] =
+    scala.collection.mutable.Map(
+      "xsd:double" -> parseDouble _,
+      "xsd:float" -> parseFloat _,
+      "xsd:boolean" -> ((c: Column) => c.try_cast(BooleanType)),
+      "xsd:int" -> ((c: Column) => c.try_cast(IntegerType)),
+      "xsd:long" -> ((c: Column) => c.try_cast(LongType)),
+      "xsd:integer" -> parseUnboundedInteger _,
+      "xsd:decimal" -> ((c: Column) => c.try_cast(DecimalType(38, 18))),
+      "xsd:dateTime" -> ((c: Column) => c.try_cast(TimestampType)),
+      "xsd:date" -> ((c: Column) => c.try_cast(DateType)),
+      "xsd:string" -> ((c: Column) => c.cast(StringType)))
+
+  def coerce(datatype: String, c: Column): Column =
+    registry.getOrElse(datatype, identity[Column] _)(c)
+}

@@ -247,6 +247,20 @@ class LakeTable private (
     Some(snap)
   }
 
+  /** Predicate delete — the recast of grafter's delete-by-statement /
+    * delete-by-graph (repository.clj:596-628; SURVEY.md §2.8 U3): write
+    * tombstones for every currently-visible key matching `cond` (e.g.
+    * `col("source") === "src_1"` drops a whole provenance "graph").
+    * Tombstone lsn = 1 + the table's max source lsn (from file metadata,
+    * no scan), so it wins over every existing version.
+    */
+  def deleteMatching(cond: Column, epochId: Long): Option[Snapshot] = {
+    val tombLsn = (liveFiles().map(_.maxLsn) :+ 0L).max + 1
+    val victims = readWithLsn().filter(cond)
+      .select(col(keyCol), lit("D").as("op"), lit(tombLsn).as("lsn"))
+    upsert(victims, epochId, Map("delete" -> cond.toString), reduce = false)
+  }
+
   /** Rewrite the visible state as one file per bucket and drop all old
     * files (removes tombstones and superseded versions) — bounds read
     * amplification. The rewrite is the same single-shuffle placement as

@@ -56,11 +56,15 @@ object CdcIngest {
     */
   def run(spark: SparkSession, feedDir: String, table: LakeTable,
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
-          watermark: String = "1 hour", saltBuckets: Int = 0): StreamingQuery = {
-    val events = spark.readStream
-      .schema(Schemas.changeEvent)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(feedDir)
+          watermark: String = "1 hour", saltBuckets: Int = 0,
+          format: Option[String] = None): StreamingQuery = {
+    // feed codec by explicit format, else extension sniff (S3 registry);
+    // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
+    // recast of the reference's 32-slot parse queue (io.clj:649-650)
+    val events = graft.sources.Codecs.readStream(
+      spark, feedDir, Schemas.changeEvent,
+      format.orElse(graft.sources.Codecs.infer(feedDir)).orElse(Some("parquet")),
+      options = Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
     val deduped = Dedup.streaming(events, watermark)
     deduped.writeStream
       .queryName("graft-cdc-ingest")

@@ -1,0 +1,49 @@
+package graft
+
+import graft.feed.{ChangeFeed, FeedConfig}
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.sources.Codecs
+import graft.stream.CdcIngest
+import graft.verify.FoldOracle
+
+/** Codec registry: extension inference, jsonl round-trip, replay from a
+  * jsonl feed == replay from parquet == fold oracle.
+  */
+class CodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = FeedConfig(seed = 5L, numEvents = 3000, numDocs = 100, maxTokens = 8)
+
+  test("extension inference: file, directory, unknown") {
+    val dir = tmpDir("codec")
+    ChangeFeed.events(spark, cfg).toDF().write.json(s"$dir/feed.jsonl")
+    // a Spark-written "feed.jsonl" is a directory of part-*.json files —
+    // directory sniffing looks inside, so either spelling is correct
+    assert(Set("json", "jsonl").contains(Codecs.infer(s"$dir/feed.jsonl").get))
+    assert(Codecs.infer("/not/existing/feed.jsonl").contains("jsonl"))
+    ChangeFeed.events(spark, cfg).toDF().write.parquet(s"$dir/pq")
+    assert(Codecs.infer(s"$dir/pq").contains("parquet"))
+    assert(Codecs.infer("/does/not/matter.ttl").isEmpty)
+    intercept[IllegalArgumentException] {
+      Codecs.read(spark, "/tmp/whatever.ttl", Schemas.changeEvent)
+    }
+  }
+
+  test("jsonl feed replays to the same state as the fold oracle") {
+    val dir = tmpDir("codec2")
+    ChangeFeed.events(spark, cfg).toDF().write.json(s"$dir/feed.jsonl")
+    val feed = Codecs.read(spark, s"$dir/feed.jsonl", Schemas.changeEvent)
+    assert(feed.count() == cfg.numEvents)
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    CdcIngest.applyBatch(table, feed, epochId = 0L)
+    assert(FoldOracle.diff(table.read(), FoldOracle.finalState(cfg)).isEmpty)
+  }
+
+  test("registry is open: a custom codec can be registered") {
+    Codecs.registry("ndjson") = Codecs.Codec("json")
+    assert(Codecs.infer("/x/feed.ndjson").contains("ndjson"))
+    Codecs.registry.remove("ndjson")
+    assert(Codecs.infer("/x/feed.tsv").contains("tsv")) // built-in
+  }
+}
