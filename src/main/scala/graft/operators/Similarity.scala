@@ -16,11 +16,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold cosine similarity between two array<float/double>
-    * columns. Left-to-right fold matches DuckDB's list_cosine_similarity
-    * evaluation order, so rounded values agree with the oracle.
+  /** Cosine similarity via the native codegen'd [[graft.functions.DotProduct]]
+    * expression (register per session; done by the top-k builders). The
+    * loop is left-to-right sequential — bit-identical to [[cosineFold]]
+    * and to the explicit fold the DuckDB oracle runs.
     */
   def cosine(a: Column, b: Column): Column = {
+    val dot = graft.functions.VectorExprs.dot _
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Higher-order-function fallback (no registration needed): aggregate
+    * over zip_with. Kept as the reference implementation the native
+    * expression is property-checked against.
+    */
+  def cosineFold(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
         lit(0.0), (acc, e) => acc + e)
@@ -33,6 +43,7 @@ object Similarity {
     * shuffle besides the final per-query top-k).
     */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
     val queries = broadcast(
       embeddings.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
@@ -74,6 +85,7 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, dim: Int, bits: Int, seed: Long,
               numQueries: Int, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("bucket",
       lshBucket(col("embedding"), dim, bits, seed))
     val queries = broadcast(

@@ -71,6 +71,26 @@ class OperatorSpec extends SparkSpec {
     assert(bucketed.agg(countDistinct("b")).head.getLong(0) <= 16)
   }
 
+  test("native DotProduct expression == higher-order fold, bit-identical") {
+    graft.functions.VectorExprs.register(spark)
+    val pairs = emb.limit(50).select($"vec_id", $"embedding".as("a"))
+      .crossJoin(emb.limit(3).select($"embedding".as("b")))
+    val diff = pairs.select(
+        graft.functions.VectorExprs.dot(col("a"), col("b")).as("native"),
+        Similarity.cosineFold(col("a"), col("b")).as("cf"),
+        Similarity.cosine(col("a"), col("b")).as("cn"))
+      .filter(col("cn") =!= col("cf")) // exact double equality required
+      .count()
+    assert(diff == 0)
+    // codegen actually fires (expression not in fallback mode) — execute
+    // first so AQE finalises the plan
+    val df = pairs.select(graft.functions.VectorExprs.dot(col("a"), col("b")))
+    df.collect()
+    // the `*(n)` prefix marks a WholeStageCodegen span in the AQE rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[dotproduct""".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
+
   test("transitive closure on a known chain graph") {
     val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
     val tc = GraphOps.transitiveClosure(edges).collect()
