@@ -146,7 +146,16 @@ class LakeTable private (
     readWithLsn(asOf).drop(LsnCol)
 
   /** Merged (visible) state including the `_lsn` version column. */
-  def readWithLsn(asOf: Option[Long] = None): DataFrame = {
+  def readWithLsn(asOf: Option[Long] = None): DataFrame =
+    mergedWinners(asOf).filter(!col(TombCol)).drop(TombCol)
+
+  /** Per-key max-lsn winner rows INCLUDING tombstone winners (`_tomb`
+    * kept). This is the full merge state: tombstones must survive until a
+    * caller proves no event below their lsn can still arrive (see
+    * [[compact]]) — dropping them early would resurrect late lower-lsn
+    * versions of deleted keys.
+    */
+  def mergedWinners(asOf: Option[Long] = None): DataFrame = {
     val (files, contributingSnaps) = liveState(asOf)
     val schema = asOf match {
       case None => currentSchema
@@ -155,10 +164,9 @@ class LakeTable private (
         schemas.find(_.schemaId == maxSid).getOrElse(currentSchema)
     }
     val data = readDataFiles(files, schema)
-    val visible = data.filter(!col(TombCol))
     // fast path: every key appears at most once when all live files come
     // from a single snapshot (one post-LWW batch, or one compaction)
-    if (contributingSnaps.size <= 1) visible.drop(TombCol)
+    if (contributingSnaps.size <= 1) data
     else {
       // "delete view": column-pruned re-scan of the same files — only
       // (key, _lsn) columns are materialised. AQE broadcasts it when small.
@@ -169,10 +177,9 @@ class LakeTable private (
         .parquet(files.map(abs): _*)
         .withColumnRenamed(keyCol, DelKeyCol)
         .withColumnRenamed(LsnCol, DelLsnCol)
-      visible.join(keys,
-          visible(keyCol) === keys(DelKeyCol) && keys(DelLsnCol) > visible(LsnCol),
+      data.join(keys,
+          data(keyCol) === keys(DelKeyCol) && keys(DelLsnCol) > data(LsnCol),
           "left_anti")
-        .drop(TombCol)
     }
   }
 
@@ -266,11 +273,18 @@ class LakeTable private (
     * amplification. The rewrite is the same single-shuffle placement as
     * upsert.
     */
-  def compact(summary: Map[String, String] = Map.empty): Snapshot = {
+  /** @param purgeTombstonesBelowLsn tombstones with `_lsn` below this are
+    *   physically dropped. A tombstone masks any not-yet-arrived event of
+    *   its key with a smaller lsn, so the default (Long.MinValue) keeps
+    *   them ALL — only a caller that knows the feed's lateness bound (the
+    *   watermark analog in lsn space) may raise it.
+    */
+  def compact(purgeTombstonesBelowLsn: Long = Long.MinValue,
+              summary: Map[String, String] = Map.empty): Snapshot = {
     val oldFiles = liveFiles()
     val snapId = currentSnapshotId + 1
-    val merged = readWithLsn()
-      .withColumn(TombCol, lit(false))
+    val merged = mergedWinners()
+      .filter(!col(TombCol) || col(LsnCol) >= purgeTombstonesBelowLsn)
       .repartition(numBuckets, col(keyCol))
     val entries = writeDelta(merged.select(
         (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),

@@ -57,7 +57,8 @@ object CdcIngest {
   def run(spark: SparkSession, feedDir: String, table: LakeTable,
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
           watermark: String = "1 hour", saltBuckets: Int = 0,
-          format: Option[String] = None): StreamingQuery = {
+          format: Option[String] = None,
+          compactEverySnapshots: Int = 0): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
@@ -74,6 +75,14 @@ object CdcIngest {
         // stream already deduped with watermark state; batch-level dedup
         // again is redundant work we skip
         applyBatch(table, batch, epochId, saltBuckets, dedup = false)
+        // maintenance inline with ingest: bound file count and tombstone
+        // debt on long replays; compaction commits its own snapshot but
+        // keeps the epoch, so the exactly-once check is unaffected
+        if (compactEverySnapshots > 0 &&
+            (table.currentSnapshotId + 1) % compactEverySnapshots == 0) {
+          table.compact()
+        }
+        ()
       }
       .start()
   }

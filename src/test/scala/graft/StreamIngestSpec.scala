@@ -26,6 +26,20 @@ class StreamIngestSpec extends SparkSpec {
     assert(table.lastCommittedEpoch >= 0)
   }
 
+  test("inline auto-compaction during streaming keeps state exact and files bounded") {
+    val dir = tmpDir("stream-compact")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 10)
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val q = CdcIngest.run(spark, s"$dir/feed", table, s"$dir/ckpt",
+      maxFilesPerTrigger = 1, compactEverySnapshots = 3)
+    q.awaitTermination()
+    assert(FoldOracle.diff(table.read(), FoldOracle.finalState(cfg)).isEmpty)
+    // live files bounded by compaction cadence, not total batch count
+    assert(table.liveFiles().size <= 4 * table.numBuckets,
+      s"files not bounded: ${table.liveFiles().size}")
+    assert(table.snapshots.exists(_.summary.get("operation").contains("compact")))
+  }
+
   test("kill mid-replay, restart from checkpoint: final state bit-identical") {
     val dir = tmpDir("stream")
     ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 12)
