@@ -256,6 +256,19 @@ object SparkEntry {
       t(dir, "documents").filter(col("source").isin("src0", "src1"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+    }),
+    "q37_zero_or_one_path" -> ((s, dir) => { implicit val sp = s
+      // ZeroOrOnePath `?` (J6): identity ∪ single hop
+      GraphOps.zeroOrOnePath(t(dir, "nation").select(
+        col("n_nationkey").cast("int").as("src"),
+        (col("n_regionkey") + 100).cast("int").as("dst")))
+    }),
+    "q38_negated_path" -> ((s, dir) => { implicit val sp = s
+      // NegatedPropertySet `!` (J7): hop via any predicate NOT in the set
+      GraphOps.negatedPath(
+        t(dir, "events").select(col("user_id").as("src"),
+          col("event_type").as("p"), col("event_id").as("dst")),
+        "p", Seq("error", "signup"))
     })
   )
 
@@ -487,6 +500,14 @@ object SparkEntry {
          FROM documents, (SELECT unnest(generate_series(0, 3)) AS frame) f""",
     "q36_source_restrict" ->
       """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM documents WHERE source IN ('src0','src1') GROUP BY source"""
+         FROM documents WHERE source IN ('src0','src1') GROUP BY source""",
+    "q37_zero_or_one_path" ->
+      """SELECT DISTINCT src, dst FROM (
+           SELECT CAST(n_nationkey AS INT) AS src, CAST(n_nationkey AS INT) AS dst FROM nation
+           UNION ALL
+           SELECT CAST(n_nationkey AS INT), CAST(n_regionkey + 100 AS INT) FROM nation)""",
+    "q38_negated_path" ->
+      """SELECT DISTINCT user_id AS src, event_id AS dst FROM events
+         WHERE event_type NOT IN ('error','signup')"""
   )
 }

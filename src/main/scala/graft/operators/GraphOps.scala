@@ -28,6 +28,22 @@ object GraphOps {
   def inversePath(a: DataFrame): DataFrame =
     a.select(col("dst").as("src"), col("src").as("dst"))
 
+  /** ZeroOrOnePath `?`: identity over source nodes ∪ single hop
+    * (path.clj:104-107).
+    */
+  def zeroOrOnePath(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("src").as("dst"))
+      .union(edges.select(col("src"), col("dst")))
+      .distinct()
+
+  /** NegatedPropertySet `!`: hop via any predicate NOT in the excluded set
+    * (path.clj:109-112) — a static-set anti-filter, never a join.
+    */
+  def negatedPath(edges: DataFrame, predicateCol: String,
+                  excluded: Seq[String]): DataFrame =
+    edges.filter(!col(predicateCol).isin(excluded: _*))
+      .select(col("src"), col("dst")).distinct()
+
   /** OneOrMorePath `+`: transitive closure (≥1 hop) by semi-naive
     * iteration: frontier ⋈ edges, minus already-known pairs, until empty.
     * `localCheckpoint` truncates plan lineage each round (without it the

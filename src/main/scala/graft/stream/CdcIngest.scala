@@ -114,4 +114,21 @@ object LineageLog {
       .schema("epoch_id LONG, partition_id INT, offset_start LONG, " +
         "offset_end LONG, rows_applied LONG, snapshot_id LONG, committed_at LONG")
       .json(s"${table.root}/lineage")
+
+  /** Lineage is derivable state: the snapshot log carries every per-file
+    * stat, so after a crash between commit and lineage append (or a lost
+    * metrics dir) the whole log can be reconstructed exactly. Overwrites
+    * the lineage dir from the snapshot log.
+    */
+  def rebuild(table: LakeTable): Unit = {
+    val dir = java.nio.file.Paths.get(table.root, "lineage")
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    table.snapshots
+      .filter(_.summary.get("operation").contains("upsert"))
+      .foreach(s => append(table, s.epochId, s))
+  }
 }

@@ -155,5 +155,11 @@ class CdcCoreSpec extends SparkSpec {
     val distinctKeys = batch.select(countDistinct("doc_id")).head().getLong(0)
     assert(agg.getLong(0) == 0L && agg.getLong(1) == 999L)
     assert(agg.getLong(2) == distinctKeys)
+
+    // lineage is derivable: wipe + rebuild from the snapshot log == original
+    val before = lin.collect().map(_.toString).sorted
+    graft.stream.LineageLog.rebuild(table)
+    val after = graft.stream.LineageLog.read(table).collect().map(_.toString).sorted
+    assert(before.sameElements(after))
   }
 }
