@@ -45,7 +45,7 @@ object Bench {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "2000000").toLong
     val cdc = CdcBench.replayThroughput(spark, FeedConfig(
       seed = 42L, numEvents = nEvents, numDocs = math.max(1000L, nEvents / 10),
-      deletePct = 5, maxTokens = 64), chunks = 8, saltBuckets = 0)
+      deletePct = 5, maxTokens = 64), chunks = 4, saltBuckets = 0)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")

@@ -47,7 +47,7 @@ object CdcBench {
     // numBuckets is a TABLE property: fixed regardless of cluster size so
     // the N-core and 4N-core runs execute the identical job on identical
     // layout (and task count exceeds cores at both sizes)
-    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow,
       numBuckets = buckets)
     val per = (cfg.numEvents + chunks - 1) / chunks
