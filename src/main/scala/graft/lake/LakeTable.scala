@@ -273,6 +273,19 @@ class LakeTable private (
     * amplification. The rewrite is the same single-shuffle placement as
     * upsert.
     */
+  /** Incremental changelog read: the per-key winner rows committed by
+    * snapshots in (fromSnapshotId, toSnapshotId] — what a downstream CDC
+    * consumer tails instead of re-reading the table. Tombstone winners are
+    * included with `_tomb = true`; `_lsn` carries the version. Reads only
+    * the delta files those snapshots added (no merge join).
+    */
+  def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val snaps = snapshots.filter(s =>
+      s.snapshotId > fromSnapshotId && s.snapshotId <= toSnapshotId &&
+        s.summary.get("operation").contains("upsert"))
+    readDataFiles(snaps.flatMap(_.addedData), currentSchema)
+  }
+
   /** @param purgeTombstonesBelowLsn tombstones with `_lsn` below this are
     *   physically dropped. A tombstone masks any not-yet-arrived event of
     *   its key with a smaller lsn, so the default (Long.MinValue) keeps

@@ -142,6 +142,29 @@ class CdcCoreSpec extends SparkSpec {
     assert(FoldOracle.diff(table.readAt(prevSnap), expected).isEmpty)
   }
 
+  test("changesBetween returns exactly the winner rows of the snapshot range") {
+    val c0 = cfg.copy(numEvents = 3000L)
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    (0 until 3).foreach { c =>
+      val batch = spark.range(c * 1000L, (c + 1) * 1000L)
+        .mapPartitions(_.map(i => EventGen.event(c0, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val snaps = table.snapshots.map(_.snapshotId)
+    // the middle snapshot's changes = winners of events [1000, 2000)
+    val mid = table.changesBetween(snaps(0), snaps(1))
+    val expectKeys = (1000L until 2000L).map(i => EventGen.event(c0, i))
+      .groupBy(_.doc_id).keySet
+    val gotKeys = mid.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(gotKeys == expectKeys)
+    // tombstones ride along flagged
+    assert(mid.columns.contains("_tomb") && mid.columns.contains("_lsn"))
+    // full range = union of per-snapshot changes
+    assert(table.changesBetween(-1L, snaps(2)).count() ==
+      (0 until 3).map(i => table.changesBetween(snaps(i) - 1, snaps(i)).count()).sum)
+  }
+
   test("lineage records cover the full offset range") {
     val c0 = cfg
     val dir = tmpDir("lake")
