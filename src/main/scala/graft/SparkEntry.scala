@@ -269,6 +269,15 @@ object SparkEntry {
         t(dir, "events").select(col("user_id").as("src"),
           col("event_type").as("p"), col("event_id").as("dst")),
         "p", Seq("error", "signup"))
+    }),
+    "qd39_embed_neardup" -> ((s, dir) => { implicit val sp = s
+      // embedding-cosine near-duplicate pairs (exact over bounded subset)
+      Similarity.embedNearDup(t(dir, "embeddings"), maxId = 60, threshold = 0.75)
+    }),
+    // IVF-bucketed ANN: approximate (nprobe=1), rows-only check; recall
+    // floor vs brute force asserted in OperatorSpec
+    "qd40_ann_ivf" -> ((s, dir) => { implicit val sp = s
+      Similarity.ivfTopK(t(dir, "embeddings"), nCells = 4, numQueries = 8, k = 3)
     })
   )
 
@@ -508,6 +517,18 @@ object SparkEntry {
            SELECT CAST(n_nationkey AS INT), CAST(n_regionkey + 100 AS INT) FROM nation)""",
     "q38_negated_path" ->
       """SELECT DISTINCT user_id AS src, event_id AS dst FROM events
-         WHERE event_type NOT IN ('error','signup')"""
+         WHERE event_type NOT IN ('error','signup')""",
+    "qd39_embed_neardup" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
+         pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+             (SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.v AS DOUBLE))
+              FROM (SELECT unnest(a.embedding) AS u, unnest(b.embedding) AS v) x) AS dab,
+             (SELECT sum(CAST(x.u AS DOUBLE) * CAST(x.u AS DOUBLE))
+              FROM (SELECT unnest(a.embedding) AS u) x) AS daa,
+             (SELECT sum(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE))
+              FROM (SELECT unnest(b.embedding) AS v) x) AS dbb
+           FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+         SELECT id1, id2, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim
+         FROM pairs WHERE floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 >= 0.75"""
   )
 }

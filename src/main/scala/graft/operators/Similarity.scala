@@ -57,6 +57,63 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id1 < id2) pairs in the
+    * bounded subset with cosine ≥ threshold. Exact (brute force over the
+    * subset); the corpus-scale path is [[ivfTopK]]/[[lshTopK]] bucketing
+    * followed by this on candidates.
+    */
+  def embedNearDup(embeddings: DataFrame, maxId: Int, threshold: Double): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    val sub = embeddings.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+    val a = sub.select(col("vec_id").as("id1"), col("embedding").as("va"))
+    val b = sub.select(col("vec_id").as("id2"), col("embedding").as("vb"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        graft.functions.TextOps.round4(cosine(col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** IVF assignment: nearest of `nCells` deterministic centroids. The
+    * "training-free" centroid set is the embeddings of `nCells` fixed
+    * probe ids (deterministic, replayable — a real deployment would slot
+    * k-means centroids in; the partitioning/probing shape is identical).
+    * Returns (vec_id, cell).
+    */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    val centroids = broadcast(
+      embeddings.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+    embeddings.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("cvec")).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** IVF top-k: queries probe only their own cell (nprobe=1 — the scale
+    * path writes the corpus bucketed by cell). Approximate; recall floor
+    * asserted in OperatorSpec.
+    */
+  def ivfTopK(embeddings: DataFrame, nCells: Int, numQueries: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCells)
+    val queries = broadcast(
+      assigned.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("cell").as("qcell")))
+    val scored = assigned
+      .join(queries, col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.TextOps.round4(cosine(col("qvec"), col("embedding"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucket id: `bits` pseudo-hyperplanes, plane j's
     * component for dimension d is ±1 from a deterministic md5-derived bit
     * (no RNG state → replayable). bucket = sum_j sign_j(v) * 2^j.
