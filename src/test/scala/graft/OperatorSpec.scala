@@ -71,6 +71,23 @@ class OperatorSpec extends SparkSpec {
     assert(bucketed.agg(countDistinct("b")).head.getLong(0) <= 16)
   }
 
+  test("IVF ANN: recall floor vs brute force; near-dup pairs are symmetric-free and thresholded") {
+    val exact = Similarity.bruteForceTopK(emb, numQueries = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, nCells = 4, numQueries = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed")
+    // every vector gets exactly one cell
+    assert(Similarity.ivfAssign(emb, 4).count() == emb.count())
+
+    val nd = Similarity.embedNearDup(emb, maxId = 60, threshold = 0.75).collect()
+    nd.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.75)
+    }
+  }
+
   test("native DotProduct expression == higher-order fold, bit-identical") {
     graft.functions.VectorExprs.register(spark)
     val pairs = emb.limit(50).select($"vec_id", $"embedding".as("a"))
