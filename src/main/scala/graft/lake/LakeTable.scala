@@ -445,13 +445,23 @@ object LakeTable {
       LakeField(i + 1, sf.name, sf.dataType, sf.nullable)
     }
     writeSchemaFile(meta, LakeSchema(0, fields))
+    // table properties are persistent layout facts, not caller options —
+    // the bucket count is grafter's native-store index-config analog
+    // (repository.clj:131-136)
+    val props = mapper.createObjectNode()
+    props.put("keyCol", keyCol)
+    props.put("numBuckets", numBuckets)
+    Files.writeString(meta.resolve("table.json"), props.toPrettyString)
     new LakeTable(spark, root, keyCol, numBuckets)
   }
 
-  def load(spark: SparkSession, root: String,
-           keyCol: String = "doc_id", numBuckets: Int = 16): LakeTable = {
-    require(Files.exists(Paths.get(root, "meta")), s"no table at $root")
-    new LakeTable(spark, root, keyCol, numBuckets)
+  /** Load an existing table; layout properties come from its metadata. */
+  def load(spark: SparkSession, root: String): LakeTable = {
+    val meta = Paths.get(root, "meta")
+    require(Files.exists(meta), s"no table at $root")
+    val p = meta.resolve("table.json")
+    val n = mapper.readTree(Files.readString(p))
+    new LakeTable(spark, root, n.get("keyCol").asText(), n.get("numBuckets").asInt())
   }
 
   private def listFiles(dir: Path, prefix: String): Seq[Path] = {

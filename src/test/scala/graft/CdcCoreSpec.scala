@@ -165,6 +165,17 @@ class CdcCoreSpec extends SparkSpec {
       (0 until 3).map(i => table.changesBetween(snaps(i) - 1, snaps(i)).count()).sum)
   }
 
+  test("load() restores table properties from metadata") {
+    val dir = tmpDir("lake")
+    val t1 = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 6)
+    val batch = ChangeFeed.events(spark, cfg.copy(numEvents = 500)).toDF()
+    CdcIngest.applyBatch(t1, batch, epochId = 0L)
+    val t2 = LakeTable.load(spark, s"$dir/t")
+    assert(t2.numBuckets == 6 && t2.keyCol == "doc_id")
+    assert(t2.read().count() == t1.read().count())
+    assert(t2.lastCommittedEpoch == 0L)
+  }
+
   test("lineage records cover the full offset range") {
     val c0 = cfg
     val dir = tmpDir("lake")
