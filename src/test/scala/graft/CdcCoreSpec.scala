@@ -165,6 +165,19 @@ class CdcCoreSpec extends SparkSpec {
       (0 until 3).map(i => table.changesBetween(snaps(i) - 1, snaps(i)).count()).sum)
   }
 
+  test("Merge.into == applyBatch semantics; deleteWhere tombstones") {
+    val c0 = cfg.copy(numEvents = 4000L)
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val batch = ChangeFeed.events(spark, c0).toDF()
+    graft.merge.Merge.into(table, batch, epochId = 0L)
+    assert(FoldOracle.diff(table.read(), FoldOracle.finalState(c0)).isEmpty)
+    val n0 = table.read().count()
+    graft.merge.Merge.deleteWhere(table, $"source" === "src_0", epochId = 1L)
+    assert(table.read().filter($"source" === "src_0").isEmpty)
+    assert(table.read().count() < n0)
+  }
+
   test("load() restores table properties from metadata") {
     val dir = tmpDir("lake")
     val t1 = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 6)
