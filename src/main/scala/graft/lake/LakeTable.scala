@@ -233,8 +233,13 @@ class LakeTable private (
     val snapId = currentSnapshotId + 1
     val schema = currentSchema
 
+    // shuffle only what the delta needs: key, lsn, op, schema payloads —
+    // event-time and transport columns never cross the wire
+    val needed = (Seq(keyCol, "lsn", "op") ++
+      schema.fields.map(_.name).filter(batch.columns.contains)).distinct
+    val slim = batch.select(needed.filter(batch.columns.contains).map(col): _*)
     val winners =
-      if (reduce) Lww.reduceBucketed(batch, keyCol, numBuckets)
+      if (reduce) Lww.reduceBucketed(slim, keyCol, numBuckets)
       else batch.repartition(numBuckets, col(keyCol))
     // project to the current schema AFTER the reduce — selections preserve
     // the bucket partitioning, so no further exchange is planned
