@@ -278,6 +278,11 @@ object SparkEntry {
     // floor vs brute force asserted in OperatorSpec
     "qd40_ann_ivf" -> ((s, dir) => { implicit val sp = s
       Similarity.ivfTopK(t(dir, "embeddings"), nCells = 4, numQueries = 8, k = 3)
+    }),
+    "qm41_resize" -> ((s, dir) => { implicit val sp = s
+      // resize stub: binary-in/binary-out; SQL-verifiable metadata
+      Multimodal.resizeStub(t(dir, "documents"), factor = 4)
+        .select(col("doc_id"), col("n_bytes_resized"), col("first_sample"))
     })
   )
 
@@ -518,6 +523,16 @@ object SparkEntry {
     "q38_negated_path" ->
       """SELECT DISTINCT user_id AS src, event_id AS dst FROM events
          WHERE event_type NOT IN ('error','signup')""",
+    "qm41_resize" ->
+      """SELECT doc_id,
+         CAST(floor((octet_length(encode(text)) - 1) / 4.0) + 1 AS INT) AS n_bytes_resized,
+         ascii(substr(text, 1, 1)) AS first_sample
+         FROM documents""",
+    "qm41_resize" ->
+      """SELECT doc_id,
+         CAST(floor((octet_length(encode(text)) - 1) / 4.0) + 1 AS INT) AS n_bytes_resized,
+         ascii(substr(text, 1, 1)) AS first_sample
+         FROM documents""",
     "qd39_embed_neardup" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
          pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -39,6 +39,23 @@ object Multimodal {
         graft.functions.TextOps.round4((col("n_bytes") % 97).cast("double") / 97.0),
         graft.functions.TextOps.round4((col("n_bytes") % 31).cast("double") / 31.0)))
 
+  /** Resize stub: keep every `factor`-th byte of the payload (the real
+    * implementation swaps in an image scaler; the tested contract is the
+    * binary-in/binary-out column shape plus deterministic output metadata).
+    * Output: resized binary + (n_bytes_resized, first_sample) metadata.
+    */
+  def resizeStub(docs: DataFrame, factor: Int): DataFrame = {
+    val nb = octet_length(col("payload"))
+    withBinaryPayload(docs)
+      .withColumn("resized",
+        // every factor-th byte via substring positions 1, 1+f, 1+2f, ...
+        encode(concat_ws("", transform(
+          sequence(lit(0), floor((nb - 1) / factor).cast("int")),
+          i => decode(col("payload"), "utf-8").substr(i * factor + 1, lit(1)))), "utf-8"))
+      .withColumn("n_bytes_resized", octet_length(col("resized")).cast("int"))
+      .withColumn("first_sample", ascii(decode(col("resized"), "utf-8").substr(1, 1)))
+  }
+
   /** Frame-sample stub: pick `k` deterministic byte offsets per payload
     * (the video-frame-sampling access pattern: k bounded random-access
     * reads per row, no full materialisation).
