@@ -14,7 +14,12 @@ import graft.operators._
   *
   * Portability conventions shared by query + oracle:
   *  - double aggregations go through DECIMAL casts (float addition order
-  *    differs between engines; decimal doesn't);
+  *    differs between engines; decimal doesn't) but the FINAL output column
+  *    is always cast back to DOUBLE: a decimal output column is
+  *    representation-fragile across readers (pyarrow keeps Decimal("5.00"),
+  *    DuckDB's pandas bridge gives float 5.0 — same value, different
+  *    canonical string, broken hash); the exact decimal → nearest-double
+  *    conversion is deterministic and identical in both engines;
   *  - double→int conversions use floor() (Spark casts truncate, DuckDB
   *    casts round);
   *  - content hashing is md5 (identical everywhere);
@@ -37,8 +42,8 @@ object SparkEntry {
       t(dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1997-12-31").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-             sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
              count(lit(1)).as("cnt"))
     }),
     "q02_join_broadcast" -> ((s, dir) => { implicit val sp = s
@@ -46,7 +51,7 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"),
-             sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
     "q03_chain_join" -> ((s, dir) => { implicit val sp = s
       // sequence-path shape J1: supplier/nation/region hop chain
@@ -58,7 +63,7 @@ object SparkEntry {
     "q04_topk" -> ((s, dir) => { implicit val sp = s
       t(dir, "orders").join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(10)
     }),
@@ -75,7 +80,7 @@ object SparkEntry {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        sum(col("l_quantity").cast("decimal(18,2)")).over(w).as("running_qty"))
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").as("running_qty"))
     }),
     "q07_intersect" -> ((s, dir) => { implicit val sp = s
       t(dir, "orders").filter(col("o_orderstatus") === "F")
@@ -104,11 +109,12 @@ object SparkEntry {
       t(dir, "lineitem").filter(col("l_returnflag").isin("A", "R"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
-             sum(col("l_discount").cast("decimal(18,4)")).as("sum_disc"))
+             sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"))
     }),
     "q12_limit_offset" -> ((s, dir) => { implicit val sp = s
       t(dir, "orders").orderBy(col("o_orderkey"))
-        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("total"))
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("total"))
         .offset(10).limit(20)
     }),
     "q13_distinct" -> ((s, dir) => { implicit val sp = s
@@ -125,7 +131,7 @@ object SparkEntry {
       // the coercion-matrix operator (P4): numeric/string/temporal casts
       t(dir, "events").select(
         col("event_id"),
-        col("value").cast("decimal(18,2)").as("v_dec"),
+        col("value").cast("decimal(18,2)").cast("double").as("v_dec"),
         floor(col("value")).cast("bigint").as("v_floor"),
         col("value").cast("decimal(18,2)").cast("string").as("v_str"),
         (col("value") > 100).as("is_big"),
@@ -289,14 +295,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          count(*) AS cnt
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
     "q02_join_broadcast" ->
       """SELECT c_mktsegment, count(*) AS cnt,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q03_chain_join" ->
@@ -304,7 +310,8 @@ object SparkEntry {
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey""",
     "q04_topk" ->
-      """SELECT c_custkey, c_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      """SELECT c_custkey, c_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_custkey, c_name
          ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
@@ -316,10 +323,10 @@ object SparkEntry {
            FROM orders) WHERE rn = 1""",
     "q06_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
            PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
     "q07_intersect" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
@@ -337,10 +344,10 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     "q11_values_in" ->
       """SELECT l_returnflag, count(*) AS cnt,
-         sum(CAST(l_discount AS DECIMAL(18,4))) AS sum_disc
+         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
          FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag""",
     "q12_limit_offset" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10""",
     "q13_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
@@ -350,7 +357,7 @@ object SparkEntry {
          SELECT event_id, 'view' AS kind, user_id FROM events WHERE event_type = 'view'""",
     "q15_coercions" ->
       """SELECT event_id,
-         CAST(value AS DECIMAL(18,2)) AS v_dec,
+         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v_dec,
          CAST(floor(value) AS BIGINT) AS v_floor,
          CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str,
          value > 100 AS is_big,
@@ -523,11 +530,6 @@ object SparkEntry {
     "q38_negated_path" ->
       """SELECT DISTINCT user_id AS src, event_id AS dst FROM events
          WHERE event_type NOT IN ('error','signup')""",
-    "qm41_resize" ->
-      """SELECT doc_id,
-         CAST(floor((octet_length(encode(text)) - 1) / 4.0) + 1 AS INT) AS n_bytes_resized,
-         ascii(substr(text, 1, 1)) AS first_sample
-         FROM documents""",
     "qm41_resize" ->
       """SELECT doc_id,
          CAST(floor((octet_length(encode(text)) - 1) / 4.0) + 1 AS INT) AS n_bytes_resized,
