@@ -33,14 +33,19 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // a crashed query must read as a FAILURE, not a near-zero "speedup":
+    // failed queries are reported under "failed" and excluded from totals
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val failed = results.collect { case (n, _, false) => n }
 
     // CDC replay probe at this core count (full pipeline incl. commits)
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "2000000").toLong
@@ -48,11 +53,12 @@ object Bench {
       seed = 42L, numEvents = nEvents, numDocs = math.max(1000L, nEvents / 10),
       deletePct = 5, maxTokens = 64), chunks = 4, saltBuckets = 0)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, true) => v }.sum
     println("{\"metric\":\"total\",\"value\":" + f3(total) +
       ",\"unit\":\"sec\",\"queries\":" + qs +
+      ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]") +
       ",\"sf\":\"" + sfDir + "\"" +
       ",\"cdc\":{\"events\":" + nEvents +
       ",\"sec\":" + f3(cdc.sec) +

@@ -154,6 +154,22 @@ class LakeTable private (
     * caller proves no event below their lsn can still arrive (see
     * [[compact]]) — dropping them early would resurrect late lower-lsn
     * versions of deleted keys.
+    *
+    * Scale shape: the multi-snapshot merge is BUCKET-LOCAL with ZERO
+    * exchanges. Every delta file covers exactly one key-hash bucket
+    * (`pmod(murmur3(key), numBuckets)` — upsert's placement), so a key's
+    * competing versions only ever meet inside one bucket. Per bucket we
+    * scan just that bucket's files and resolve winners with a local
+    * `max_by` aggregate; `coalesce(1)` gives the branch `SinglePartition`
+    * output partitioning, which satisfies the aggregate's
+    * ClusteredDistribution, so Catalyst plans no Exchange. The union runs
+    * one task per bucket — the same unit of work Iceberg's
+    * storage-partitioned joins recover from its bucket transform, and the
+    * access-path analog of the reference's native-store indexes
+    * (/root/reference/grafter.repository/src/clj/grafter_2/rdf4j/
+    * repository.clj:131-136). At a 100 TB table this replaces two
+    * full-table shuffles (data + delete-view sides of the old anti-join)
+    * with a single shuffle-free pass over the data.
     */
   def mergedWinners(asOf: Option[Long] = None): DataFrame = {
     val (files, contributingSnaps) = liveState(asOf)
@@ -163,23 +179,20 @@ class LakeTable private (
         val maxSid = (files.map(_.schemaId) ++ Seq(0)).max
         schemas.find(_.schemaId == maxSid).getOrElse(currentSchema)
     }
-    val data = readDataFiles(files, schema)
     // fast path: every key appears at most once when all live files come
     // from a single snapshot (one post-LWW batch, or one compaction)
-    if (contributingSnaps.size <= 1) data
+    if (contributingSnaps.size <= 1) readDataFiles(files, schema)
     else {
-      // "delete view": column-pruned re-scan of the same files — only
-      // (key, _lsn) columns are materialised. AQE broadcasts it when small.
-      val keys = spark.read
-        .schema(StructType(Seq(
-          StructField(keyCol, StringType, nullable = false),
-          StructField(LsnCol, LongType, nullable = false))))
-        .parquet(files.map(abs): _*)
-        .withColumnRenamed(keyCol, DelKeyCol)
-        .withColumnRenamed(LsnCol, DelLsnCol)
-      data.join(keys,
-          data(keyCol) === keys(DelKeyCol) && keys(DelLsnCol) > data(LsnCol),
-          "left_anti")
+      val outCols = schema.fields.map(_.name) ++ Seq(LsnCol, TombCol)
+      files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, bucketFiles) =>
+        val df = readDataFiles(bucketFiles, schema)
+        // a single file holds at most one row per key (post-LWW) — no merge
+        if (bucketFiles.size <= 1) df
+        else df.coalesce(1)
+          .groupBy(col(keyCol))
+          .agg(max_by(struct(outCols.map(col): _*), col(LsnCol)).as("_w"))
+          .select(outCols.map(c => col(s"_w.$c").as(c)): _*)
+      }.reduce(_ unionByName _)
     }
   }
 
@@ -377,6 +390,15 @@ class LakeTable private (
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
+      // decide the stat columns per FILE, not per block: source offset
+      // range if present (upsert deltas), else the winner lsn range
+      // (compaction rewrites) — then fold min/max over EVERY block.
+      // Folding only the first block would understate maxLsn on
+      // multi-rowgroup compaction files, and deleteMatching derives its
+      // tombstone lsn from that stat.
+      val hasSrc = reader.getFooter.getFileMetaData.getSchema.getPaths.asScala
+        .exists(_.mkString(".") == SrcMinCol)
+      val (mnCol, mxCol) = if (hasSrc) (SrcMinCol, SrcMaxCol) else (LsnCol, LsnCol)
       var mn = Long.MaxValue
       var mx = Long.MinValue
       blocks.foreach { b =>
@@ -384,11 +406,9 @@ class LakeTable private (
           val path = c.getPath.toDotString
           val st = c.getStatistics
           if (st != null && !st.isEmpty) {
-            // source offset range if present (upsert deltas), else the
-            // winner lsn range (compaction rewrites)
-            if (path == SrcMinCol || (path == LsnCol && mn == Long.MaxValue))
+            if (path == mnCol)
               st.genericGetMin match { case l: java.lang.Long => mn = math.min(mn, l); case _ => () }
-            if (path == SrcMaxCol || (path == LsnCol && mx == Long.MinValue))
+            if (path == mxCol)
               st.genericGetMax match { case l: java.lang.Long => mx = math.max(mx, l); case _ => () }
           }
         }
@@ -415,8 +435,6 @@ object LakeTable {
   val TombCol = "_tomb"
   val SrcMinCol = "_src_min"
   val SrcMaxCol = "_src_max"
-  private val DelKeyCol = "_del_key"
-  private val DelLsnCol = "_del_lsn"
 
   private val mapper = new ObjectMapper()
 

@@ -40,7 +40,12 @@ object CdcQueries {
     val feed = eventsAsFeed(spark, dir)
     val bounds = feed.agg(min("lsn"), max("lsn")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val root = Files.createTempDirectory("graft-q-lake").toString
+    // fixed scratch path per input dir (not a fresh temp dir per call):
+    // the returned DataFrame reads these files lazily, so they must
+    // outlive this method — reusing the slot bounds the footprint to one
+    // lake per input instead of leaking a directory per invocation
+    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    deleteRecursively(java.nio.file.Paths.get(root))
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = 8)
     val per = (hi - lo + chunks) / chunks
     var c = 0
@@ -56,5 +61,11 @@ object CdcQueries {
       element_at(col("tokens"), 1).as("tok0"),
       col("n_tok"),
       col("source"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p)) return
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 }

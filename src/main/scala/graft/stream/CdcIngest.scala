@@ -35,7 +35,7 @@ object CdcIngest {
     * baseline; see SURVEY.md §4).
     */
   def applyBatch(table: LakeTable, batch: DataFrame, epochId: Long,
-                 saltBuckets: Int = 0, dedup: Boolean = false): Unit = {
+                 saltBuckets: Int = 0, dedup: Boolean = false): Option[graft.lake.Snapshot] = {
     val src = if (dedup) Dedup.exact(batch) else batch
     val snap =
       if (saltBuckets > 1)
@@ -46,6 +46,7 @@ object CdcIngest {
     // the just-written delta files (rows + lsn range per bucket) — zero
     // extra Spark jobs per batch; the whole batch is ONE job
     snap.foreach(s => LineageLog.append(table, epochId, s))
+    snap
   }
 
   /** Replay a bounded feed directory as a stream with exactly-once commits.
@@ -74,11 +75,13 @@ object CdcIngest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // stream already deduped with watermark state; batch-level dedup
         // again is redundant work we skip
-        applyBatch(table, batch, epochId, saltBuckets, dedup = false)
+        val committed = applyBatch(table, batch, epochId, saltBuckets, dedup = false)
         // maintenance inline with ingest: bound file count and tombstone
         // debt on long replays; compaction commits its own snapshot but
-        // keeps the epoch, so the exactly-once check is unaffected
-        if (compactEverySnapshots > 0 &&
+        // keeps the epoch, so the exactly-once check is unaffected.
+        // Gated on the batch having actually committed — a crash-redelivered
+        // (skipped) batch must not trigger a redundant full-table rewrite.
+        if (committed.isDefined && compactEverySnapshots > 0 &&
             (table.currentSnapshotId + 1) % compactEverySnapshots == 0) {
           table.compact()
         }

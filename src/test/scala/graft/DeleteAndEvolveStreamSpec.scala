@@ -75,6 +75,7 @@ class DeleteAndEvolveStreamSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
         CdcIngest.applyBatch(table, b, epochsAfterV1 + 1 + epoch)
+        ()
       }
       .start()
     q2.awaitTermination()

@@ -43,23 +43,27 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
   }
 
-  test("lake read's delete view is a column-pruned scan of (key, _lsn)") {
+  test("multi-snapshot read is bucket-local: ZERO exchanges, no join") {
     import spark.implicits._
     val dir = tmpDir("plan-lake")
     val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
     val cfg = FeedConfig(numEvents = 2000)
-    // two batches so the read path includes the anti-join
-    (0 until 2).foreach { c =>
-      val batch = spark.range(c * 1000L, (c + 1) * 1000L)
+    // three batches so the read path must merge across snapshots
+    (0 until 3).foreach { c =>
+      val batch = spark.range(c * 600L, (c + 1) * 600L)
         .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
       CdcIngest.applyBatch(table, batch, epochId = c.toLong)
     }
+    assert(table.snapshots.size >= 3)
     val plan = planOf(table.read())
-    // one scan reads the full schema, the delete-view scan only 2 columns
-    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(schemas.exists(s => s.contains("_lsn") && !s.contains("tokens")),
-      s"no pruned delete-view scan found:\n${schemas.mkString("\n")}")
-    assert(plan.contains("LeftAnti"), "merge-on-read anti-join missing")
+    // the winner resolution is per-bucket local: coalesce(1) branches give
+    // SinglePartition, which satisfies the aggregate's distribution — a
+    // 100 TB read must never re-shuffle data the writer already bucketed
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, s"expected 0 exchanges, got $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "bucket-local merge must not join")
+    assert(plan.contains("max_by") || plan.contains("MaxBy"),
+      "per-bucket winner aggregate missing")
   }
 
   test("single-snapshot read takes the fast path (no join)") {
