@@ -222,8 +222,10 @@ object SparkEntry {
       DedupOps.exactClusters(t(dir, "documents"), "text", prefixLen = 24)
     }),
     "qd29_ngram_jaccard" -> ((s, dir) => { implicit val sp = s
+      // maxDocFreq cut engaged but parameterized above the subset size
+      // (40 docs) — exercises the gated join path with exact semantics
       DedupOps.ngramJaccard(t(dir, "documents").filter(col("doc_id") < 40),
-        w = 3, maxLen = 40, minJaccard = 0.04)
+        w = 3, maxLen = 40, minJaccard = 0.04, maxDocFreq = 64)
     }),
     "qd30_minhash_lsh" -> ((s, dir) => { implicit val sp = s
       DedupOps.minhashLshCandidates(t(dir, "documents").filter(col("doc_id") < 60),
@@ -231,6 +233,12 @@ object SparkEntry {
     }),
     "qd31_simhash" -> ((s, dir) => { implicit val sp = s
       DedupOps.simhash16(t(dir, "documents"), maxLen = 64)
+    }),
+    "qd42_simhash64" -> ((s, dir) => { implicit val sp = s
+      DedupOps.simhash64(t(dir, "documents"), maxLen = 64)
+    }),
+    "qd45_simhash_band" -> ((s, dir) => { implicit val sp = s
+      DedupOps.simhashCandidates(t(dir, "documents"), maxLen = 64)
     }),
 
     // --- similarity search (training-data ops) ---
@@ -489,6 +497,49 @@ object SparkEntry {
            GROUP BY doc_id, j.j)
          SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN pow(2.0, j) ELSE 0.0 END) AS INT) AS simhash
          FROM bits GROUP BY doc_id""",
+    "qd42_simhash64" ->
+      """WITH w AS (SELECT doc_id, substr(md5(word), 1, 16) AS h FROM (
+             SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word
+             FROM documents) WHERE length(word) > 0),
+         bits AS (SELECT doc_id, j.j,
+             sum(CASE WHEN CAST(floor(CAST(strpos('0123456789abcdef',
+                   substr(h, CAST(floor(j.j/4.0) AS INT)+1, 1)) - 1 AS DOUBLE)
+                 / (CASE WHEN j.j%4=0 THEN 8 WHEN j.j%4=1 THEN 4
+                         WHEN j.j%4=2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
+               THEN 1 ELSE -1 END) AS v
+           FROM w, (SELECT unnest(generate_series(0, 63)) AS j) j
+           GROUP BY doc_id, j.j),
+         nibs AS (SELECT doc_id, CAST(floor(j/4.0) AS INT) AS i,
+             sum(CASE WHEN v > 0 THEN (CASE WHEN j%4=0 THEN 8 WHEN j%4=1 THEN 4
+                 WHEN j%4=2 THEN 2 ELSE 1 END) ELSE 0 END) AS nv
+           FROM bits GROUP BY doc_id, CAST(floor(j/4.0) AS INT))
+         SELECT doc_id,
+           string_agg(substr('0123456789abcdef', CAST(nv AS INT)+1, 1), '' ORDER BY i) AS simhash
+         FROM nibs GROUP BY doc_id""",
+    "qd45_simhash_band" ->
+      """WITH w AS (SELECT doc_id, substr(md5(word), 1, 16) AS h FROM (
+             SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word
+             FROM documents) WHERE length(word) > 0),
+         bits AS (SELECT doc_id, j.j,
+             sum(CASE WHEN CAST(floor(CAST(strpos('0123456789abcdef',
+                   substr(h, CAST(floor(j.j/4.0) AS INT)+1, 1)) - 1 AS DOUBLE)
+                 / (CASE WHEN j.j%4=0 THEN 8 WHEN j.j%4=1 THEN 4
+                         WHEN j.j%4=2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
+               THEN 1 ELSE -1 END) AS v
+           FROM w, (SELECT unnest(generate_series(0, 63)) AS j) j
+           GROUP BY doc_id, j.j),
+         nibs AS (SELECT doc_id, CAST(floor(j/4.0) AS INT) AS i,
+             sum(CASE WHEN v > 0 THEN (CASE WHEN j%4=0 THEN 8 WHEN j%4=1 THEN 4
+                 WHEN j%4=2 THEN 2 ELSE 1 END) ELSE 0 END) AS nv
+           FROM bits GROUP BY doc_id, CAST(floor(j/4.0) AS INT)),
+         sh AS (SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(nv AS INT)+1, 1), '' ORDER BY i) AS simhash
+           FROM nibs GROUP BY doc_id),
+         blocks AS (SELECT doc_id, b.b AS blk, substr(simhash, b.b*4 + 1, 4) AS bval
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) b)
+         SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+         FROM blocks a JOIN blocks b2
+           ON a.blk = b2.blk AND a.bval = b2.bval AND a.doc_id < b2.doc_id""",
     "qd32_embed_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
          pairs AS (SELECT q.qid, e.vec_id AS nid,

@@ -47,11 +47,31 @@ object DedupOps {
   /** Pairwise n-gram Jaccard similarity for all doc pairs sharing at least
     * one shingle (id1 < id2). |A∩B| from the gram equi-join; |A|,|B| from
     * per-doc counts; J = inter / (|A|+|B|-inter).
+    *
+    * `maxDocFreq` gates the self-join: a gram shared by f documents
+    * produces O(f²) join rows, so one stopword-like shingle shared by 10⁶
+    * docs explodes quadratically at corpus scale. Grams with document
+    * frequency above the cut are dropped BEFORE the join, bounding the
+    * join output by Σ min(f, cut)² — the standard CCP/positional-filter
+    * mitigation. The cut is an approximation of the intersection when it
+    * engages (a dropped common gram no longer counts toward |A∩B|); pass
+    * a cut ≥ the corpus doc count for exact semantics.
     */
-  def ngramJaccard(docs: DataFrame, w: Int, maxLen: Int, minJaccard: Double): DataFrame = {
+  def ngramJaccard(docs: DataFrame, w: Int, maxLen: Int, minJaccard: Double,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs, w, maxLen).cache()
+    // set sizes are computed from the UNCUT shingle sets — the denominator
+    // stays exact even when the frequency cut engages
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val joinable =
+      if (maxDocFreq == Int.MaxValue) sh
+      else {
+        val rare = sh.groupBy("gram").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDocFreq)
+          .select("gram")
+        sh.join(rare, "gram")
+      }
+    val inter = joinable.as("a").join(joinable.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
@@ -120,5 +140,61 @@ object DedupOps {
         when(col("v") > 0, pow(lit(2.0), col("j"))).otherwise(lit(0.0)).as("contrib"))
       .groupBy("doc_id")
       .agg(sum("contrib").cast("int").as("simhash"))
+  }
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** 64-bit SimHash over whitespace words, emitted as a 16-hex-char string
+    * (MSB-first: char i covers bits 4i..4i+3 of the md5-derived space).
+    * Bit j of a word's hash = bit (3 − j mod 4) of hex nibble ⌊j/4⌋ of
+    * md5(word); simhash bit j = majority vote across words. All arithmetic
+    * is hex-digit decode (conv here, strpos in the oracle) + integer ops,
+    * so the DuckDB oracle is exact (no float, no 2^63 signed-overflow edge).
+    */
+  def simhash64(docs: DataFrame, maxLen: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(substring(col("text"), 1, maxLen), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), substring(md5(col("word")), 1, 16).as("h"))
+    val nibWeight = element_at(
+      array(lit(8), lit(4), lit(2), lit(1)), pmod(col("j"), lit(4)).cast("int") + 1)
+    val nibVal = conv(
+      col("h").substr((col("j") / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
+    val bits = words
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"))
+      .select(col("doc_id"), col("j"),
+        when(pmod(floor(nibVal / nibWeight).cast("int"), lit(2)) === 1, 1)
+          .otherwise(-1).as("vote"))
+      .groupBy("doc_id", "j")
+      .agg(sum("vote").as("v"))
+    // re-pack majority bits into hex chars: nibble i = Σ_p bit(4i+p)·(8>>p)
+    bits
+      .groupBy(col("doc_id"), (col("j") / 4).cast("int").as("i"))
+      .agg(sum(when(col("v") > 0, nibWeight).otherwise(0)).cast("int").as("nv"))
+      .select(col("doc_id"), col("i"),
+        lit(HexDigits).substr(col("nv") + 1, lit(1)).as("ch"))
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("i"), col("ch")))),
+        x => x.getField("ch"))).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs via Hamming-block banding: split the
+    * 64-bit hash into 4 blocks of 16 bits (4 hex chars); by pigeonhole,
+    * any two hashes within Hamming distance 3 share at least one block
+    * exactly. Candidates = pairs sharing any (block index, block value) —
+    * an equi-join on the banded key, never an all-pairs comparison.
+    */
+  def simhashCandidates(docs: DataFrame, maxLen: Int): DataFrame = {
+    val banded = simhash64(docs, maxLen)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("blk"), col("simhash"))
+      .select(col("doc_id"), col("blk"),
+        col("simhash").substr(col("blk") * 4 + 1, lit(4)).as("bval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
   }
 }

@@ -46,38 +46,54 @@ object GraphOps {
 
   /** OneOrMorePath `+`: transitive closure (≥1 hop) by semi-naive
     * iteration: frontier ⋈ edges, minus already-known pairs, until empty.
-    * `localCheckpoint` truncates plan lineage each round (without it the
+    * Checkpointing truncates plan lineage each round (without it the
     * plan doubles per iteration). Distributed-safe: per-iteration work is
     * one equi-join + one distinct; never collects edges to the driver.
+    *
+    * THROWS when the frontier is still non-empty at `maxIters` — a
+    * truncated closure is silently wrong, never an acceptable answer.
+    *
+    * @param reliableCheckpoint use `checkpoint()` (HDFS-backed, requires
+    *   `sparkContext.setCheckpointDir`) instead of `localCheckpoint()`.
+    *   `localCheckpoint` pins blocks in executor memory and dies with an
+    *   executor — for deep closures on a real cluster the reliable variant
+    *   is the fault-tolerant choice.
     */
-  def transitiveClosure(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val e = edges.select("src", "dst").distinct().localCheckpoint()
+  def transitiveClosure(edges: DataFrame, maxIters: Int = 20,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val e = cp(edges.select("src", "dst").distinct())
     var closure = e
     var frontier = e
     var i = 0
     var done = false
     while (!done && i < maxIters) {
-      val next = frontier.withColumnRenamed("dst", "mid")
+      val next = cp(frontier.withColumnRenamed("dst", "mid")
         .join(e.withColumnRenamed("src", "mid"), "mid")
         .select("src", "dst")
         .exceptAll(closure)
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       if (next.isEmpty) done = true
       else {
-        closure = closure.union(next).localCheckpoint()
+        closure = cp(closure.union(next))
         frontier = next
       }
       i += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"transitive closure did not converge within $maxIters iterations " +
+        "(frontier still non-empty) — raise maxIters; refusing to return " +
+        "a silently truncated closure")
     closure
   }
 
   /** ZeroOrMorePath `*`: closure ∪ identity over the node set. */
-  def reflexiveTransitiveClosure(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def reflexiveTransitiveClosure(edges: DataFrame, maxIters: Int = 20,
+                                 reliableCheckpoint: Boolean = false): DataFrame = {
     val nodes = edges.select(col("src").as("n"))
       .union(edges.select(col("dst").as("n"))).distinct()
-    transitiveClosure(edges, maxIters)
+    transitiveClosure(edges, maxIters, reliableCheckpoint)
       .union(nodes.select(col("n").as("src"), col("n").as("dst")))
       .distinct()
   }

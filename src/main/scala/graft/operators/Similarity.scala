@@ -115,40 +115,60 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `bits` pseudo-hyperplanes, plane j's
-    * component for dimension d is ±1 from a deterministic md5-derived bit
+    * component for dimension d is ±1 from a deterministic splitmix64 bit
     * (no RNG state → replayable). bucket = sum_j sign_j(v) * 2^j.
     *
+    * Each plane is materialised as ONE ±1 array literal fed to the native
+    * codegen'd DotProduct — O(bits) expression nodes instead of the
+    * O(bits×dim) per-element term tree (a 64-dim/4-bit bucket used to be a
+    * 256-term column that broadcast >1 MiB task binaries). Requires
+    * [[graft.functions.VectorExprs.register]]. Sum order inside the dot is
+    * left-to-right over dimensions — identical to the old reduce, so
+    * bucket ids are bit-for-bit unchanged.
+    *
     * At cluster scale the corpus is written bucketed by this id; queries
-    * probe only their own bucket (and optionally Hamming-1 neighbors).
+    * probe their own bucket plus Hamming-1 neighbors (see [[lshTopK]]).
     */
   def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val planeSign: (Int, Int) => Double = (j, d) => {
-      // deterministic ±1 from splitmix64 — mirrors feed.EventGen.mix64
-      val h = graft.feed.EventGen.mix64(seed ^ (j.toLong << 32) ^ d.toLong)
-      if ((h & 1L) == 0L) 1.0 else -1.0
-    }
     val bitCols = (0 until bits).map { j =>
-      val proj = (0 until dim).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(planeSign(j, d))
-      }.reduce(_ + _)
-      when(proj > 0, pow(lit(2.0), lit(j.toDouble))).otherwise(lit(0.0))
+      val plane = Array.tabulate(dim) { d =>
+        // deterministic ±1 from splitmix64 — mirrors feed.EventGen.mix64
+        val h = graft.feed.EventGen.mix64(seed ^ (j.toLong << 32) ^ d.toLong)
+        if ((h & 1L) == 0L) 1.0f else -1.0f
+      }
+      when(graft.functions.VectorExprs.dot(vec, typedLit(plane)) > 0, lit(1 << j))
+        .otherwise(lit(0))
     }
     bitCols.reduce(_ + _).cast("int")
   }
 
   /** Approximate top-k: same scoring as brute force but only within the
-    * query's LSH bucket. Recall < 1 by construction — verified rows-only
-    * (no SQL oracle), with a recall assertion in SimilaritySpec.
+    * query's probe set. With `multiprobe = true` (default) each query
+    * probes its own bucket plus every bucket at Hamming distance 1 —
+    * (bits+1)× the candidate volume for a large recall gain; the probe
+    * fan-out lives on the tiny broadcast query side, never the corpus.
+    * Probe buckets of one query are distinct, and a corpus vector lives in
+    * exactly one bucket, so no (qid, nid) pair is scored twice. Recall < 1
+    * by construction — verified rows-only (no SQL oracle), with a recall
+    * assertion in OperatorSpec.
     */
   def lshTopK(embeddings: DataFrame, dim: Int, bits: Int, seed: Long,
-              numQueries: Int, k: Int): DataFrame = {
+              numQueries: Int, k: Int, multiprobe: Boolean = true): DataFrame = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("bucket",
       lshBucket(col("embedding"), dim, bits, seed))
-    val queries = broadcast(
-      bucketed.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("bucket").as("qbucket")))
+    val base = bucketed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    val probes =
+      if (!multiprobe) base
+      else base
+        .select(col("qid"), col("qvec"),
+          explode(array((lit(0) +: (0 until bits).map(j => lit(1 << j))): _*)).as("_flip"),
+          col("qbucket"))
+        .select(col("qid"), col("qvec"),
+          col("qbucket").bitwiseXOR(col("_flip")).as("qbucket"))
+    val queries = broadcast(probes)
     val scored = bucketed
       .join(queries, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),

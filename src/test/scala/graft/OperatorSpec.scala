@@ -58,17 +58,78 @@ class OperatorSpec extends SparkSpec {
   test("LSH ANN recall vs brute force is reasonable and buckets partition the corpus") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 8, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 2 bits = 4 buckets on this 500-vector corpus: recall/efficiency
-    // trade-off is mild enough to assert a floor deterministically
+    // 2 bits = 4 buckets on this 500-vector corpus; Hamming-1 multiprobe
+    // (the default) scans 3 of the 4, so the recall floor is strong
     val approx = Similarity.lshTopK(emb, dim = 64, bits = 2, seed = 42L,
       numQueries = 8, k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"LSH recall $recall collapsed — bucketing broken?")
+    assert(recall >= 0.6, s"LSH multiprobe recall $recall below floor")
+    // single-probe is strictly weaker or equal but must not collapse
+    val single = Similarity.lshTopK(emb, dim = 64, bits = 2, seed = 42L,
+      numQueries = 8, k = 3, multiprobe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSingle = exact.intersect(single).size.toDouble / exact.size
+    assert(recallSingle >= 0.2 && recallSingle <= recall)
     // every vector lands in exactly one bucket
+    graft.functions.VectorExprs.register(spark)
     val n = emb.count()
     val bucketed = emb.withColumn("b", Similarity.lshBucket(col("embedding"), 64, 4, 42L))
     assert(bucketed.count() == n)
     assert(bucketed.agg(countDistinct("b")).head.getLong(0) <= 16)
+  }
+
+  test("simhash64: pure function of content; banding finds exact and near dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy cat again and again today"
+    val far = "completely unrelated words zebra quantum fourier walrus estimate"
+    val d = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val sh = DedupOps.simhash64(d, maxLen = 64).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(h => h.length == 16 && h.forall("0123456789abcdef".contains(_))))
+    assert(sh(1L) == sh(2L), "identical text must hash identically")
+    def bits(h: String): Seq[Int] =
+      h.flatMap { c =>
+        val v = Integer.parseInt(c.toString, 16)
+        Seq(8, 4, 2, 1).map(w => (v / w) % 2)
+      }
+    def hamming(a: String, b: String): Int =
+      bits(a).zip(bits(b)).count { case (x, y) => x != y }
+    val dNear = hamming(sh(1L), sh(3L))
+    val dFar = hamming(sh(1L), sh(4L))
+    assert(dNear < dFar, s"near-dup distance $dNear !< unrelated distance $dFar")
+    assert(dNear <= 16, s"one-word edit moved $dNear/64 bits")
+    val cands = DedupOps.simhashCandidates(d, maxLen = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "exact dup must always be a band candidate")
+    assert(cands.contains((1L, 3L)) == (0 until 4).exists(b =>
+      sh(1L).substring(b * 4, b * 4 + 4) == sh(3L).substring(b * 4, b * 4 + 4)))
+  }
+
+  test("ngram gram-frequency cut bounds the join on pathological input") {
+    val text = "aaaa bbbb cccc dddd eeee ffff"
+    val same = (0 until 10).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    // all 10 docs share every gram: ungated = all 45 pairs at jaccard 1.0
+    val ungated = DedupOps.ngramJaccard(same, 3, 40, 0.0)
+    assert(ungated.count() == 45)
+    // cut below the sharing degree drops the universal grams pre-join:
+    // the quadratic blowup never happens (0 join rows, not 45×|grams|)
+    val gated = DedupOps.ngramJaccard(same, 3, 40, 0.0, maxDocFreq = 5)
+    assert(gated.count() == 0)
+    // cut above the corpus size is exact — identical to ungated
+    val exact = DedupOps.ngramJaccard(same, 3, 40, 0.0, maxDocFreq = 100)
+    assert(exact.exceptAll(ungated).isEmpty && ungated.exceptAll(exact).isEmpty)
+  }
+
+  test("transitive closure refuses to return a truncated result at the cap") {
+    val chain = (0 until 25).map(i => (i, i + 1)).toDF("src", "dst")
+    // 25-hop chain needs 24 iterations: the default cap of 20 must THROW,
+    // never silently truncate
+    val ex = intercept[IllegalStateException] {
+      GraphOps.transitiveClosure(chain, maxIters = 20).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val full = GraphOps.transitiveClosure(chain, maxIters = 30)
+    assert(full.count() == 25L * 26 / 2) // all (i,j) with i<j over 26 nodes
   }
 
   test("IVF ANN: recall floor vs brute force; near-dup pairs are symmetric-free and thresholded") {
