@@ -297,6 +297,32 @@ object SparkEntry {
       // resize stub: binary-in/binary-out; SQL-verifiable metadata
       Multimodal.resizeStub(t(dir, "documents"), factor = 4)
         .select(col("doc_id"), col("n_bytes_resized"), col("first_sample"))
+    }),
+    "q43_path_algebra" -> ((s, dir) => { implicit val sp = s
+      // composable path DSL (reference path.clj grammar, e2e like
+      // path_test.clj:53-58): (s_in | c_in) / in_region / to_hub?
+      // over a typed-edge graph spanning four tables
+      import graft.operators.Path._
+      val edges = t(dir, "supplier").select(
+          (col("s_suppkey") + 10000).cast("long").as("src"),
+          lit("s_in").as("p"), col("s_nationkey").cast("long").as("dst"))
+        .unionAll(t(dir, "customer").select(
+          (col("c_custkey") + 20000).cast("long").as("src"),
+          lit("c_in").as("p"), col("c_nationkey").cast("long").as("dst")))
+        .unionAll(t(dir, "nation").select(
+          col("n_nationkey").cast("long").as("src"),
+          lit("in_region").as("p"), (col("n_regionkey") + 100).cast("long").as("dst")))
+        .unionAll(t(dir, "region").select(
+          (col("r_regionkey") + 100).cast("long").as("src"),
+          lit("to_hub").as("p"), lit(999L).as("dst")))
+      val path = (Pred("s_in") | Pred("c_in")) / Pred("in_region") / Pred("to_hub").?
+      graft.operators.Path.eval(edges, path).distinct()
+    }),
+    "q46_part_stats" -> ((s, dir) => { implicit val sp = s
+      t(dir, "part").groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+             max(col("p_size")).as("max_size"))
     })
   )
 
@@ -586,6 +612,23 @@ object SparkEntry {
          CAST(floor((octet_length(encode(text)) - 1) / 4.0) + 1 AS INT) AS n_bytes_resized,
          ascii(substr(text, 1, 1)) AS first_sample
          FROM documents""",
+    "q43_path_algebra" ->
+      """WITH hop1 AS (
+           SELECT CAST(s_suppkey + 10000 AS BIGINT) AS src,
+                  CAST(s_nationkey AS BIGINT) AS dst FROM supplier
+           UNION ALL
+           SELECT CAST(c_custkey + 20000 AS BIGINT), CAST(c_nationkey AS BIGINT) FROM customer),
+         hop2 AS (SELECT h.src, CAST(n.n_regionkey + 100 AS BIGINT) AS dst
+                  FROM hop1 h JOIN nation n ON h.dst = n.n_nationkey)
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM hop2
+           UNION ALL
+           SELECT src, CAST(999 AS BIGINT) FROM hop2)""",
+    "q46_part_stats" ->
+      """SELECT p_brand, count(*) AS cnt,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         max(p_size) AS max_size
+         FROM part GROUP BY p_brand""",
     "qd39_embed_neardup" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
          pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,

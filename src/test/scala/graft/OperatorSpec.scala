@@ -179,6 +179,35 @@ class OperatorSpec extends SparkSpec {
     assert(rtc == tc ++ Set((1, 1), (2, 2), (3, 3), (4, 4)))
   }
 
+  test("Path ADT: 5-hop chain e2e and algebra laws") {
+    import graft.operators.Path
+    import graft.operators.Path._
+    // the reference's e2e: a 5-hop sequence built from the DSL over a
+    // 6-node chain graph (path_test.clj:53-58 over path.trig)
+    val chain = (1 to 5).map(i => (i.toLong, "next", (i + 1).toLong))
+      .toDF("src", "p", "dst")
+    val hop = Pred("next")
+    val five = hop / hop / hop / hop / hop
+    assert(Path.eval(chain, five).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 6L)))
+    def rows(p: Path, edges: org.apache.spark.sql.DataFrame =
+        chain): Set[(Long, Long)] =
+      Path.eval(edges, p).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // laws: alt commutes; seq associates; inverse is an involution
+    val mixed = chain.union(Seq((2L, "skip", 5L)).toDF("src", "p", "dst"))
+    assert(rows(Pred("next") | Pred("skip"), mixed) == rows(Pred("skip") | Pred("next"), mixed))
+    assert(rows((hop / hop) / hop) == rows(hop / (hop / hop)))
+    assert(rows(-(-hop)) == rows(hop))
+    assert(rows(-hop) == rows(hop).map { case (a, b) => (b, a) })
+    // zero-or-one is idempotent; one-or-more == closure; !next on mixed
+    assert(rows(hop.?.?) == rows(hop.?))
+    assert(rows(hop.+) == Set((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),
+      (1L,3L),(2L,4L),(3L,5L),(4L,6L),(1L,4L),(2L,5L),(3L,6L),(1L,5L),(2L,6L),(1L,6L)))
+    assert(rows(!Pred("next"), mixed) == Set((2L, 5L)))
+    // composite like the reference grammar: (next | skip) / next+
+    assert(rows((Pred("next") | Pred("skip")) / hop.+, mixed).contains((2L, 6L)))
+  }
+
   test("path algebra: inverse is an involution; alt is union; seq composes") {
     val e1 = Seq((1, 2), (3, 4)).toDF("src", "dst")
     val e2 = Seq((2, 5)).toDF("src", "dst")
