@@ -298,6 +298,16 @@ object SparkEntry {
       Multimodal.resizeStub(t(dir, "documents"), factor = 4)
         .select(col("doc_id"), col("n_bytes_resized"), col("first_sample"))
     }),
+    "q44_templater_nested" -> ((s, dir) => { implicit val sp = s
+      // nested bnode subtree with deterministic skolem ids
+      // (templater.clj:40-51; SURVEY §1.4 skolemisation)
+      import graft.operators.Templater._
+      graph(t(dir, "documents"), col("doc_id"), "g",
+        leaves = Seq(Leaf("lang", col("lang"))),
+        nodes = Seq(Node("meta", Seq(
+          Leaf("n_chars", col("n_chars")),
+          Leaf("head", substring(col("text"), 1, 8))))))
+    }),
     "q43_path_algebra" -> ((s, dir) => { implicit val sp = s
       // composable path DSL (reference path.clj grammar, e2e like
       // path_test.clj:53-58): (s_in | c_in) / in_region / to_hub?
@@ -612,6 +622,18 @@ object SparkEntry {
          CAST(floor((octet_length(encode(text)) - 1) / 4.0) + 1 AS INT) AS n_bytes_resized,
          ascii(substr(text, 1, 1)) AS first_sample
          FROM documents""",
+    "q44_templater_nested" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS subject, 'lang' AS predicate,
+                lang AS object, 'g' AS source FROM documents
+         UNION ALL
+         SELECT CAST(doc_id AS VARCHAR), 'meta',
+                md5(CAST(doc_id AS VARCHAR) || chr(1) || 'meta'), 'g' FROM documents
+         UNION ALL
+         SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || 'meta'), 'n_chars',
+                CAST(n_chars AS VARCHAR), 'g' FROM documents
+         UNION ALL
+         SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || 'meta'), 'head',
+                substr(text, 1, 8), 'g' FROM documents""",
     "q43_path_algebra" ->
       """WITH hop1 AS (
            SELECT CAST(s_suppkey + 10000 AS BIGINT) AS src,

@@ -1,0 +1,68 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/** Bad-record quarantine — the recast of the reference's error enrichment,
+  * which attaches the offending quad to every conversion failure instead
+  * of dropping or crashing (/root/reference/grafter.io/src/grafter_2/
+  * rdf4j/io.clj:185-209, test io_test.clj:238-260). A CDC engine gets the
+  * same contract as a side output: rows that cannot be coerced to the
+  * table schema (or lack key/lsn) are routed to `<table>/badrecords/`
+  * as JSONL with full lineage (epoch, offending columns, original row),
+  * and the clean remainder proceeds through the normal upsert. Nothing is
+  * silently nulled, nothing crashes the stream.
+  */
+object Quarantine {
+
+  /** Predicate marking rows that cannot be applied: a non-null payload
+    * value whose cast to the table schema fails (try_cast null-out), a
+    * null key, or a null lsn. Returns (badRowCondition, perColumnFailures).
+    */
+  private def checks(table: LakeTable, batch: DataFrame): Seq[(String, Column)] = {
+    val schema = table.currentSchema
+    val castChecks = schema.fields
+      .filter(f => batch.columns.contains(f.name))
+      .flatMap { f =>
+        val src = batch.schema(f.name).dataType
+        if (LakeTable.sameType(src, f.dataType)) None
+        else Some(f.name -> (col(f.name).isNotNull &&
+          expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").isNull))
+      }
+    val structural = Seq(
+      table.keyCol -> col(table.keyCol).isNull,
+      "lsn" -> (if (batch.columns.contains("lsn")) col("lsn").isNull else lit(true)))
+    castChecks ++ structural
+  }
+
+  /** Split a batch into (clean, bad). The bad side carries `_bad_cols`
+    * (the offending column names) — the "enriched error" of the
+    * reference, as data instead of an exception.
+    */
+  def split(table: LakeTable, batch: DataFrame): (DataFrame, DataFrame) = {
+    val cs = checks(table, batch)
+    val anyBad = cs.map(_._2).reduce(_ || _)
+    val badCols = array_compact(array(cs.map { case (n, c) =>
+      when(c, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*))
+    (batch.filter(!anyBad), batch.filter(anyBad).withColumn("_bad_cols", badCols))
+  }
+
+  /** Persist quarantined rows under `<table>/badrecords/epoch-N/` as JSON
+    * lines: the full offending row plus `_bad_cols` and `_epoch`. A
+    * distributed write (no driver collect) — the quarantine can be as big
+    * as the batch.
+    */
+  def write(table: LakeTable, bad: DataFrame, epochId: Long): Unit =
+    bad.withColumn("_epoch", lit(epochId))
+      .write.mode("overwrite")
+      .json(f"${table.root}/badrecords/epoch-$epochId%012d")
+
+  /** Read back the quarantine as a DataFrame (schema inferred per read —
+    * quarantined rows are by definition schema-divergent).
+    */
+  def read(table: LakeTable): DataFrame =
+    table.spark.read.json(s"${table.root}/badrecords/*")
+}

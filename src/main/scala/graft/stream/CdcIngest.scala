@@ -35,8 +35,21 @@ object CdcIngest {
     * baseline; see SURVEY.md §4).
     */
   def applyBatch(table: LakeTable, batch: DataFrame, epochId: Long,
-                 saltBuckets: Int = 0, dedup: Boolean = false): Option[graft.lake.Snapshot] = {
-    val src = if (dedup) Dedup.exact(batch) else batch
+                 saltBuckets: Int = 0, dedup: Boolean = false,
+                 quarantine: Boolean = false): Option[graft.lake.Snapshot] = {
+    val src0 = if (dedup) Dedup.exact(batch) else batch
+    // untrusted feeds: side-output schema-divergent rows with lineage
+    // instead of silently nulling them (reference io.clj:185-209 — errors
+    // carry the offending record). Costs one extra pass over the batch;
+    // off by default for trusted WAL feeds.
+    val src =
+      if (!quarantine) src0
+      else {
+        val (clean, bad) = graft.cdc.Quarantine.split(table, src0)
+        if (epochId > table.lastCommittedEpoch)
+          graft.cdc.Quarantine.write(table, bad, epochId)
+        clean
+      }
     val snap =
       if (saltBuckets > 1)
         table.upsert(Lww.reduceSalted(src, saltBuckets), epochId, reduce = false)

@@ -178,6 +178,30 @@ class CdcCoreSpec extends SparkSpec {
     assert(table.read().count() < n0)
   }
 
+  test("bad-record quarantine: corrupt rows side-output with lineage, clean rows applied") {
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    // n_tok arrives as strings (schema-divergent feed): "oops" cannot cast;
+    // one row lacks its key — both must quarantine, the rest apply cleanly
+    val batch = Seq(
+      ("U", "a", 1L, "3", Seq(1, 2, 3)),
+      ("U", "b", 2L, "oops", Seq(1)),
+      ("U", null.asInstanceOf[String], 3L, "1", Seq(5)),
+      ("U", "c", 4L, "2", Seq(7, 8))
+    ).toDF("op", "doc_id", "lsn", "n_tok", "tokens")
+    CdcIngest.applyBatch(table, batch, epochId = 0L, quarantine = true)
+    val state = table.read().select("doc_id").collect().map(_.getString(0)).toSet
+    assert(state == Set("a", "c"), s"table state polluted: $state")
+    val bad = graft.cdc.Quarantine.read(table)
+    assert(bad.count() == 2)
+    // enriched with the offending columns and the epoch — full lineage
+    val badCols = bad.select(explode(col("_bad_cols"))).collect().map(_.getString(0)).toSet
+    assert(badCols == Set("n_tok", "doc_id"))
+    assert(bad.filter(col("_epoch") === 0L).count() == 2)
+    // the offending rows survive verbatim for replay-after-fix
+    assert(bad.filter(col("n_tok") === "oops").count() == 1)
+  }
+
   test("load() restores table properties from metadata") {
     val dir = tmpDir("lake")
     val t1 = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 6)

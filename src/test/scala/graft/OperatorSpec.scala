@@ -218,6 +218,33 @@ class OperatorSpec extends SparkSpec {
       == Set((1, 5)))
   }
 
+  test("nested templater: skolem subtree round-trips and replays identically") {
+    import graft.operators.Templater
+    import graft.operators.Templater._
+    val d = docs.limit(10)
+    def expand() = Templater.graph(d, col("doc_id"), "g",
+      leaves = Seq(Leaf("lang", col("lang"))),
+      nodes = Seq(Node("meta", Seq(Leaf("n_chars", col("n_chars")),
+        Leaf("head", substring(col("text"), 1, 8))))))
+    val out = expand().cache()
+    // 1 leaf + 1 subtree link + 2 subtree children per row
+    assert(out.count() == 40)
+    // replay determinism: a second expansion is bit-identical (gensym'd
+    // bnodes — the reference's approach — would fail this)
+    assert(out.exceptAll(expand()).isEmpty)
+    // round-trip: following subject --meta--> bnode --n_chars--> v
+    // reproduces each doc's n_chars exactly
+    val link = out.filter($"predicate" === "meta")
+      .select($"subject".as("doc"), $"object".as("bnode"))
+    val child = out.filter($"predicate" === "n_chars")
+      .select($"subject".as("bnode"), $"object".as("v"))
+    val back = link.join(child, "bnode").select($"doc", $"v".cast("long").as("v"))
+    val orig = d.select($"doc_id".cast("string").as("doc"), $"n_chars".cast("long").as("v"))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // distinct parents get distinct subtree ids
+    assert(link.select("bnode").distinct().count() == 10)
+  }
+
   test("multimodal stub: metadata is a pure function of payload bytes") {
     val out = Multimodal.decodeImageStub(docs.limit(10))
     val rows = out.select("n_bytes", "meta.width", "meta.height").collect()
