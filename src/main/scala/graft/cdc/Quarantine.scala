@@ -63,6 +63,14 @@ object Quarantine {
   /** Read back the quarantine as a DataFrame (schema inferred per read —
     * quarantined rows are by definition schema-divergent).
     */
-  def read(table: LakeTable): DataFrame =
-    table.spark.read.json(s"${table.root}/badrecords/*")
+  def read(table: LakeTable): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(table.root, "badrecords")
+    val epochs =
+      if (!java.nio.file.Files.exists(dir)) Seq.empty
+      else java.nio.file.Files.list(dir).iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_)).map(_.toString).toSeq.sorted
+    require(epochs.nonEmpty, s"no quarantined batches under $dir")
+    table.spark.read.json(epochs: _*)
+  }
 }

@@ -96,9 +96,15 @@ class LakeTable private (
     val spark: SparkSession,
     val root: String,
     val keyCol: String,
-    val numBuckets: Int) {
+    private var _numBuckets: Int) {
 
   import LakeTable._
+
+  /** Current bucket count — a persisted layout property; evolves only
+    * through [[compact]] (which rewrites every live file, so the live set
+    * always carries exactly one bucket layout).
+    */
+  def numBuckets: Int = _numBuckets
 
   private def metaDir: Path = Paths.get(root, "meta")
 
@@ -309,20 +315,36 @@ class LakeTable private (
     *   its key with a smaller lsn, so the default (Long.MinValue) keeps
     *   them ALL — only a caller that knows the feed's lateness bound (the
     *   watermark analog in lsn space) may raise it.
+    * @param newNumBuckets re-bucket the table in the same rewrite. A fixed
+    *   bucket count is the ingest-parallelism ceiling AND the per-bucket
+    *   file-size floor: a table that grew 100× needs more buckets, and
+    *   compaction already rewrites every live file, so layout evolution is
+    *   free here. The new count is persisted in table metadata; because
+    *   the rewrite replaces the whole live set atomically, readers never
+    *   see a mixed layout.
     */
   def compact(purgeTombstonesBelowLsn: Long = Long.MinValue,
-              summary: Map[String, String] = Map.empty): Snapshot = {
+              summary: Map[String, String] = Map.empty,
+              newNumBuckets: Option[Int] = None): Snapshot = {
+    val target = newNumBuckets.getOrElse(numBuckets)
+    require(target > 0, s"bucket count must be positive: $target")
     val oldFiles = liveFiles()
     val snapId = currentSnapshotId + 1
     val merged = mergedWinners()
       .filter(!col(TombCol) || col(LsnCol) >= purgeTombstonesBelowLsn)
-      .repartition(numBuckets, col(keyCol))
+      .repartition(target, col(keyCol))
     val entries = writeDelta(merged.select(
         (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
       s"data/snap-$snapId", currentSchema.schemaId)
     val snap = Snapshot(snapId, snapId - 1, lastCommittedEpoch, entries,
-      oldFiles.map(_.path).toSet, summary + ("operation" -> "compact"))
+      oldFiles.map(_.path).toSet,
+      summary + ("operation" -> "compact") ++
+        newNumBuckets.map(n => "rebucket" -> s"${numBuckets}->$n"))
     commit(snap)
+    if (target != _numBuckets) {
+      _numBuckets = target
+      writeTableProps(Paths.get(root, "meta"), keyCol, target)
+    }
     snap
   }
 
@@ -471,10 +493,7 @@ object LakeTable {
     // table properties are persistent layout facts, not caller options —
     // the bucket count is grafter's native-store index-config analog
     // (repository.clj:131-136)
-    val props = mapper.createObjectNode()
-    props.put("keyCol", keyCol)
-    props.put("numBuckets", numBuckets)
-    Files.writeString(meta.resolve("table.json"), props.toPrettyString)
+    writeTableProps(meta, keyCol, numBuckets)
     new LakeTable(spark, root, keyCol, numBuckets)
   }
 
@@ -485,6 +504,16 @@ object LakeTable {
     val p = meta.resolve("table.json")
     val n = mapper.readTree(Files.readString(p))
     new LakeTable(spark, root, n.get("keyCol").asText(), n.get("numBuckets").asInt())
+  }
+
+  private[lake] def writeTableProps(meta: Path, keyCol: String, numBuckets: Int): Unit = {
+    val props = mapper.createObjectNode()
+    props.put("keyCol", keyCol)
+    props.put("numBuckets", numBuckets)
+    val tmp = meta.resolve(s"table.tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, props.toPrettyString)
+    Files.move(tmp, meta.resolve("table.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def listFiles(dir: Path, prefix: String): Seq[Path] = {

@@ -142,6 +142,37 @@ class CdcCoreSpec extends SparkSpec {
     assert(FoldOracle.diff(table.readAt(prevSnap), expected).isEmpty)
   }
 
+  test("bucket-count evolution: compact(newNumBuckets) re-buckets in one rewrite") {
+    val c1 = cfg.copy(numEvents = 6000L)
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    (0 until 3).foreach { c =>
+      val lo = c * 2000L
+      val batch = spark.range(lo, lo + 2000L)
+        .mapPartitions(_.map(i => EventGen.event(c1, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val expected = FoldOracle.finalState(c1)
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+
+    table.compact(newNumBuckets = Some(16))
+    assert(table.numBuckets == 16)
+    val files = table.liveFiles()
+    assert(files.size > 4 && files.size <= 16, s"got ${files.size} files")
+    assert(files.map(_.bucket).max >= 4, "no file landed beyond the old layout")
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+
+    // layout property persisted — a fresh load sees the evolved count,
+    // and subsequent upserts place onto the new layout correctly
+    val reloaded = LakeTable.load(spark, s"$dir/t")
+    assert(reloaded.numBuckets == 16)
+    val more = spark.range(6000L, 8000L)
+      .mapPartitions(_.map(i => EventGen.event(c1, i))).toDF()
+    CdcIngest.applyBatch(reloaded, more, epochId = 3L)
+    assert(FoldOracle.diff(reloaded.read(),
+      FoldOracle.finalState(c1.copy(numEvents = 8000L))).isEmpty)
+  }
+
   test("changesBetween returns exactly the winner rows of the snapshot range") {
     val c0 = cfg.copy(numEvents = 3000L)
     val dir = tmpDir("lake")
