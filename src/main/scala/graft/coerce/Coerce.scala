@@ -77,6 +77,39 @@ object Coerce {
   def rawLiteral(value: Column, datatype: Column): Column =
     struct(value.as("raw"), datatype.as("datatype"))
 
+  /** Trailing zone designator ("Z" or "±HH:MM") → signed offset seconds;
+    * null when the lexical form carries no zone.
+    */
+  def zoneOffsetSeconds(c: Column): Column = {
+    val z = regexp_extract(c, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val sign = when(substring(z, 1, 1) === "-", lit(-1)).otherwise(lit(1))
+    val secs = substring(z, 2, 2).cast(IntegerType) * 3600 +
+      substring(z, 5, 2).cast(IntegerType) * 60
+    when(z === "Z", lit(0))
+      .when(z =!= "", sign * secs)
+      .otherwise(lit(null).cast(IntegerType))
+  }
+
+  private def stripZone(c: Column): Column =
+    regexp_replace(c, "(Z|[+-]\\d{2}:\\d{2})$", "")
+
+  /** xsd:date with an optional zone ↦ struct(date, offsetSeconds) — the
+    * reference's OffsetDate, which java.time (and Spark's DateType) cannot
+    * represent losslessly (protocols.cljc:153-161; SURVEY.md §1.4 struct
+    * mapping). `offsetSeconds` is null for zoneless dates.
+    */
+  def offsetDate(c: Column): Column =
+    struct(to_date(substring(c, 1, 10)).as("date"),
+      zoneOffsetSeconds(c).as("offsetSeconds"))
+
+  /** xsd:time with an optional zone ↦ struct(nanos, offsetSeconds), with
+    * the same 24:00→00:00 and 9-digit-truncation rules as
+    * [[parseTimeNanos]] (io.clj:132-144).
+    */
+  def offsetTime(c: Column): Column =
+    struct(parseTimeNanos(stripZone(c)).as("nanos"),
+      zoneOffsetSeconds(c).as("offsetSeconds"))
+
   /** Open registry of named coercions — the extension point. */
   // try_cast: under ANSI mode (Spark 4 default) a plain cast throws on
   // overflow/malformed input; the reference's behavior for a value that
@@ -92,6 +125,8 @@ object Coerce {
       "xsd:decimal" -> ((c: Column) => c.try_cast(DecimalType(38, 18))),
       "xsd:dateTime" -> ((c: Column) => c.try_cast(TimestampType)),
       "xsd:date" -> ((c: Column) => c.try_cast(DateType)),
+      "xsd:date+offset" -> offsetDate _,
+      "xsd:time" -> offsetTime _,
       "xsd:string" -> ((c: Column) => c.cast(StringType)))
 
   def coerce(datatype: String, c: Column): Column =

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Forward-chaining inference as a materialised view — the reference's
+  * custom-rule repositories run a SPARQL rule at load time and add the
+  * derived statements back to the store until nothing new derives
+  * (/root/reference/grafter.repository/src/clj/grafter_2/rdf4j/
+  * repository.clj:303-335; RDFS example tested at
+  * repository_test.clj:193-215). Here the rule is any DataFrame → DataFrame
+  * query: derive, union, repeat to fixpoint — compute once, query many.
+  */
+object Inference {
+
+  /** Materialise `base` ∪ everything `rule` can derive, to fixpoint.
+    * `rule` receives the CURRENT statement set (base + derived so far) and
+    * returns candidate statements (may overlap; dedup happens here).
+    * Checkpointing truncates lineage per round like
+    * [[GraphOps.transitiveClosure]]; throws rather than returning a
+    * truncated materialisation at the iteration cap.
+    */
+  def materialize(base: DataFrame, rule: DataFrame => DataFrame,
+                  maxIters: Int = 20,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    var all = cp(base.distinct())
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val derived = cp(rule(all).exceptAll(all).distinct())
+      if (derived.isEmpty) done = true
+      else all = cp(all.union(derived))
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"inference did not reach a fixpoint within $maxIters iterations — " +
+        "raise maxIters; refusing to return a partial materialisation")
+    all
+  }
+}

@@ -209,6 +209,24 @@ class CdcCoreSpec extends SparkSpec {
     assert(table.read().count() < n0)
   }
 
+  test("non-string key column: multi-snapshot merge keys on the native type") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("lake")
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val table = LakeTable.create(spark, s"$dir/t", schema, keyCol = "k", numBuckets = 4)
+    // two snapshots with overlapping long keys — the merged read must
+    // resolve winners on the LongType key (a StringType assumption in the
+    // read path would misjoin or crash here)
+    CdcIngest.applyBatch(table,
+      Seq((1L, "a", 1L, "U"), (2L, "b", 2L, "U")).toDF("k", "v", "lsn", "op"), 0L)
+    CdcIngest.applyBatch(table,
+      Seq((1L, "a2", 3L, "U"), (3L, "c", 4L, "U")).toDF("k", "v", "lsn", "op"), 1L)
+    val got = table.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("bad-record quarantine: corrupt rows side-output with lineage, clean rows applied") {
     val dir = tmpDir("lake")
     val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)

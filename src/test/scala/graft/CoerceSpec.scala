@@ -41,6 +41,28 @@ class CoerceSpec extends SparkSpec {
     assert(got("01:02:03") == (1L * 3600 + 2 * 60 + 3) * 1000000000L)
   }
 
+  test("OffsetDate/OffsetTime structs: zone kept losslessly, absent zone is null") {
+    // the reference's OffsetDate exists because java.time cannot hold
+    // date+zone losslessly (protocols.cljc:153-161) — struct mapping §1.4
+    val d = Seq("2024-02-29-08:00", "2024-01-15Z", "2024-06-01")
+      .toDF("s").select($"s", Coerce.offsetDate($"s").as("od"))
+    val got = d.select($"s", $"od.date".cast("string"), $"od.offsetSeconds")
+      .collect().map(r => r.getString(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(got("2024-02-29-08:00") == ("2024-02-29", Some(-28800)))
+    assert(got("2024-01-15Z") == ("2024-01-15", Some(0)))
+    assert(got("2024-06-01") == ("2024-06-01", None))
+
+    val t = Seq("24:00:00Z", "13:20:30.123456789999+05:30", "01:02:03")
+      .toDF("s").select($"s", Coerce.offsetTime($"s").as("ot"))
+    val gt = t.select($"s", $"ot.nanos", $"ot.offsetSeconds")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    // 24:00 normalisation and 9-digit truncation apply inside the struct too
+    assert(gt("24:00:00Z") == (0L, Some(0)))
+    assert(gt("13:20:30.123456789999+05:30") ==
+      (((13L * 3600 + 20 * 60 + 30) * 1000000000L + 123456789L), Some(19800)))
+    assert(gt("01:02:03") == ((1L * 3600 + 2 * 60 + 3) * 1000000000L, None))
+  }
+
   test("int / long / unbounded integer stay distinct types") {
     val df = Seq("2147483647", "9223372036854775807",
         "99999999999999999999999999999999999999")

@@ -218,6 +218,34 @@ class OperatorSpec extends SparkSpec {
       == Set((1, 5)))
   }
 
+  test("forward-chaining inference materialises the RDFS-style fixpoint") {
+    import graft.operators.Inference
+    // the reference's custom-rule example: type propagation through a
+    // subclass chain (repository_test.clj:193-215)
+    val base = Seq(
+      ("alice", "type", "Student"),
+      ("Student", "subClassOf", "Person"),
+      ("Person", "subClassOf", "Agent"),
+      ("bob", "type", "Person")
+    ).toDF("s", "p", "o")
+    val rule = (cur: org.apache.spark.sql.DataFrame) => {
+      val types = cur.filter($"p" === "type").select($"s".as("x"), $"o".as("c1"))
+      val subs = cur.filter($"p" === "subClassOf").select($"s".as("c1"), $"o".as("c2"))
+      types.join(subs, "c1").select($"x".as("s"), lit("type").as("p"), $"c2".as("o"))
+    }
+    val out = Inference.materialize(base, rule)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val derived = Set(
+      ("alice", "type", "Person"), ("alice", "type", "Agent"),
+      ("bob", "type", "Agent"))
+    assert(out == base.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ++ derived)
+    // the cap refuses partial materialisations
+    val ex = intercept[IllegalStateException] {
+      Inference.materialize(base, rule, maxIters = 1).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
   test("nested templater: skolem subtree round-trips and replays identically") {
     import graft.operators.Templater
     import graft.operators.Templater._
