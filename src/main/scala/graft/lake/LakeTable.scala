@@ -163,19 +163,25 @@ class LakeTable private (
     *
     * Scale shape: the multi-snapshot merge is BUCKET-LOCAL with ZERO
     * exchanges. Every delta file covers exactly one key-hash bucket
-    * (`pmod(murmur3(key), numBuckets)` — upsert's placement), so a key's
-    * competing versions only ever meet inside one bucket. Per bucket we
-    * scan just that bucket's files and resolve winners with a local
-    * `max_by` aggregate; `coalesce(1)` gives the branch `SinglePartition`
-    * output partitioning, which satisfies the aggregate's
-    * ClusteredDistribution, so Catalyst plans no Exchange. The union runs
-    * one task per bucket — the same unit of work Iceberg's
-    * storage-partitioned joins recover from its bucket transform, and the
-    * access-path analog of the reference's native-store indexes
-    * (/root/reference/grafter.repository/src/clj/grafter_2/rdf4j/
+    * (`pmod(murmur3(key), numBuckets)` — upsert's placement, which is
+    * Spark's own bucket function), so a key's competing versions only
+    * ever meet inside one bucket. The primary path hands the manifest's
+    * live files to Catalyst as ONE bucketed parquet relation
+    * ([[ManifestFileIndex]] + BucketSpec): the scan reports
+    * `HashPartitioning(key, n)`, the winner `max_by` aggregate's clustered
+    * distribution is already satisfied, and the whole merge plans as
+    * scan → hash-aggregate with no Exchange and no per-bucket plan
+    * branches — the same mechanism Iceberg recovers via storage-partitioned
+    * reads, and the access-path analog of the reference's native-store
+    * indexes (/root/reference/grafter.repository/src/clj/grafter_2/rdf4j/
     * repository.clj:131-136). At a 100 TB table this replaces two
-    * full-table shuffles (data + delete-view sides of the old anti-join)
-    * with a single shuffle-free pass over the data.
+    * full-table shuffles (data + delete-view sides of the previous
+    * anti-join design) with a single shuffle-free pass over the data.
+    *
+    * Fallback (live files span >1 schema version, i.e. between a schema
+    * evolution and the next compaction): per-bucket plan branches, each
+    * `coalesce(1)` → SinglePartition → local aggregate — still zero
+    * exchanges, at O(buckets) driver-side plan cost.
     */
   def mergedWinners(asOf: Option[Long] = None): DataFrame = {
     val (files, contributingSnaps) = liveState(asOf)
@@ -188,7 +194,7 @@ class LakeTable private (
     // fast path: every key appears at most once when all live files come
     // from a single snapshot (one post-LWW batch, or one compaction)
     if (contributingSnaps.size <= 1) readDataFiles(files, schema)
-    else {
+    else bucketedWinners(files, schema, asOf).getOrElse {
       val outCols = schema.fields.map(_.name) ++ Seq(LsnCol, TombCol)
       files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, bucketFiles) =>
         val df = readDataFiles(bucketFiles, schema)
@@ -200,6 +206,62 @@ class LakeTable private (
           .select(outCols.map(c => col(s"_w.$c").as(c)): _*)
       }.reduce(_ unionByName _)
     }
+  }
+
+  /** Single-scan zero-exchange winner resolution over a bucketed relation
+    * built straight from the manifest (no filesystem listing). Applicable
+    * when the live files share one schema version and one bucket layout;
+    * returns None otherwise (caller falls back to plan branches).
+    */
+  private def bucketedWinners(files: Seq[FileEntry], target: LakeSchema,
+                              asOf: Option[Long]): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    val sids = files.map(_.schemaId).distinct
+    if (sids.size != 1) return None
+    // layout of the contributing snapshots (bucket evolution rewrites the
+    // whole live set, so a live set always carries exactly one layout; for
+    // time travel it may differ from the CURRENT table layout)
+    val layout = liveState(asOf)._2.flatMap(id =>
+      snapshots.find(_.snapshotId == id).flatMap(_.summary.get("numBuckets")))
+      .map(_.toInt).toSeq.distinct match {
+      case Seq(n) => n
+      case Seq()  => numBuckets // legacy snapshots without the summary key
+      case _      => return None
+    }
+    if (files.exists(f => f.bucket >= layout ||
+        !f.path.matches(""".*_\d{5}\.[^/]*$"""))) return None
+    val fileSchema = schemas.find(_.schemaId == sids.head).getOrElse(return None)
+    // everything nullable: tombstone rows carry null payloads even in
+    // columns declared non-null (DataFrameReader forces this too — a
+    // hand-built relation must do it itself or codegen NPEs on the nulls)
+    val hidden = Seq(
+      StructField(LsnCol, LongType, nullable = true),
+      StructField(TombCol, BooleanType, nullable = true))
+    val readSchema = StructType(
+      (fileSchema.sparkSchema.fields.toSeq.map(_.copy(nullable = true)) ++ hidden))
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new ManifestFileIndex(root, files),
+      partitionSchema = StructType(Nil),
+      dataSchema = readSchema,
+      bucketSpec = Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        layout, Seq(keyCol), Nil)),
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    val df = spark.baseRelationToDataFrame(relation)
+    val inCols = fileSchema.fields.map(_.name) ++ Seq(LsnCol, TombCol)
+    val winners = df
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(inCols.map(col): _*), col(LsnCol)).as("_w"))
+      .select(inCols.map(c => col(s"_w.$c").as(c)): _*)
+    // map the single file schema to the target by field id (rename/widen)
+    val nameById = fileSchema.fields.map(f => f.id -> f.name).toMap
+    val outCols: Seq[Column] = target.fields.map { tf =>
+      nameById.get(tf.id) match {
+        case Some(oldName) => col(oldName).cast(tf.dataType).as(tf.name)
+        case None          => lit(null).cast(tf.dataType).as(tf.name)
+      }
+    } ++ Seq(col(LsnCol), col(TombCol))
+    Some(winners.select(outCols: _*))
   }
 
   /** Read a heterogeneous-schema set of delta files, mapping each file's
@@ -273,7 +335,8 @@ class LakeTable private (
 
     val entries = writeDelta(delta, s"data/snap-$snapId", schema.schemaId)
     val snap = Snapshot(snapId, snapId - 1, epochId, entries,
-      Set.empty, summary + ("operation" -> "upsert"))
+      Set.empty,
+      summary + ("operation" -> "upsert") + ("numBuckets" -> numBuckets.toString))
     commit(snap)
     Some(snap)
   }
@@ -338,7 +401,7 @@ class LakeTable private (
       s"data/snap-$snapId", currentSchema.schemaId)
     val snap = Snapshot(snapId, snapId - 1, lastCommittedEpoch, entries,
       oldFiles.map(_.path).toSet,
-      summary + ("operation" -> "compact") ++
+      summary + ("operation" -> "compact") + ("numBuckets" -> target.toString) ++
         newNumBuckets.map(n => "rebucket" -> s"${numBuckets}->$n"))
     commit(snap)
     if (target != _numBuckets) {
@@ -382,10 +445,13 @@ class LakeTable private (
 
   /** Plain parquet write — task N's output file IS bucket N (the input is
     * hash-partitioned on the key with exactly `numBuckets` partitions).
-    * Returns the tracked entries; bucket parsed from the part number;
-    * per-file row counts and `_lsn` min/max lifted from the parquet footer
-    * (driver-side, no Spark job) — these are the manifest-style file stats
-    * that feed lineage and future scan pruning.
+    * Each file is renamed to carry the `_0000N` bucket suffix Spark's
+    * bucketed-scan machinery parses (BucketingUtils), so the merged read
+    * can hand the files back to Catalyst as a bucketed relation.
+    * Returns the tracked entries; per-file row counts and `_lsn` min/max
+    * lifted from the parquet footer (driver-side, no Spark job) — these
+    * are the manifest-style file stats that feed lineage and future scan
+    * pruning.
     */
   private def writeDelta(df: DataFrame, relDir: String, schemaId: Int): Seq[FileEntry] = {
     val out = s"$root/$relDir"
@@ -398,8 +464,14 @@ class LakeTable private (
       .map { f =>
         val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
         val bucket = name.stripPrefix("part-").take(5).toInt
-        val (rows, minLsn, maxLsn) = footerStats(f, conf)
-        FileEntry(s"$relDir/$name", bucket, Files.size(f), schemaId, rows, minLsn, maxLsn)
+        val suffixed = {
+          val dot = name.indexOf('.')
+          name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
+        }
+        val dst = f.resolveSibling(suffixed)
+        Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+        val (rows, minLsn, maxLsn) = footerStats(dst, conf)
+        FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId, rows, minLsn, maxLsn)
       }
       .toSeq.sortBy(_.bucket)
   }
@@ -450,6 +522,37 @@ class LakeTable private (
     }
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
+}
+
+/** FileIndex served straight from the snapshot manifest: the log already
+  * records every live file with its exact size, so scan planning does ZERO
+  * filesystem listing — Iceberg's manifest-driven planning. At an object
+  * store with millions of files this is the difference between O(1)
+  * metadata reads and a recursive LIST per query.
+  */
+private[lake] class ManifestFileIndex(root: String, files: Seq[FileEntry])
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+  import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+
+  private def abs(f: FileEntry) = new HPath(s"$root/${f.path}")
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(root))
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+    Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      files.map(f => new FileStatus(f.bytes, false, 1, 134217728L, 0L, abs(f))).toArray))
+
+  override def inputFiles: Array[String] = files.map(f => abs(f).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = files.map(_.bytes).sum
+
+  override def partitionSchema: StructType = StructType(Nil)
 }
 
 object LakeTable {

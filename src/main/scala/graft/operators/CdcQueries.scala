@@ -46,7 +46,11 @@ object CdcQueries {
     // lake per input instead of leaking a directory per invocation
     val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     deleteRecursively(java.nio.file.Paths.get(root))
-    val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = 8)
+    // bucket count = available parallelism: the bucket-local merged read
+    // runs one task per bucket, so undersizing buckets caps the read at a
+    // fraction of the machine (and at cluster scale: of the executors)
+    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = buckets)
     val per = (hi - lo + chunks) / chunks
     var c = 0
     while (lo + c * per <= hi) {

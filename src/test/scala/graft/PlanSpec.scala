@@ -56,14 +56,20 @@ class PlanSpec extends SparkSpec {
     }
     assert(table.snapshots.size >= 3)
     val plan = planOf(table.read())
-    // the winner resolution is per-bucket local: coalesce(1) branches give
-    // SinglePartition, which satisfies the aggregate's distribution — a
-    // 100 TB read must never re-shuffle data the writer already bucketed
+    // winner resolution rides the manifest-backed bucketed relation: the
+    // scan reports HashPartitioning(key, n), so the aggregate's clustered
+    // distribution is satisfied with no Exchange — a 100 TB read must
+    // never re-shuffle data the writer already bucketed
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 0, s"expected 0 exchanges, got $exchanges:\n${plan.take(3000)}")
     assert(!plan.contains("Join"), "bucket-local merge must not join")
     assert(plan.contains("max_by") || plan.contains("MaxBy"),
-      "per-bucket winner aggregate missing")
+      "winner aggregate missing")
+    // ONE scan node (not a plan branch per bucket), recognised as bucketed
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 bucketed scan, got $scans")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan not bucketed:\n${plan.take(3000)}")
   }
 
   test("single-snapshot read takes the fast path (no join)") {
