@@ -157,23 +157,25 @@ object DedupOps {
         explode(split(substring(col("text"), 1, maxLen), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .select(col("doc_id"), substring(md5(col("word")), 1, 16).as("h"))
-    val nibWeight = element_at(
-      array(lit(8), lit(4), lit(2), lit(1)), pmod(col("j"), lit(4)).cast("int") + 1)
-    val nibVal = conv(
-      col("h").substr((col("j") / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
-    val bits = words
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("j"), col("h"))
-      .select(col("doc_id"), col("j"),
-        when(pmod(floor(nibVal / nibWeight).cast("int"), lit(2)) === 1, 1)
-          .otherwise(-1).as("vote"))
-      .groupBy("doc_id", "j")
-      .agg(sum("vote").as("v"))
-    // re-pack majority bits into hex chars: nibble i = Σ_p bit(4i+p)·(8>>p)
-    bits
-      .groupBy(col("doc_id"), (col("j") / 4).cast("int").as("i"))
-      .agg(sum(when(col("v") > 0, nibWeight).otherwise(0)).cast("int").as("nv"))
+    // explode per NIBBLE (×16), not per bit (×64): the four bit-majority
+    // counters of a nibble ride one row as packed ±1 sums — 4× less
+    // explode volume and 4× fewer aggregate groups for identical output
+    val nibVal = conv(col("h").substr(col("i") + 1, lit(1)), 16, 10).cast("int")
+    def vote(weight: Int): Column =
+      sum(when(pmod(floor(col("nv") / weight).cast("int"), lit(2)) === 1, 1)
+        .otherwise(-1))
+    val nibs = words
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("i"), col("h"))
+      .select(col("doc_id"), col("i"), nibVal.as("nv"))
+      .groupBy("doc_id", "i")
+      .agg(vote(8).as("v3"), vote(4).as("v2"), vote(2).as("v1"), vote(1).as("v0"))
+    // re-pack majority bits into the nibble's hex char (MSB-first)
+    val packed =
+      when(col("v3") > 0, 8).otherwise(0) + when(col("v2") > 0, 4).otherwise(0) +
+        when(col("v1") > 0, 2).otherwise(0) + when(col("v0") > 0, 1).otherwise(0)
+    nibs
       .select(col("doc_id"), col("i"),
-        lit(HexDigits).substr(col("nv") + 1, lit(1)).as("ch"))
+        lit(HexDigits).substr(packed + 1, lit(1)).as("ch"))
       .groupBy("doc_id")
       .agg(concat_ws("", transform(
         array_sort(collect_list(struct(col("i"), col("ch")))),
