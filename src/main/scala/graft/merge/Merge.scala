@@ -46,6 +46,22 @@ object Merge {
   def deleteWhere(target: LakeTable, cond: Column, epochId: Long): Option[Snapshot] =
     target.deleteMatching(cond, epochId)
 
+  /** Batched keyed deletes — the reference's `delete-batched`
+    * (/root/reference/grafter.core/src/grafter_2/rdf/protocols.cljc:
+    * 563-583; split arithmetic pinned at batching_test.clj:67-100): the
+    * key set is tombstoned in `batchSize` groups, one snapshot per group,
+    * bounding sink memory however large the delete set is. Returns the
+    * committed snapshots (full batches first, then the remainder —
+    * [3 3 1] for 7 keys at batch 3).
+    */
+  def deleteKeysBatched(target: LakeTable, keys: Seq[Any], startEpoch: Long,
+                        batchSize: Int = graft.stream.Batching.DefaultBatchSize.toInt): Seq[Snapshot] = {
+    require(batchSize > 0, "batchSize must be positive")
+    keys.grouped(batchSize).zipWithIndex.flatMap { case (group, i) =>
+      target.deleteMatching(col(target.keyCol).isin(group: _*), startEpoch + i)
+    }.toSeq
+  }
+
   /** Pure-column helper exposing the visibility rule the read path
     * enforces — useful for reasoning/tests: given winner lsn and the max
     * competing lsn, would the MATCHED-update fire?

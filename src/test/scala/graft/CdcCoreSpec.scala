@@ -251,6 +251,39 @@ class CdcCoreSpec extends SparkSpec {
     assert(bad.filter(col("n_tok") === "oops").count() == 1)
   }
 
+  test("batched keyed deletes: [3 3 1] splits, bounded per-batch work") {
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val rows = (0 until 10).map(i => ("U", s"k$i", i.toLong, Seq(i), 1))
+      .toDF("op", "doc_id", "lsn", "tokens", "n_tok")
+    CdcIngest.applyBatch(table, rows, epochId = 0L)
+    val victims = (0 until 7).map(i => s"k$i")
+    val snaps = graft.merge.Merge.deleteKeysBatched(table, victims,
+      startEpoch = 1L, batchSize = 3)
+    // reference split arithmetic: 7 keys at batch 3 → [3 3 1]
+    assert(snaps.map(_.addedData.map(_.rows).sum) == Seq(3L, 3L, 1L))
+    assert(snaps.map(_.epochId) == Seq(1L, 2L, 3L))
+    val left = table.read().select("doc_id").collect().map(_.getString(0)).toSet
+    assert(left == Set("k7", "k8", "k9"))
+  }
+
+  test("n-quads round trip: parse ∘ serialise = id, incl. escapes") {
+    import graft.sources.NQuads
+    val stmts = Seq(
+      ("d1", "lang", "en", "g"),
+      ("d2", "text", "line1\nline2\t\"quoted\" back\\slash", "g"),
+      ("d3", "empty", "", "g")
+    ).toDF("subject", "predicate", "object", "source")
+    val dir = tmpDir("nq")
+    NQuads.write(stmts, s"$dir/out.nq")
+    val back = NQuads.read(spark, s"$dir/out.nq")
+    assert(back.exceptAll(stmts).isEmpty && stmts.exceptAll(back).isEmpty)
+    // serialised form is real N-Quads lines
+    val lines = spark.read.text(s"$dir/out.nq").collect().map(_.getString(0))
+    assert(lines.forall(l => l.startsWith("<") && l.endsWith("> .")))
+    assert(lines.exists(_.contains("\"line1\\nline2\\t\\\"quoted\\\" back\\\\slash\"")))
+  }
+
   test("load() restores table properties from metadata") {
     val dir = tmpDir("lake")
     val t1 = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 6)
