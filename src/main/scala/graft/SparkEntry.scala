@@ -333,6 +333,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
              sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
              max(col("p_size")).as("max_size"))
+    }),
+    "q47_changelog" -> ((s, dir) => CdcQueries.changelogSecondChunk(s, dir)),
+    "q48_zero_or_more" -> ((s, dir) => { implicit val sp = s
+      // ZeroOrMorePath `*` (J4): reflexive-transitive closure
+      val nations = t(dir, "nation").select(col("n_nationkey").cast("int").as("src"),
+        (col("n_regionkey") + 100).cast("int").as("dst"))
+      val regions = t(dir, "region").select((col("r_regionkey") + 100).cast("int").as("src"),
+        lit(999).cast("int").as("dst"))
+      GraphOps.reflexiveTransitiveClosure(nations.unionAll(regions))
+    }),
+    "q49_inverse_path" -> ((s, dir) => { implicit val sp = s
+      // InversePath `^` (J3): projection swap, no shuffle
+      GraphOps.inversePath(t(dir, "nation").select(
+        col("n_nationkey").cast("int").as("src"),
+        (col("n_regionkey") + 100).cast("int").as("dst")))
+    }),
+    "q50_inference" -> ((s, dir) => { implicit val sp = s
+      // forward-chaining materialised view (E5): membership propagates
+      // through subset containment to fixpoint
+      val base = t(dir, "nation").select(
+          concat(lit("n"), col("n_nationkey")).as("s"),
+          lit("memberOf").as("p"),
+          concat(lit("r"), col("n_regionkey")).as("o"))
+        .unionAll(t(dir, "region").select(
+          concat(lit("r"), col("r_regionkey")).as("s"),
+          lit("subsetOf").as("p"), lit("world").as("o")))
+      val rule = (cur: DataFrame) => {
+        val members = cur.filter(col("p") === "memberOf")
+          .select(col("s").as("x"), col("o").as("g"))
+        val subsets = cur.filter(col("p") === "subsetOf")
+          .select(col("s").as("g"), col("o").as("h"))
+        members.join(subsets, "g")
+          .select(col("x").as("s"), lit("memberOf").as("p"), col("h").as("o"))
+      }
+      graft.operators.Inference.materialize(base, rule)
     })
   )
 
@@ -651,6 +686,41 @@ object SparkEntry {
          CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          max(p_size) AS max_size
          FROM part GROUP BY p_brand""",
+    "q47_changelog" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+         r AS (SELECT lo, hi, CAST(floor((hi - lo + 4) / 4.0) AS BIGINT) AS per FROM b),
+         sel AS (SELECT e.* FROM events e, r
+                 WHERE e.event_id BETWEEN r.lo + r.per
+                   AND least(r.hi, r.lo + 2 * r.per - 1)),
+         win AS (SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                 FROM sel)
+         SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS win_lsn,
+                event_type = 'error' AS tomb, event_type AS source
+         FROM win WHERE rn = 1""",
+    "q48_zero_or_more" ->
+      """WITH RECURSIVE e(src, dst) AS (
+           SELECT CAST(n_nationkey AS INT), CAST(n_regionkey + 100 AS INT) FROM nation
+           UNION ALL
+           SELECT CAST(r_regionkey + 100 AS INT), 999 FROM region
+         ), tc(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+         ), nodes(n) AS (
+           SELECT src FROM e UNION SELECT dst FROM e
+         ) SELECT src, dst FROM tc
+           UNION SELECT n, n FROM nodes""",
+    "q49_inverse_path" ->
+      """SELECT CAST(n_regionkey + 100 AS INT) AS src, CAST(n_nationkey AS INT) AS dst
+         FROM nation""",
+    "q50_inference" ->
+      """SELECT CAST('n' || CAST(n_nationkey AS VARCHAR) AS VARCHAR) AS s,
+                'memberOf' AS p, 'r' || CAST(n_regionkey AS VARCHAR) AS o FROM nation
+         UNION
+         SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'subsetOf', 'world' FROM region
+         UNION
+         SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'memberOf', 'world' FROM nation""",
     "qd39_embed_neardup" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
          pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -195,15 +195,17 @@ class LakeTable private (
     // from a single snapshot (one post-LWW batch, or one compaction)
     if (contributingSnaps.size <= 1) readDataFiles(files, schema)
     else bucketedWinners(files, schema, asOf).getOrElse {
-      val outCols = schema.fields.map(_.name) ++ Seq(LsnCol, TombCol)
+      val nonKey = schema.fields.map(_.name).filterNot(_ == keyCol) ++
+        Seq(LsnCol, TombCol)
       files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, bucketFiles) =>
         val df = readDataFiles(bucketFiles, schema)
         // a single file holds at most one row per key (post-LWW) — no merge
-        if (bucketFiles.size <= 1) df
+        if (bucketFiles.size <= 1)
+          df.select((col(keyCol) +: nonKey.map(col)): _*)
         else df.coalesce(1)
           .groupBy(col(keyCol))
-          .agg(max_by(struct(outCols.map(col): _*), col(LsnCol)).as("_w"))
-          .select(outCols.map(c => col(s"_w.$c").as(c)): _*)
+          .agg(max_by(struct(nonKey.map(col): _*), col(LsnCol)).as("_w"))
+          .select(col(keyCol) +: nonKey.map(c => col(s"_w.$c").as(c)): _*)
       }.reduce(_ unionByName _)
     }
   }
@@ -248,11 +250,16 @@ class LakeTable private (
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
-    val inCols = fileSchema.fields.map(_.name) ++ Seq(LsnCol, TombCol)
+    // the key is projected from the GROUPING attribute (not from the
+    // max_by struct): Catalyst then carries HashPartitioning(key, n)
+    // through the aggregate, so downstream joins/aggs on the key — e.g.
+    // two co-bucketed tables joined — plan with no exchange either
+    val nonKey = fileSchema.fields.map(_.name).filterNot(_ == keyCol) ++
+      Seq(LsnCol, TombCol)
     val winners = df
       .groupBy(col(keyCol))
-      .agg(max_by(struct(inCols.map(col): _*), col(LsnCol)).as("_w"))
-      .select(inCols.map(c => col(s"_w.$c").as(c)): _*)
+      .agg(max_by(struct(nonKey.map(col): _*), col(LsnCol)).as("_w"))
+      .select(col(keyCol) +: nonKey.map(c => col(s"_w.$c").as(c)): _*)
     // map the single file schema to the target by field id (rename/widen)
     val nameById = fileSchema.fields.map(f => f.id -> f.name).toMap
     val outCols: Seq[Column] = target.fields.map { tf =>

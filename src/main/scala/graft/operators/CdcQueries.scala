@@ -32,19 +32,21 @@ object CdcQueries {
       col("event_type").as("source"))
   }
 
-  /** Full engine replay: LSN-chunked batches through dedup→LWW→merge into
-    * a fresh snapshot-log table, then the merged read. Output one row per
-    * surviving key: (doc_id, tok0, n_tok, source).
+  /** Replay the feed in LSN-chunked batches into a fresh snapshot-log
+    * table (dedup→LWW→merge per chunk); returns the table.
+    *
+    * Scratch path is a fixed slot per (input dir, slot tag) — the caller's
+    * DataFrames read these files lazily, so they must outlive this method;
+    * reusing the slot bounds the footprint to one lake per input instead
+    * of leaking a directory per invocation.
     */
-  def replayToTable(spark: SparkSession, dir: String, chunks: Int = 4): DataFrame = {
+  def replayTable(spark: SparkSession, dir: String, chunks: Int = 4,
+                  slot: String = "main"): LakeTable = {
     val feed = eventsAsFeed(spark, dir)
     val bounds = feed.agg(min("lsn"), max("lsn")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // fixed scratch path per input dir (not a fresh temp dir per call):
-    // the returned DataFrame reads these files lazily, so they must
-    // outlive this method — reusing the slot bounds the footprint to one
-    // lake per input instead of leaking a directory per invocation
-    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-$slot-" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     deleteRecursively(java.nio.file.Paths.get(root))
     // bucket count = available parallelism: the bucket-local merged read
     // runs one task per bucket, so undersizing buckets caps the read at a
@@ -60,10 +62,31 @@ object CdcQueries {
       CdcIngest.applyBatch(table, batch, epochId = c.toLong)
       c += 1
     }
-    table.read().select(
+    table
+  }
+
+  /** Full engine replay, then the merged read. Output one row per
+    * surviving key: (doc_id, tok0, n_tok, source).
+    */
+  def replayToTable(spark: SparkSession, dir: String, chunks: Int = 4): DataFrame =
+    replayTable(spark, dir, chunks).read().select(
       col("doc_id"),
       element_at(col("tokens"), 1).as("tok0"),
       col("n_tok"),
+      col("source"))
+
+  /** Incremental changelog: the winner rows the SECOND replay chunk
+    * committed — what a downstream consumer tails via
+    * [[graft.lake.LakeTable.changesBetween]] instead of re-reading the
+    * table. Tombstone winners ride along flagged.
+    */
+  def changelogSecondChunk(spark: SparkSession, dir: String): DataFrame = {
+    val table = replayTable(spark, dir, chunks = 4, slot = "changelog")
+    val snaps = table.snapshots.map(_.snapshotId)
+    table.changesBetween(snaps(0), snaps(1)).select(
+      col("doc_id"),
+      col(LakeTable.LsnCol).as("win_lsn"),
+      col(LakeTable.TombCol).as("tomb"),
       col("source"))
   }
 

@@ -72,6 +72,41 @@ class PlanSpec extends SparkSpec {
       s"scan not bucketed:\n${plan.take(3000)}")
   }
 
+  test("co-located join: two same-bucketed tables join with no exchange") {
+    import spark.implicits._
+    val dir = tmpDir("plan-spj")
+    val ta = LakeTable.create(spark, s"$dir/a", Schemas.docRow, numBuckets = 4)
+    val tb = LakeTable.create(spark, s"$dir/b", Schemas.docRow, numBuckets = 4)
+    val cfg = FeedConfig(numEvents = 1500)
+    (0 until 2).foreach { c =>
+      val batch = spark.range(c * 700L, (c + 1) * 700L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
+      CdcIngest.applyBatch(ta, batch, epochId = c.toLong)
+      CdcIngest.applyBatch(tb, batch, epochId = c.toLong)
+    }
+    // disable broadcast so the join must rely on the reported partitioning
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = ta.read().join(tb.read().select($"doc_id", $"n_tok".as("n2")), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      // both merged reads report HashPartitioning(doc_id, 4): the join is
+      // co-located — at 100 TB the single biggest shuffle a consumer
+      // would otherwise pay
+      assert(exchanges == 0, s"expected 0 exchanges, got $exchanges:\n${plan.take(3000)}")
+      assert(joined.count() > 0)
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("single-snapshot read takes the fast path (no join)") {
     import spark.implicits._
     val dir = tmpDir("plan-lake2")
