@@ -25,9 +25,23 @@ object Codecs {
     "csv" -> Codec("csv", Map("header" -> "true")),
     "tsv" -> Codec("csv", Map("header" -> "true", "sep" -> "\t")))
 
-  /** Extension sniff over a path or directory of uniform files. */
+  /** Extension sniff over a path, URL, or directory of uniform files —
+    * the reference's URL/path resolve-with-fallback (io.clj:686-713):
+    * `file:` URLs resolve to their path; other URL schemes sniff the URL's
+    * file extension directly (the transport itself is out of scope for a
+    * lake-native engine, but format inference must not choke on a URL).
+    */
   def infer(path: String): Option[String] = {
-    val p = java.nio.file.Paths.get(path)
+    val local = path match {
+      case u if u.startsWith("file:") => java.net.URI.create(u).getPath
+      case u if u.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") =>
+        // non-file URL: sniff the last path segment's extension, no I/O
+        return u.split('?').head.split('/').lastOption
+          .flatMap(_.split('.').drop(1).lastOption)
+          .map(_.toLowerCase).filter(registry.contains)
+      case u => u
+    }
+    val p = java.nio.file.Paths.get(local)
     val name =
       if (java.nio.file.Files.isDirectory(p)) {
         import scala.jdk.CollectionConverters._

@@ -72,7 +72,8 @@ object CdcIngest {
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
           watermark: String = "1 hour", saltBuckets: Int = 0,
           format: Option[String] = None,
-          compactEverySnapshots: Int = 0): StreamingQuery = {
+          compactEverySnapshots: Int = 0,
+          quarantine: Boolean = false): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
@@ -88,7 +89,8 @@ object CdcIngest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // stream already deduped with watermark state; batch-level dedup
         // again is redundant work we skip
-        val committed = applyBatch(table, batch, epochId, saltBuckets, dedup = false)
+        val committed = applyBatch(table, batch, epochId, saltBuckets,
+          dedup = false, quarantine = quarantine)
         // maintenance inline with ingest: bound file count and tombstone
         // debt on long replays; compaction commits its own snapshot but
         // keeps the epoch, so the exactly-once check is unaffected.

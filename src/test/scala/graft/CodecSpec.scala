@@ -40,6 +40,15 @@ class CodecSpec extends SparkSpec {
     assert(FoldOracle.diff(table.read(), FoldOracle.finalState(cfg)).isEmpty)
   }
 
+  test("URL handling: file: URLs resolve, other schemes sniff without I/O") {
+    val dir = tmpDir("codec3")
+    ChangeFeed.events(spark, cfg).toDF().write.parquet(s"$dir/pq")
+    assert(Codecs.infer(s"file://$dir/pq").contains("parquet"))
+    assert(Codecs.infer("https://example.invalid/data/feed.jsonl?x=1").contains("jsonl"))
+    assert(Codecs.infer("s3://bucket/prefix/part-0.parquet").contains("parquet"))
+    assert(Codecs.infer("https://example.invalid/feed.ttl").isEmpty)
+  }
+
   test("registry is open: a custom codec can be registered") {
     Codecs.registry("ndjson") = Codecs.Codec("json")
     assert(Codecs.infer("/x/feed.ndjson").contains("ndjson"))
