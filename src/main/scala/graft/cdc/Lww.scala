@@ -56,6 +56,29 @@ object Lww {
       .drop("_rn")
   }
 
+  /** Skew-adaptive routing: probe a bounded prefix of the batch for heavy
+    * hitters and choose the salted two-phase reduce when the hottest key
+    * holds more than `hotShare` of sampled rows, else the plain bucketed
+    * reduce (SURVEY.md §4 "detect heavy hitters via count sample"). The
+    * probe is one bounded-sample aggregate — a small driver action per
+    * batch, so this is an opt-in for feeds with unpredictable skew; feeds
+    * with known skew should pass saltBuckets explicitly.
+    * Salted == unsalted is property-tested, so routing never changes
+    * results.
+    */
+  def reduceAuto(events: DataFrame, keyCol: String, numBuckets: Int,
+                 sampleSize: Int = 10000, hotShare: Double = 0.2,
+                 saltBuckets: Int = 16): DataFrame = {
+    val sample = events.select(col(keyCol)).limit(sampleSize)
+      .groupBy(col(keyCol)).count()
+      .agg(max("count").as("top"), sum("count").as("n"))
+      .head()
+    val hot = sample.getLong(1) > 0 &&
+      sample.getLong(0).toDouble / sample.getLong(1) > hotShare
+    if (hot) reduceSalted(events, saltBuckets).repartition(numBuckets, col(keyCol))
+    else reduceBucketed(events, keyCol, numBuckets)
+  }
+
   /** Two-phase salted LWW for pathological hot keys: phase 1 reduces
     * (doc_id, salt) groups — splitting a hot key across `saltBuckets`
     * reducers — phase 2 reduces the ≤saltBuckets survivors per key.

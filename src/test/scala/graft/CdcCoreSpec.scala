@@ -111,6 +111,22 @@ class CdcCoreSpec extends SparkSpec {
     assert(FoldOracle.diff(table.read(), FoldOracle.finalState(oooCfg)).isEmpty)
   }
 
+  test("auto-salt routing: hot feed -> salted, uniform -> plain; results identical") {
+    val hotCfg = cfg.copy(numEvents = 5000L, hotFraction = 0.7, numHot = 1)
+    val hot = ChangeFeed.events(spark, hotCfg).toDF()
+    val uniform = ChangeFeed.events(spark, cfg.copy(numEvents = 5000L)).toDF()
+    def winners(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // routing never changes results — both routes equal the plain reduce
+    assert(winners(Lww.reduceAuto(hot, "doc_id", 8)) == winners(Lww.reduce(hot)))
+    assert(winners(Lww.reduceAuto(uniform, "doc_id", 8)) == winners(Lww.reduce(uniform)))
+    // and the hot feed actually takes the salted branch (two-phase agg in plan)
+    val hotPlan = Lww.reduceAuto(hot, "doc_id", 8).queryExecution.optimizedPlan.toString
+    assert(hotPlan.contains("_salt"), "hot feed should route to the salted reduce")
+    val uniPlan = Lww.reduceAuto(uniform, "doc_id", 8).queryExecution.optimizedPlan.toString
+    assert(!uniPlan.contains("_salt"), "uniform feed should route to the plain reduce")
+  }
+
   test("hot-key skewed feed with salting matches fold") {
     val hotCfg = cfg.copy(numEvents = 10000L, hotFraction = 0.6, numHot = 3)
     val dir = tmpDir("lake")
