@@ -109,14 +109,31 @@ class LakeTable private (
   private def metaDir: Path = Paths.get(root, "meta")
 
   // ---- metadata (driver-side, small) ----
+  //
+  // Cached after first read and maintained incrementally on commit /
+  // evolve (single-writer table — the commit itself enforces that, so the
+  // cache cannot go stale under the supported concurrency model; a fresh
+  // `load()` re-reads the directory). Without the cache every commit
+  // re-parses the WHOLE snapshot log: O(N) metadata reads per batch,
+  // O(N²) over a long replay — at the 10^10-event target with thousands
+  // of epochs the metadata would dominate the data.
 
-  def schemas: Seq[LakeSchema] =
-    listFiles(metaDir, "schema-").map(p => readSchema(p)).sortBy(_.schemaId)
+  private var schemaCache: Seq[LakeSchema] = null
+  private var snapshotCache: Seq[Snapshot] = null
+
+  def schemas: Seq[LakeSchema] = {
+    if (schemaCache == null)
+      schemaCache = listFiles(metaDir, "schema-").map(p => readSchema(p)).sortBy(_.schemaId)
+    schemaCache
+  }
 
   def currentSchema: LakeSchema = schemas.last
 
-  def snapshots: Seq[Snapshot] =
-    listFiles(metaDir, "snap-").map(p => readSnapshot(p)).sortBy(_.snapshotId)
+  def snapshots: Seq[Snapshot] = {
+    if (snapshotCache == null)
+      snapshotCache = listFiles(metaDir, "snap-").map(p => readSnapshot(p)).sortBy(_.snapshotId)
+    snapshotCache
+  }
 
   def currentSnapshotId: Long = snapshots.lastOption.map(_.snapshotId).getOrElse(-1L)
 
@@ -441,8 +458,14 @@ class LakeTable private (
           f
       }
     }
-    val evolved = LakeSchema(cur.schemaId + 1, fields)
-    writeSchemaFile(metaDir, evolved)
+    val prior = schemas // materialise the cache BEFORE the new file lands
+    writeSchemaFile(metaDir, LakeSchema(cur.schemaId + 1, fields))
+    // cache what a RE-READ produces, not the in-memory object: schema JSON
+    // round-trips through DDL text, which drops containsNull/nullable
+    // nuances — the cache must be indistinguishable from a cold load
+    val evolved = readSchema(
+      metaDir.resolve(f"schema-${cur.schemaId + 1}%04d.json"))
+    schemaCache = prior :+ evolved
     evolved
   }
 
@@ -519,6 +542,7 @@ class LakeTable private (
   }
 
   private def commit(s: Snapshot): Unit = {
+    val prior = snapshots // materialise the cache BEFORE the new file lands
     val tmp = metaDir.resolve(s"snap-.tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, snapshotJson(s))
     val target = metaDir.resolve(f"snap-${s.snapshotId}%012d.json")
@@ -528,6 +552,7 @@ class LakeTable private (
         s"commit conflict: snapshot ${s.snapshotId} already exists (concurrent writer?)")
     }
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    snapshotCache = prior :+ s
   }
 }
 
