@@ -390,6 +390,26 @@ class LakeTable private (
     * included with `_tomb = true`; `_lsn` carries the version. Reads only
     * the delta files those snapshots added (no merge join).
     */
+  /** Tail the table's committed winner rows as a STREAM (CDC out): each
+    * upsert's delta files arrive as they commit — the downstream analog of
+    * the change feed this engine ingests. Tombstone winners ride along
+    * with `_tomb = true`; `_lsn` carries the version. Compaction rewrites
+    * live under `data/compact-*` and are never re-emitted. The schema is
+    * pinned at call time; files written under older schema versions
+    * surface added columns as null and widen legally (parquet reader
+    * type promotion).
+    */
+  def changesStream(maxFilesPerTrigger: Int = 8): DataFrame = {
+    val hidden = Seq(
+      StructField(LsnCol, LongType, nullable = true),
+      StructField(TombCol, BooleanType, nullable = true))
+    val s = StructType(
+      currentSchema.sparkSchema.fields.toSeq.map(_.copy(nullable = true)) ++ hidden)
+    spark.readStream.schema(s)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(s"$root/data/snap-*")
+  }
+
   def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val snaps = snapshots.filter(s =>
       s.snapshotId > fromSnapshotId && s.snapshotId <= toSnapshotId &&
@@ -420,9 +440,12 @@ class LakeTable private (
     val merged = mergedWinners()
       .filter(!col(TombCol) || col(LsnCol) >= purgeTombstonesBelowLsn)
       .repartition(target, col(keyCol))
+    // compaction rewrites land under data/compact-* (not data/snap-*) so
+    // the CDC-out tail ([[changesStream]]) never re-emits rows a
+    // maintenance rewrite merely moved
     val entries = writeDelta(merged.select(
         (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
-      s"data/snap-$snapId", currentSchema.schemaId)
+      s"data/compact-$snapId", currentSchema.schemaId)
     val snap = Snapshot(snapId, snapId - 1, lastCommittedEpoch, entries,
       oldFiles.map(_.path).toSet,
       summary + ("operation" -> "compact") + ("numBuckets" -> target.toString) ++

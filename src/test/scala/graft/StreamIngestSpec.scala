@@ -40,6 +40,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(table.snapshots.exists(_.summary.get("operation").contains("compact")))
   }
 
+  test("changesStream tails committed winners; compaction is not re-emitted") {
+    import org.apache.spark.sql.functions._
+    val c0 = cfg.copy(numEvents = 3000L)
+    val dir = tmpDir("cdc-out")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    (0 until 3).foreach { c =>
+      import spark.implicits._
+      val batch = spark.range(c * 1000L, (c + 1) * 1000L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    // drain the tail into a memory sink
+    def drain(name: String): Long = {
+      val q = table.changesStream()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$dir/ckpt-$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    val emitted = drain("cdcout1")
+    val expected = table.changesBetween(-1L, table.currentSnapshotId).count()
+    assert(emitted == expected, s"tail emitted $emitted, log says $expected")
+    // a compaction rewrite must NOT re-emit rows it merely moved…
+    table.compact()
+    assert(drain("cdcout2") == expected)
+    // …while a genuine new upsert arrives in the tail
+    import spark.implicits._
+    val more = spark.range(3000L, 3500L)
+      .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF()
+    CdcIngest.applyBatch(table, more, epochId = 3L)
+    val newRows = table.changesBetween(table.currentSnapshotId - 1,
+      table.currentSnapshotId).count()
+    assert(drain("cdcout3") == expected + newRows)
+    // the tail carries versions and tombstone flags
+    assert(spark.table("cdcout3").columns.toSet.contains("_lsn"))
+    assert(spark.table("cdcout3").filter(col("_tomb")).count() > 0)
+  }
+
   test("kill mid-replay, restart from checkpoint: final state bit-identical") {
     val dir = tmpDir("stream")
     ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 12)
