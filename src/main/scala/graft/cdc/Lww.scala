@@ -73,9 +73,11 @@ object Lww {
       .groupBy(col(keyCol)).count()
       .agg(max("count").as("top"), sum("count").as("n"))
       .head()
-    val hot = sample.getLong(1) > 0 &&
+    // an empty batch aggregates to nulls (streaming idle triggers are
+    // routinely empty) — route it through the plain reduce, never NPE
+    val hot = !sample.isNullAt(1) && sample.getLong(1) > 0 &&
       sample.getLong(0).toDouble / sample.getLong(1) > hotShare
-    if (hot) reduceSalted(events, saltBuckets).repartition(numBuckets, col(keyCol))
+    if (hot) reduceSalted(events, saltBuckets, keyCol).repartition(numBuckets, col(keyCol))
     else reduceBucketed(events, keyCol, numBuckets)
   }
 
@@ -86,15 +88,16 @@ object Lww {
     * LwwSpec). Salt is derived, not random: `xxhash64(lsn) % saltBuckets`,
     * keeping the plan deterministic for checkpoint replay.
     */
-  def reduceSalted(events: DataFrame, saltBuckets: Int): DataFrame = {
+  def reduceSalted(events: DataFrame, saltBuckets: Int,
+                   keyCol: String = "doc_id"): DataFrame = {
     val cols = payloadCols(events)
     val salted = events.withColumn("_salt", pmod(xxhash64(col("lsn")), lit(saltBuckets)))
     val phase1 = salted
-      .groupBy(col("doc_id"), col("_salt"))
+      .groupBy(col(keyCol), col("_salt"))
       .agg(max_by(struct(cols.map(col): _*), col("lsn")).as("w"),
         min(col("lsn")).as("_src_min"), max(col("lsn")).as("_src_max"))
     phase1
-      .groupBy(col("doc_id"))
+      .groupBy(col(keyCol))
       .agg(max_by(col("w"), col("w.lsn")).as("w"),
         min(col("_src_min")).as("_src_min"), max(col("_src_max")).as("_src_max"))
       .select(cols.map(c => col(s"w.$c")) ++ Seq(col("_src_min"), col("_src_max")): _*)

@@ -127,6 +127,15 @@ class LakeTable private (
     schemaCache
   }
 
+  /** Drop the metadata caches — a read-only consumer polling a table that
+    * ANOTHER process writes must call this (or `load()` fresh) to observe
+    * new commits; this instance's own commits keep the cache current.
+    */
+  def refresh(): Unit = {
+    schemaCache = null
+    snapshotCache = null
+  }
+
   def currentSchema: LakeSchema = schemas.last
 
   def snapshots: Seq[Snapshot] = {
@@ -211,7 +220,7 @@ class LakeTable private (
     // fast path: every key appears at most once when all live files come
     // from a single snapshot (one post-LWW batch, or one compaction)
     if (contributingSnaps.size <= 1) readDataFiles(files, schema)
-    else bucketedWinners(files, schema, asOf).getOrElse {
+    else bucketedWinners(files, schema, contributingSnaps).getOrElse {
       val nonKey = schema.fields.map(_.name).filterNot(_ == keyCol) ++
         Seq(LsnCol, TombCol)
       files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, bucketFiles) =>
@@ -233,14 +242,14 @@ class LakeTable private (
     * returns None otherwise (caller falls back to plan branches).
     */
   private def bucketedWinners(files: Seq[FileEntry], target: LakeSchema,
-                              asOf: Option[Long]): Option[DataFrame] = {
+                              contributingSnaps: Set[Long]): Option[DataFrame] = {
     if (files.isEmpty) return None
     val sids = files.map(_.schemaId).distinct
     if (sids.size != 1) return None
     // layout of the contributing snapshots (bucket evolution rewrites the
     // whole live set, so a live set always carries exactly one layout; for
     // time travel it may differ from the CURRENT table layout)
-    val layout = liveState(asOf)._2.flatMap(id =>
+    val layout = contributingSnaps.flatMap(id =>
       snapshots.find(_.snapshotId == id).flatMap(_.summary.get("numBuckets")))
       .map(_.toInt).toSeq.distinct match {
       case Seq(n) => n
@@ -507,26 +516,34 @@ class LakeTable private (
     * pruning.
     */
   private def writeDelta(df: DataFrame, relDir: String, schemaId: Int): Seq[FileEntry] = {
-    val out = s"$root/$relDir"
-    df.write.mode("overwrite").parquet(out)
-    val base = Paths.get(out)
-    if (!Files.exists(base)) return Seq.empty
+    // write into a hidden staging dir, finalise file names there, then
+    // move the WHOLE directory into place: a concurrent changesStream
+    // tail never observes half-renamed files (pre-rename names would 404
+    // its micro-batch, post-rename names would double-emit)
+    val stage = Paths.get(s"$root/data/.stage-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    if (!Files.exists(stage)) return Seq.empty
     val conf = spark.sessionState.newHadoopConf()
-    Files.list(base).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { f =>
-        val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
-        val bucket = name.stripPrefix("part-").take(5).toInt
-        val suffixed = {
-          val dot = name.indexOf('.')
-          name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
-        }
-        val dst = f.resolveSibling(suffixed)
-        Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
-        val (rows, minLsn, maxLsn) = footerStats(dst, conf)
-        FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId, rows, minLsn, maxLsn)
+    // materialise the listing BEFORE the side-effecting renames —
+    // Files.list is weakly consistent and may re-observe a renamed entry
+    val parts = Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val entries = parts.map { f =>
+      val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
+      val bucket = name.stripPrefix("part-").take(5).toInt
+      val suffixed = {
+        val dot = name.indexOf('.')
+        name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
       }
-      .toSeq.sortBy(_.bucket)
+      val dst = f.resolveSibling(suffixed)
+      Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+      val (rows, minLsn, maxLsn) = footerStats(dst, conf)
+      FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId, rows, minLsn, maxLsn)
+    }.sortBy(_.bucket)
+    val target = Paths.get(s"$root/$relDir")
+    Files.createDirectories(target.getParent)
+    Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    entries
   }
 
   /** (rowCount, min(_lsn), max(_lsn)) from the parquet footer. */
@@ -655,13 +672,25 @@ object LakeTable {
     new LakeTable(spark, root, keyCol, numBuckets)
   }
 
-  /** Load an existing table; layout properties come from its metadata. */
+  /** Load an existing table; layout properties come from its metadata.
+    * The bucket count prefers the LATEST snapshot's recorded layout over
+    * table.json: a crash between a re-bucketing compaction's commit and
+    * its table.json update must not resurrect the old layout (mixed-layout
+    * winner resolution would duplicate keys).
+    */
   def load(spark: SparkSession, root: String): LakeTable = {
     val meta = Paths.get(root, "meta")
     require(Files.exists(meta), s"no table at $root")
     val p = meta.resolve("table.json")
     val n = mapper.readTree(Files.readString(p))
-    new LakeTable(spark, root, n.get("keyCol").asText(), n.get("numBuckets").asInt())
+    val t = new LakeTable(spark, root, n.get("keyCol").asText(), n.get("numBuckets").asInt())
+    t.snapshots.lastOption.flatMap(_.summary.get("numBuckets")).map(_.toInt)
+      .filter(_ != t.numBuckets)
+      .foreach { fromLog =>
+        t._numBuckets = fromLog
+        writeTableProps(meta, t.keyCol, fromLog) // heal table.json
+      }
+    t
   }
 
   private[lake] def writeTableProps(meta: Path, keyCol: String, numBuckets: Int): Unit = {

@@ -33,7 +33,10 @@ object Codecs {
     */
   def infer(path: String): Option[String] = {
     val local = path match {
-      case u if u.startsWith("file:") => java.net.URI.create(u).getPath
+      case u if u.startsWith("file:") =>
+        // opaque file: URIs (no slashes) have a null getPath — fall back
+        // to stripping the scheme rather than NPE-ing
+        Option(java.net.URI.create(u).getPath).getOrElse(u.stripPrefix("file:"))
       case u if u.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") =>
         // non-file URL: sniff the last path segment's extension, no I/O
         return u.split('?').head.split('/').lastOption

@@ -53,13 +53,20 @@ object NQuads {
   private val Line = "^<([^>]*)> <([^>]*)> \"(.*)\" <([^>]*)> \\.$"
 
   /** Parse an N-Quads file back into a statement frame. Malformed lines
-    * surface as nulls (route them through [[graft.cdc.Quarantine]]-style
-    * handling upstream if the input is untrusted).
+    * surface as all-null rows — distinguishable from data, since
+    * regexp_extract alone would return empty strings (route them through
+    * [[graft.cdc.Quarantine]]-style handling upstream if the input is
+    * untrusted).
     */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val wellFormed = col("value").rlike(Line)
+    def grp(i: Int): Column =
+      when(wellFormed, regexp_extract(col("value"), Line, i))
+        .otherwise(lit(null).cast("string"))
     spark.read.text(path).select(
-      regexp_extract(col("value"), Line, 1).as("subject"),
-      regexp_extract(col("value"), Line, 2).as("predicate"),
-      unesc(regexp_extract(col("value"), Line, 3)).as("object"),
-      regexp_extract(col("value"), Line, 4).as("source"))
+      grp(1).as("subject"),
+      grp(2).as("predicate"),
+      unesc(grp(3)).as("object"),
+      grp(4).as("source"))
+  }
 }

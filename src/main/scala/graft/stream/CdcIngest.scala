@@ -46,7 +46,10 @@ object CdcIngest {
       if (!quarantine) src0
       else {
         val (clean, bad) = graft.cdc.Quarantine.split(table, src0)
-        if (epochId > table.lastCommittedEpoch)
+        // only materialise a quarantine dir when something actually went
+        // bad — a clean feed must not accrete empty epoch dirs (which
+        // would also break schema inference on read-back)
+        if (epochId > table.lastCommittedEpoch && !bad.isEmpty)
           graft.cdc.Quarantine.write(table, bad, epochId)
         clean
       }

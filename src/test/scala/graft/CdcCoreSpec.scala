@@ -125,6 +125,12 @@ class CdcCoreSpec extends SparkSpec {
     assert(hotPlan.contains("_salt"), "hot feed should route to the salted reduce")
     val uniPlan = Lww.reduceAuto(uniform, "doc_id", 8).queryExecution.optimizedPlan.toString
     assert(!uniPlan.contains("_salt"), "uniform feed should route to the plain reduce")
+    // empty batches (idle streaming triggers) route cleanly, never NPE
+    assert(Lww.reduceAuto(uniform.limit(0), "doc_id", 8).isEmpty)
+    // the salted route honors a non-default key column
+    val renamed = hot.withColumnRenamed("doc_id", "k")
+    assert(winners(Lww.reduceAuto(renamed, "k", 8)
+      .withColumnRenamed("k", "doc_id")) == winners(Lww.reduce(hot)))
   }
 
   test("hot-key skewed feed with salting matches fold") {
@@ -186,6 +192,19 @@ class CdcCoreSpec extends SparkSpec {
       .mapPartitions(_.map(i => EventGen.event(c1, i))).toDF()
     CdcIngest.applyBatch(reloaded, more, epochId = 3L)
     assert(FoldOracle.diff(reloaded.read(),
+      FoldOracle.finalState(c1.copy(numEvents = 8000L))).isEmpty)
+
+    // crash window: rebucket committed its snapshot but died before the
+    // table.json update — load() must heal the layout from the snapshot
+    // log, never resurrect the stale bucket count (mixed-layout reads
+    // would duplicate keys)
+    val meta = java.nio.file.Paths.get(s"$dir/t/meta/table.json")
+    val stale = java.nio.file.Files.readString(meta).replace("16", "4")
+    java.nio.file.Files.writeString(meta, stale)
+    val healed = LakeTable.load(spark, s"$dir/t")
+    assert(healed.numBuckets == 16, "layout not healed from snapshot log")
+    assert(java.nio.file.Files.readString(meta).contains("16"))
+    assert(FoldOracle.diff(healed.read(),
       FoldOracle.finalState(c1.copy(numEvents = 8000L))).isEmpty)
   }
 
@@ -298,6 +317,11 @@ class CdcCoreSpec extends SparkSpec {
     val lines = spark.read.text(s"$dir/out.nq").collect().map(_.getString(0))
     assert(lines.forall(l => l.startsWith("<") && l.endsWith("> .")))
     assert(lines.exists(_.contains("\"line1\\nline2\\t\\\"quoted\\\" back\\\\slash\"")))
+    // malformed lines parse to all-null rows, never to plausible data
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.nq"), "not an nquad\n")
+    val badRows = NQuads.read(spark, s"$dir/bad.nq").collect()
+    assert(badRows.length == 1 && (0 until 4).forall(badRows(0).isNullAt))
   }
 
   test("load() restores table properties from metadata") {
