@@ -211,15 +211,66 @@ class LakeTable private (
     */
   def mergedWinners(asOf: Option[Long] = None): DataFrame = {
     val (files, contributingSnaps) = liveState(asOf)
-    val schema = asOf match {
+    val schema = schemaFor(files, asOf)
+    winnersOver(files, contributingSnaps, schema)
+  }
+
+  private def schemaFor(files: Seq[FileEntry], asOf: Option[Long]): LakeSchema =
+    asOf match {
       case None => currentSchema
       case Some(_) =>
         val maxSid = (files.map(_.schemaId) ++ Seq(0)).max
         schemas.find(_.schemaId == maxSid).getOrElse(currentSchema)
     }
+
+  /** Point lookup by key with MANIFEST-side bucket pruning: the key's
+    * bucket is computed driver-side (Spark's own bucket function) and only
+    * that bucket's files enter the plan — zero file opens outside the
+    * bucket, independent of planner bucketing rules. The access-path
+    * recast of the reference's `getStatements(s, …)` index lookup
+    * (repository.clj:716-727, SURVEY.md §2.3 F3).
+    */
+  def lookup(keyValue: Any, asOf: Option[Long] = None): DataFrame = {
+    val (files, contributingSnaps) = liveState(asOf)
+    val schema = schemaFor(files, asOf)
+    val subset = layoutOf(contributingSnaps) match {
+      case Some(layout) =>
+        val dt = schema.fields.find(_.name == keyCol)
+          .map(_.dataType).getOrElse(StringType)
+        val attr = org.apache.spark.sql.catalyst.expressions
+          .AttributeReference(keyCol, dt, nullable = false)()
+        val internal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(keyValue)
+        val b = org.apache.spark.sql.execution.datasources.BucketingUtils
+          .getBucketIdFromValue(attr, layout, internal)
+        files.filter(_.bucket == b)
+      case None => files
+    }
+    winnersOver(subset, contributingSnaps, schema)
+      .filter(col(keyCol) === lit(keyValue) && !col(TombCol))
+      .drop(LsnCol, TombCol)
+  }
+
+  /** Single bucket layout of a snapshot set, None when mixed/unknown. */
+  private def layoutOf(contributingSnaps: Set[Long]): Option[Int] =
+    contributingSnaps.flatMap(id =>
+      snapshots.find(_.snapshotId == id).flatMap(_.summary.get("numBuckets")))
+      .map(_.toInt).toSeq.distinct match {
+      case Seq(n) => Some(n)
+      case Seq()  => Some(numBuckets) // legacy snapshots without the key
+      case _      => None
+    }
+
+  private def winnersOver(files: Seq[FileEntry], contributingSnaps: Set[Long],
+                          schema: LakeSchema): DataFrame = {
     // fast path: every key appears at most once when all live files come
-    // from a single snapshot (one post-LWW batch, or one compaction)
-    if (contributingSnaps.size <= 1) readDataFiles(files, schema)
+    // from a single snapshot (one post-LWW batch, or one compaction) — no
+    // winner aggregate needed, but still served through the bucketed
+    // relation when eligible (bucket pruning for key point-lookups,
+    // reported partitioning for downstream joins)
+    if (contributingSnaps.size <= 1)
+      bucketedRelation(files, schema, contributingSnaps)
+        .getOrElse(readDataFiles(files, schema))
     else bucketedWinners(files, schema, contributingSnaps).getOrElse {
       val nonKey = schema.fields.map(_.name).filterNot(_ == keyCol) ++
         Seq(LsnCol, TombCol)
@@ -236,26 +287,21 @@ class LakeTable private (
     }
   }
 
-  /** Single-scan zero-exchange winner resolution over a bucketed relation
-    * built straight from the manifest (no filesystem listing). Applicable
-    * when the live files share one schema version and one bucket layout;
-    * returns None otherwise (caller falls back to plan branches).
+  /** Build a bucketed parquet relation over `files` straight from the
+    * manifest (no filesystem listing), with field-id mapping to `target`.
+    * Returns the mapped frame and the file schema's column names, or None
+    * when ineligible (mixed schema versions or mixed/unsniffable bucket
+    * layout) — callers fall back to plain per-group reads.
     */
-  private def bucketedWinners(files: Seq[FileEntry], target: LakeSchema,
-                              contributingSnaps: Set[Long]): Option[DataFrame] = {
+  private def bucketedRelationRaw(files: Seq[FileEntry], target: LakeSchema,
+      contributingSnaps: Set[Long]): Option[(DataFrame, LakeSchema)] = {
     if (files.isEmpty) return None
     val sids = files.map(_.schemaId).distinct
     if (sids.size != 1) return None
     // layout of the contributing snapshots (bucket evolution rewrites the
     // whole live set, so a live set always carries exactly one layout; for
     // time travel it may differ from the CURRENT table layout)
-    val layout = contributingSnaps.flatMap(id =>
-      snapshots.find(_.snapshotId == id).flatMap(_.summary.get("numBuckets")))
-      .map(_.toInt).toSeq.distinct match {
-      case Seq(n) => n
-      case Seq()  => numBuckets // legacy snapshots without the summary key
-      case _      => return None
-    }
+    val layout = layoutOf(contributingSnaps).getOrElse(return None)
     if (files.exists(f => f.bucket >= layout ||
         !f.path.matches(""".*_\d{5}\.[^/]*$"""))) return None
     val fileSchema = schemas.find(_.schemaId == sids.head).getOrElse(return None)
@@ -275,18 +321,14 @@ class LakeTable private (
         layout, Seq(keyCol), Nil)),
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    val df = spark.baseRelationToDataFrame(relation)
-    // the key is projected from the GROUPING attribute (not from the
-    // max_by struct): Catalyst then carries HashPartitioning(key, n)
-    // through the aggregate, so downstream joins/aggs on the key — e.g.
-    // two co-bucketed tables joined — plan with no exchange either
-    val nonKey = fileSchema.fields.map(_.name).filterNot(_ == keyCol) ++
-      Seq(LsnCol, TombCol)
-    val winners = df
-      .groupBy(col(keyCol))
-      .agg(max_by(struct(nonKey.map(col): _*), col(LsnCol)).as("_w"))
-      .select(col(keyCol) +: nonKey.map(c => col(s"_w.$c").as(c)): _*)
-    // map the single file schema to the target by field id (rename/widen)
+    Some((spark.baseRelationToDataFrame(relation), fileSchema))
+  }
+
+  /** Field-id mapping of a file-schema frame onto `target` (rename/widen;
+    * nulls for added columns), hidden columns carried through.
+    */
+  private def mapToTarget(df: DataFrame, fileSchema: LakeSchema,
+                          target: LakeSchema): DataFrame = {
     val nameById = fileSchema.fields.map(f => f.id -> f.name).toMap
     val outCols: Seq[Column] = target.fields.map { tf =>
       nameById.get(tf.id) match {
@@ -294,8 +336,38 @@ class LakeTable private (
         case None          => lit(null).cast(tf.dataType).as(tf.name)
       }
     } ++ Seq(col(LsnCol), col(TombCol))
-    Some(winners.select(outCols: _*))
+    df.select(outCols: _*)
   }
+
+  /** Single-snapshot bucketed read: no winner aggregate, just the mapped
+    * relation (bucket pruning + reported partitioning for free).
+    */
+  private def bucketedRelation(files: Seq[FileEntry], target: LakeSchema,
+      contributingSnaps: Set[Long]): Option[DataFrame] =
+    bucketedRelationRaw(files, target, contributingSnaps).map {
+      case (df, fileSchema) => mapToTarget(df, fileSchema, target)
+    }
+
+  /** Single-scan zero-exchange winner resolution over a bucketed relation
+    * built straight from the manifest (no filesystem listing). Applicable
+    * when the live files share one schema version and one bucket layout;
+    * returns None otherwise (caller falls back to plan branches).
+    */
+  private def bucketedWinners(files: Seq[FileEntry], target: LakeSchema,
+                              contributingSnaps: Set[Long]): Option[DataFrame] =
+    bucketedRelationRaw(files, target, contributingSnaps).map { case (df, fileSchema) =>
+      // the key is projected from the GROUPING attribute (not from the
+      // max_by struct): Catalyst then carries HashPartitioning(key, n)
+      // through the aggregate, so downstream joins/aggs on the key — e.g.
+      // two co-bucketed tables joined — plan with no exchange either
+      val nonKey = fileSchema.fields.map(_.name).filterNot(_ == keyCol) ++
+        Seq(LsnCol, TombCol)
+      val winners = df
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(nonKey.map(col): _*), col(LsnCol)).as("_w"))
+        .select(col(keyCol) +: nonKey.map(c => col(s"_w.$c").as(c)): _*)
+      mapToTarget(winners, fileSchema, target)
+    }
 
   /** Read a heterogeneous-schema set of delta files, mapping each file's
     * columns to the target schema by field id (nulls for added columns,
@@ -366,7 +438,7 @@ class LakeTable private (
         srcMin.as(SrcMinCol), srcMax.as(SrcMaxCol))
     val delta = winners.select(outCols: _*)
 
-    val entries = writeDelta(delta, s"data/snap-$snapId", schema.schemaId)
+    val entries = writeDelta(delta, s"data/snap-$snapId", schema.schemaId, numBuckets)
     val snap = Snapshot(snapId, snapId - 1, epochId, entries,
       Set.empty,
       summary + ("operation" -> "upsert") + ("numBuckets" -> numBuckets.toString))
@@ -454,7 +526,7 @@ class LakeTable private (
     // maintenance rewrite merely moved
     val entries = writeDelta(merged.select(
         (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
-      s"data/compact-$snapId", currentSchema.schemaId)
+      s"data/compact-$snapId", currentSchema.schemaId, target)
     val snap = Snapshot(snapId, snapId - 1, lastCommittedEpoch, entries,
       oldFiles.map(_.path).toSet,
       summary + ("operation" -> "compact") + ("numBuckets" -> target.toString) ++
@@ -515,30 +587,59 @@ class LakeTable private (
     * are the manifest-style file stats that feed lineage and future scan
     * pruning.
     */
-  private def writeDelta(df: DataFrame, relDir: String, schemaId: Int): Seq[FileEntry] = {
-    // write into a hidden staging dir, finalise file names there, then
-    // move the WHOLE directory into place: a concurrent changesStream
-    // tail never observes half-renamed files (pre-rename names would 404
-    // its micro-batch, post-rename names would double-emit)
+  private def writeDelta(df: DataFrame, relDir: String, schemaId: Int,
+                         buckets: Int): Seq[FileEntry] = {
+    // The file layout contract is "part N holds exactly key-bucket N".
+    // Two defenses keep it unconditionally true:
+    //  1. autoBucketedScan is pinned OFF while this write plans: when the
+    //     input chain reads one of OUR bucketed relations, Catalyst elides
+    //     the caller's repartition (child already HashPartitioning) — and
+    //     AQE's DisableUnnecessaryBucketedScan would then silently turn
+    //     the scan into arbitrary file splits, breaking task-index ==
+    //     bucket and MISPLACING rows (real bug, caught by a review probe).
+    //  2. every row carries its computed `_bucket`; after writing, the
+    //     parquet footer must show min == max == the part-number bucket,
+    //     or the write REFUSES to commit — layout corruption can only ever
+    //     be loud, never silent.
+    val tagged = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(buckets)))
     val stage = Paths.get(s"$root/data/.stage-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(stage.toString)
+    val autoBucketKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.getOption(autoBucketKey)
+    spark.conf.set(autoBucketKey, "false")
+    try tagged.write.mode("overwrite").parquet(stage.toString)
+    finally prevAuto match {
+      case Some(v) => spark.conf.set(autoBucketKey, v)
+      case None    => spark.conf.unset(autoBucketKey)
+    }
     if (!Files.exists(stage)) return Seq.empty
     val conf = spark.sessionState.newHadoopConf()
     // materialise the listing BEFORE the side-effecting renames —
     // Files.list is weakly consistent and may re-observe a renamed entry
     val parts = Files.list(stage).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val entries = parts.map { f =>
+    val entries = parts.flatMap { f =>
       val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
       val bucket = name.stripPrefix("part-").take(5).toInt
-      val suffixed = {
-        val dot = name.indexOf('.')
-        name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
+      val stats = footerStats(f, conf)
+      if (stats.rows == 0) {
+        // empty task output: nothing to track (and no stats to verify)
+        Files.delete(f)
+        None
+      } else {
+        if (stats.minBucket != bucket || stats.maxBucket != bucket)
+          throw new IllegalStateException(
+            s"bucket layout violation in $name: file claims bucket $bucket but " +
+              s"rows span buckets [${stats.minBucket}, ${stats.maxBucket}] — " +
+              "refusing to commit a misplaced delta")
+        val suffixed = {
+          val dot = name.indexOf('.')
+          name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
+        }
+        val dst = f.resolveSibling(suffixed)
+        Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+        Some(FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId,
+          stats.rows, stats.minLsn, stats.maxLsn))
       }
-      val dst = f.resolveSibling(suffixed)
-      Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
-      val (rows, minLsn, maxLsn) = footerStats(dst, conf)
-      FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId, rows, minLsn, maxLsn)
     }.sortBy(_.bucket)
     val target = Paths.get(s"$root/$relDir")
     Files.createDirectories(target.getParent)
@@ -546,8 +647,13 @@ class LakeTable private (
     entries
   }
 
-  /** (rowCount, min(_lsn), max(_lsn)) from the parquet footer. */
-  private def footerStats(f: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long, Long) = {
+  private final case class FooterStats(rows: Long, minLsn: Long, maxLsn: Long,
+                                       minBucket: Int, maxBucket: Int)
+
+  /** Row count, `_lsn`/`_src_*` range, and `_bucket` range from the
+    * parquet footer (driver-side, no Spark job).
+    */
+  private def footerStats(f: Path, conf: org.apache.hadoop.conf.Configuration): FooterStats = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.toUri), conf))
@@ -565,6 +671,8 @@ class LakeTable private (
       val (mnCol, mxCol) = if (hasSrc) (SrcMinCol, SrcMaxCol) else (LsnCol, LsnCol)
       var mn = Long.MaxValue
       var mx = Long.MinValue
+      var bmn = Int.MaxValue
+      var bmx = Int.MinValue
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val path = c.getPath.toDotString
@@ -574,10 +682,18 @@ class LakeTable private (
               st.genericGetMin match { case l: java.lang.Long => mn = math.min(mn, l); case _ => () }
             if (path == mxCol)
               st.genericGetMax match { case l: java.lang.Long => mx = math.max(mx, l); case _ => () }
+            if (path == BucketCol) {
+              st.genericGetMin match { case i: java.lang.Integer => bmn = math.min(bmn, i); case _ => () }
+              st.genericGetMax match { case i: java.lang.Integer => bmx = math.max(bmx, i); case _ => () }
+            }
           }
         }
       }
-      (rows, if (mn == Long.MaxValue) -1L else mn, if (mx == Long.MinValue) -1L else mx)
+      FooterStats(rows,
+        if (mn == Long.MaxValue) -1L else mn,
+        if (mx == Long.MinValue) -1L else mx,
+        if (bmn == Int.MaxValue) -1 else bmn,
+        if (bmx == Int.MinValue) -1 else bmx)
     } finally reader.close()
   }
 
@@ -632,6 +748,7 @@ object LakeTable {
   val TombCol = "_tomb"
   val SrcMinCol = "_src_min"
   val SrcMaxCol = "_src_max"
+  val BucketCol = "_bucket"
 
   private val mapper = new ObjectMapper()
 

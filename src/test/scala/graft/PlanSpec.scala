@@ -117,5 +117,38 @@ class PlanSpec extends SparkSpec {
     CdcIngest.applyBatch(table, batch, epochId = 0L)
     val plan = planOf(table.read())
     assert(!plan.contains("Join"), "fast path should not join")
+    assert(!plan.contains("max_by"), "fast path should not aggregate")
+  }
+
+  test("point lookup prunes to one bucket (statement-pattern access path)") {
+    import spark.implicits._
+    val dir = tmpDir("plan-lookup")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val cfg = FeedConfig(numEvents = 1200)
+    (0 until 2).foreach { c =>
+      val batch = spark.range(c * 600L, (c + 1) * 600L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val someKey = table.read().select("doc_id").head().getString(0)
+    // reference analog: getStatements(s, nil, nil) point lookup via the
+    // native-store index (repository.clj:716-727) — the key's bucket is
+    // computed driver-side and only that bucket's files enter the plan
+    // (manifest pruning: zero file opens outside the bucket, independent
+    // of planner bucketing rules)
+    val q = table.lookup(someKey)
+    // 2 snapshots x 4 buckets = 8 live files; the key's bucket holds 2
+    assert(q.inputFiles.length == 2,
+      s"lookup scanned ${q.inputFiles.length} of ${table.liveFiles().size} files")
+    assert(q.count() == 1)
+    assert(q.head().getString(0) == someKey)
+    // lookups keep pruning after compaction (single-snapshot path)
+    table.compact()
+    val q2 = table.lookup(someKey)
+    assert(q2.inputFiles.length == 1,
+      s"post-compaction lookup scanned ${q2.inputFiles.length} files")
+    assert(q2.count() == 1)
+    // a missing key returns empty, never errors
+    assert(table.lookup("no_such_key").isEmpty)
   }
 }
