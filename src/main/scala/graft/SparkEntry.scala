@@ -349,6 +349,31 @@ object SparkEntry {
         col("n_nationkey").cast("int").as("src"),
         (col("n_regionkey") + 100).cast("int").as("dst")))
     }),
+    "q51_nquads" -> ((s, dir) => { implicit val sp = s
+      // literal serialisation (C1): statement frame → N-Quads lines with
+      // N-Triples escaping, as pure Column transforms
+      import graft.operators.Templater._
+      graft.sources.NQuads.serialize(
+        graph(t(dir, "documents"), col("doc_id"), "g",
+          leaves = Seq(Leaf("head", substring(col("text"), 1, 12)),
+            Leaf("lang", col("lang")))))
+    }),
+    "q52_temporal_offsets" -> ((s, dir) => { implicit val sp = s
+      // OffsetTime/OffsetDate structs (C5): zone-preserving temporal
+      // coercion; lexical forms synthesised deterministically per row
+      import graft.coerce.Coerce
+      val zone = when(pmod(col("event_id"), lit(3)) === 0, "Z")
+        .when(pmod(col("event_id"), lit(3)) === 1, "+05:30")
+        .otherwise("")
+      val lex = concat(date_format(col("ts"), "HH:mm:ss"), zone)
+      val ot = Coerce.offsetTime(lex)
+      val od = Coerce.offsetDate(concat(date_format(col("ts"), "yyyy-MM-dd"), zone))
+      t(dir, "events").select(col("event_id"),
+        ot.getField("nanos").as("t_nanos"),
+        ot.getField("offsetSeconds").as("t_off"),
+        od.getField("date").cast("string").as("d_date"),
+        od.getField("offsetSeconds").as("d_off"))
+    }),
     "q50_inference" -> ((s, dir) => { implicit val sp = s
       // forward-chaining materialised view (E5): membership propagates
       // through subset containment to fixpoint
@@ -714,6 +739,27 @@ object SparkEntry {
     "q49_inverse_path" ->
       """SELECT CAST(n_regionkey + 100 AS INT) AS src, CAST(n_nationkey AS INT) AS dst
          FROM nation""",
+    "q51_nquads" ->
+      """SELECT '<' || CAST(doc_id AS VARCHAR) || '> <head> "' ||
+           replace(replace(replace(replace(replace(substr(text, 1, 12),
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '" <g> .' AS value FROM documents
+         UNION ALL
+         SELECT '<' || CAST(doc_id AS VARCHAR) || '> <lang> "' ||
+           replace(replace(replace(replace(replace(lang,
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '" <g> .' FROM documents""",
+    "q52_temporal_offsets" ->
+      """SELECT event_id,
+           (CAST(strftime(ts, '%H') AS BIGINT) * 3600
+            + CAST(strftime(ts, '%M') AS BIGINT) * 60
+            + CAST(strftime(ts, '%S') AS BIGINT)) * 1000000000 AS t_nanos,
+           CAST(CASE WHEN event_id % 3 = 0 THEN 0
+                WHEN event_id % 3 = 1 THEN 19800 END AS INT) AS t_off,
+           strftime(ts, '%Y-%m-%d') AS d_date,
+           CAST(CASE WHEN event_id % 3 = 0 THEN 0
+                WHEN event_id % 3 = 1 THEN 19800 END AS INT) AS d_off
+         FROM events""",
     "q50_inference" ->
       """SELECT CAST('n' || CAST(n_nationkey AS VARCHAR) AS VARCHAR) AS s,
                 'memberOf' AS p, 'r' || CAST(n_regionkey AS VARCHAR) AS o FROM nation
