@@ -53,12 +53,26 @@ object Quarantine {
   /** Persist quarantined rows under `<table>/badrecords/epoch-N/` as JSON
     * lines: the full offending row plus `_bad_cols` and `_epoch`. A
     * distributed write (no driver collect) — the quarantine can be as big
-    * as the batch.
+    * as the batch. Emptiness is detected from the WRITTEN output (one
+    * pass, no extra isEmpty job): an all-empty epoch dir is removed so a
+    * clean feed accretes nothing. Returns whether anything was quarantined.
     */
-  def write(table: LakeTable, bad: DataFrame, epochId: Long): Unit =
+  def write(table: LakeTable, bad: DataFrame, epochId: Long): Boolean = {
+    val dir = f"${table.root}/badrecords/epoch-$epochId%012d"
     bad.withColumn("_epoch", lit(epochId))
-      .write.mode("overwrite")
-      .json(f"${table.root}/badrecords/epoch-$epochId%012d")
+      .write.mode("overwrite").json(dir)
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    val hasData = java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.list(p).iterator().asScala.exists { f =>
+        f.getFileName.toString.startsWith("part-") && java.nio.file.Files.size(f) > 0
+      }
+    if (!hasData) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    hasData
+  }
 
   /** Read back the quarantine as a DataFrame (schema inferred per read —
     * quarantined rows are by definition schema-divergent).

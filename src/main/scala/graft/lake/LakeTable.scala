@@ -134,6 +134,10 @@ class LakeTable private (
   def refresh(): Unit = {
     schemaCache = null
     snapshotCache = null
+    // the bucket layout is itself commit-carried state: a writer in
+    // another process may have re-bucketed the table
+    snapshots.lastOption.flatMap(_.summary.get("numBuckets")).map(_.toInt)
+      .foreach(n => _numBuckets = n)
   }
 
   def currentSchema: LakeSchema = schemas.last
@@ -235,12 +239,14 @@ class LakeTable private (
     val schema = schemaFor(files, asOf)
     val subset = layoutOf(contributingSnaps) match {
       case Some(layout) =>
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
         val dt = schema.fields.find(_.name == keyCol)
           .map(_.dataType).getOrElse(StringType)
-        val attr = org.apache.spark.sql.catalyst.expressions
-          .AttributeReference(keyCol, dt, nullable = false)()
-        val internal = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToCatalyst(keyValue)
+        // coerce the probe value to the COLUMN's type before hashing —
+        // bucket placement hashed that representation (an Int probe
+        // against a long key must hash as a long)
+        val internal = Cast(Literal(keyValue), dt, Some("UTC")).eval()
+        val attr = AttributeReference(keyCol, dt, nullable = false)()
         val b = org.apache.spark.sql.execution.datasources.BucketingUtils
           .getBucketIdFromValue(attr, layout, internal)
         files.filter(_.bucket == b)
@@ -252,17 +258,21 @@ class LakeTable private (
   }
 
   /** Single bucket layout of a snapshot set, None when mixed/unknown. */
-  private def layoutOf(contributingSnaps: Set[Long]): Option[Int] =
-    contributingSnaps.flatMap(id =>
-      snapshots.find(_.snapshotId == id).flatMap(_.summary.get("numBuckets")))
+  private def layoutOf(contributingSnaps: Set[Long]): Option[Int] = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    contributingSnaps.flatMap(id => byId.get(id).flatMap(_.summary.get("numBuckets")))
       .map(_.toInt).toSeq.distinct match {
       case Seq(n) => Some(n)
       case Seq()  => Some(numBuckets) // legacy snapshots without the key
       case _      => None
     }
+  }
 
   private def winnersOver(files: Seq[FileEntry], contributingSnaps: Set[Long],
                           schema: LakeSchema): DataFrame = {
+    // no files (fresh table, or a lookup pruned to an empty bucket) —
+    // empty frame, and never an empty-reduce crash in the branch path
+    if (files.isEmpty) return readDataFiles(files, schema)
     // fast path: every key appears at most once when all live files come
     // from a single snapshot (one post-LWW batch, or one compaction) — no
     // winner aggregate needed, but still served through the bucketed
@@ -419,14 +429,24 @@ class LakeTable private (
     val snapId = currentSnapshotId + 1
     val schema = currentSchema
 
+    // the key is cast to the TABLE's key type BEFORE any placement: the
+    // shuffle hash, the per-row _bucket tag, and lookup's driver-side
+    // bucket math must all hash the same representation (an int key
+    // delivered into a widened long column would otherwise hash 4 bytes
+    // at placement but 8 bytes at verification)
+    val keyType = schema.fields.find(_.name == keyCol).map(_.dataType)
+    val keyed = keyType
+      .filterNot(dt => sameType(batch.schema(keyCol).dataType, dt))
+      .map(dt => batch.withColumn(keyCol, col(keyCol).cast(dt)))
+      .getOrElse(batch)
     // shuffle only what the delta needs: key, lsn, op, schema payloads —
     // event-time and transport columns never cross the wire
     val needed = (Seq(keyCol, "lsn", "op") ++
-      schema.fields.map(_.name).filter(batch.columns.contains)).distinct
-    val slim = batch.select(needed.filter(batch.columns.contains).map(col): _*)
+      schema.fields.map(_.name).filter(keyed.columns.contains)).distinct
+    val slim = keyed.select(needed.filter(keyed.columns.contains).map(col): _*)
     val winners =
       if (reduce) Lww.reduceBucketed(slim, keyCol, numBuckets)
-      else batch.repartition(numBuckets, col(keyCol))
+      else keyed.repartition(numBuckets, col(keyCol))
     // project to the current schema AFTER the reduce — selections preserve
     // the bucket partitioning, so no further exchange is planned
     val srcMin = if (winners.columns.contains("_src_min")) col("_src_min") else col("lsn")
@@ -612,39 +632,59 @@ class LakeTable private (
       case None    => spark.conf.unset(autoBucketKey)
     }
     if (!Files.exists(stage)) return Seq.empty
-    val conf = spark.sessionState.newHadoopConf()
-    // materialise the listing BEFORE the side-effecting renames —
-    // Files.list is weakly consistent and may re-observe a renamed entry
-    val parts = Files.list(stage).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val entries = parts.flatMap { f =>
-      val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
-      val bucket = name.stripPrefix("part-").take(5).toInt
-      val stats = footerStats(f, conf)
-      if (stats.rows == 0) {
-        // empty task output: nothing to track (and no stats to verify)
-        Files.delete(f)
-        None
-      } else {
-        if (stats.minBucket != bucket || stats.maxBucket != bucket)
-          throw new IllegalStateException(
-            s"bucket layout violation in $name: file claims bucket $bucket but " +
-              s"rows span buckets [${stats.minBucket}, ${stats.maxBucket}] — " +
-              "refusing to commit a misplaced delta")
-        val suffixed = {
-          val dot = name.indexOf('.')
-          name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      // materialise the listing BEFORE the side-effecting renames —
+      // Files.list is weakly consistent and may re-observe a renamed entry
+      val parts = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val entries = parts.flatMap { f =>
+        val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
+        val bucket = name.stripPrefix("part-").take(5).toInt
+        val stats = footerStats(f, conf)
+        if (stats.rows == 0) {
+          // empty task output: nothing to track (and no stats to verify)
+          Files.delete(f)
+          None
+        } else {
+          // -1/-1 = no statistics present (e.g. stats disabled in the
+          // parquet conf): unverifiable, not violated
+          val verifiable = stats.minBucket >= 0 || stats.maxBucket >= 0
+          if (verifiable && (stats.minBucket != bucket || stats.maxBucket != bucket))
+            throw new IllegalStateException(
+              s"bucket layout violation in $name: file claims bucket $bucket but " +
+                s"rows span buckets [${stats.minBucket}, ${stats.maxBucket}] — " +
+                "refusing to commit a misplaced delta")
+          val suffixed = {
+            val dot = name.indexOf('.')
+            name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
+          }
+          val dst = f.resolveSibling(suffixed)
+          Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+          Some(FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId,
+            stats.rows, stats.minLsn, stats.maxLsn))
         }
-        val dst = f.resolveSibling(suffixed)
-        Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
-        Some(FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId,
-          stats.rows, stats.minLsn, stats.maxLsn))
-      }
-    }.sortBy(_.bucket)
-    val target = Paths.get(s"$root/$relDir")
-    Files.createDirectories(target.getParent)
-    Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
-    entries
+      }.sortBy(_.bucket)
+      val target = Paths.get(s"$root/$relDir")
+      Files.createDirectories(target.getParent)
+      // an existing target dir is always an ORPHAN: had its snapshot
+      // committed, snapId would have advanced past it. A crash between the
+      // dir move and the commit must not wedge crash-replay, so the orphan
+      // is replaced (the old overwrite-mode write had the same semantics).
+      deleteRecursively(target)
+      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      entries
+    } catch {
+      case t: Throwable =>
+        // never leak a full-size staging dir on a failing feed
+        deleteRecursively(stage)
+        throw t
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 
   private final case class FooterStats(rows: Long, minLsn: Long, maxLsn: Long,

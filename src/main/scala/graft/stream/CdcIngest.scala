@@ -46,10 +46,10 @@ object CdcIngest {
       if (!quarantine) src0
       else {
         val (clean, bad) = graft.cdc.Quarantine.split(table, src0)
-        // only materialise a quarantine dir when something actually went
-        // bad — a clean feed must not accrete empty epoch dirs (which
-        // would also break schema inference on read-back)
-        if (epochId > table.lastCommittedEpoch && !bad.isEmpty)
+        // one pass over the bad side: write() detects emptiness from its
+        // own output and removes an all-empty epoch dir, so a clean feed
+        // accretes nothing and pays no extra isEmpty job
+        if (epochId > table.lastCommittedEpoch)
           graft.cdc.Quarantine.write(table, bad, epochId)
         clean
       }

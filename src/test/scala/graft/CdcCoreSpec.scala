@@ -262,6 +262,44 @@ class CdcCoreSpec extends SparkSpec {
     assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("crash-replay over an orphan delta dir succeeds (uncommitted dir replaced)") {
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    CdcIngest.applyBatch(table,
+      Seq(("U", "a", 1L, Seq(1), 1)).toDF("op", "doc_id", "lsn", "tokens", "n_tok"), 0L)
+    // simulate a crash AFTER the delta dir landed but BEFORE the snapshot
+    // committed: the next attempt recomputes the same snapId and must
+    // replace the orphan, not wedge on it
+    val orphan = java.nio.file.Paths.get(s"$dir/t/data/snap-1")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
+    CdcIngest.applyBatch(table,
+      Seq(("U", "b", 2L, Seq(2), 1)).toDF("op", "doc_id", "lsn", "tokens", "n_tok"), 1L)
+    assert(table.read().count() == 2)
+    assert(!java.nio.file.Files.exists(orphan.resolve("junk.parquet")))
+  }
+
+  test("batch delivering a narrower key type than the schema places consistently") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("lake")
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val table = LakeTable.create(spark, s"$dir/t", schema, keyCol = "k", numBuckets = 4)
+    // k arrives as INT against the table's LONG key: placement, the
+    // per-file _bucket verification, and lookups must all hash the CAST
+    // representation (murmur3 of int and long differ)
+    val batch = Seq((1, "a", 1L, "U"), (2, "b", 2L, "U"), (3, "c", 3L, "U"))
+      .toDF("k", "v", "lsn", "op")
+    CdcIngest.applyBatch(table, batch, 0L)
+    CdcIngest.applyBatch(table,
+      Seq((1, "a2", 4L, "U")).toDF("k", "v", "lsn", "op"), 1L)
+    val got = table.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(table.lookup(1L).head().getString(1) == "a2")
+    assert(table.lookup(1).head().getString(1) == "a2") // Int probe coerced
+  }
+
   test("bad-record quarantine: corrupt rows side-output with lineage, clean rows applied") {
     val dir = tmpDir("lake")
     val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
