@@ -56,6 +56,22 @@ object Lww {
       .drop("_rn")
   }
 
+  /** Typed-Aggregator LWW (SURVEY.md §2.11 E6): the `Aggregator` fallback
+    * the survey reserves for cases `max_by` cannot express (custom
+    * tie-breaks, non-orderable payloads). Semantically identical to
+    * [[reduce]] on unique-lsn feeds — property-pinned — and kept as the
+    * documented extension point, not the hot path (declarative `max_by`
+    * gets Catalyst's partial aggregation and codegen; a typed Aggregator
+    * round-trips through object serialization).
+    */
+  def reduceTyped(events: org.apache.spark.sql.Dataset[graft.model.ChangeEvent])
+      : org.apache.spark.sql.Dataset[graft.model.ChangeEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.doc_id)
+      .reduceGroups((a, b) => if (a.lsn >= b.lsn) a else b)
+      .map(_._2)
+  }
+
   /** Skew-adaptive routing: probe a bounded prefix of the batch for heavy
     * hitters and choose the salted two-phase reduce when the hottest key
     * holds more than `hotShare` of sampled rows, else the plain bucketed

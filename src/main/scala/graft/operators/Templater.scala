@@ -31,6 +31,14 @@ object Templater {
   def skolem(subject: Column, predicate: String): Column =
     md5(concat_ws(Sep, subject.cast("string"), lit(predicate)))
 
+  /** add-properties (templater.clj:99-105): merge a {predicate → value}
+    * map into each subject row — the dynamic column append of the
+    * reference's template merge. Existing columns are replaced, new ones
+    * appended (Clojure merge semantics).
+    */
+  def addProperties(df: DataFrame, props: Map[String, Column]): DataFrame =
+    props.foldLeft(df) { case (d, (name, value)) => d.withColumn(name, value) }
+
   /** Expand each row into (subject, predicate, object, source) statements,
     * stamping `graphId` as the context — the in-repo `make-graph`
     * (templater.clj:68-97).

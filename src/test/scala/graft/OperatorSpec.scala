@@ -246,6 +246,28 @@ class OperatorSpec extends SparkSpec {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  test("add-properties merges a predicate map (replace + append)") {
+    import graft.operators.Templater
+    val d = Seq((1L, "x")).toDF("doc_id", "v")
+    val out = Templater.addProperties(d, Map(
+      "v" -> lit("replaced"),
+      "extra" -> (col("doc_id") * 2)))
+    val row = out.head()
+    assert(out.columns.toSeq == Seq("doc_id", "v", "extra"))
+    assert(row.getString(1) == "replaced" && row.getLong(2) == 2L)
+  }
+
+  test("typed Aggregator LWW == declarative max_by reduce") {
+    import graft.feed.{ChangeFeed, FeedConfig}
+    val events = ChangeFeed.events(spark, FeedConfig(seed = 9L, numEvents = 4000,
+      numDocs = 150, deletePct = 10, maxTokens = 8))
+    val typed = graft.cdc.Lww.reduceTyped(events)
+      .select($"doc_id", $"lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val decl = graft.cdc.Lww.reduce(events.toDF())
+      .select($"doc_id", $"lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(typed == decl)
+  }
+
   test("nested templater: skolem subtree round-trips and replays identically") {
     import graft.operators.Templater
     import graft.operators.Templater._
