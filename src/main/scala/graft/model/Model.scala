@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   */
 /** Target-table row (the `input_hint` shape).
   *
-  * Invariant: `n_tok == tokens.length` (checked by [[graft.verify.Verifier]]).
+  * Invariant: `n_tok == tokens.length` (checked by [[graft.verify.FoldOracle]]).
   */
 final case class DocRow(
     doc_id: String,

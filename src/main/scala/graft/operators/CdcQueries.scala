@@ -35,17 +35,23 @@ object CdcQueries {
   /** Replay the feed in LSN-chunked batches into a fresh snapshot-log
     * table (dedup→LWW→merge per chunk); returns the table.
     *
-    * Scratch path is a fixed slot per (input dir, slot tag) — the caller's
-    * DataFrames read these files lazily, so they must outlive this method;
-    * reusing the slot bounds the footprint to one lake per input instead
-    * of leaking a directory per invocation.
+    * Scratch path is a fixed slot per (application, input dir, slot tag) —
+    * the caller's DataFrames read these files lazily, so they must outlive
+    * this method; reusing the slot bounds the footprint to one lake per
+    * input instead of leaking a directory per invocation. The application
+    * id in the path keeps two concurrent drivers replaying the same input
+    * from racing on one slot (one deleting files the other is scanning);
+    * within one application, a DataFrame returned by a PREVIOUS invocation
+    * of the same slot is invalidated by the rewrite — callers that need
+    * both materialise the first result before replaying again.
     */
   def replayTable(spark: SparkSession, dir: String, chunks: Int = 4,
                   slot: String = "main"): LakeTable = {
     val feed = eventsAsFeed(spark, dir)
     val bounds = feed.agg(min("lsn"), max("lsn")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-$slot-" +
+    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-" +
+      s"${spark.sparkContext.applicationId}-$slot-" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     deleteRecursively(java.nio.file.Paths.get(root))
     // bucket count = available parallelism: the bucket-local merged read

@@ -69,11 +69,15 @@ object GraphOps {
     var i = 0
     var done = false
     while (!done && i < maxIters) {
+      // distinct BEFORE exceptAll: a pair re-derived through ≥2 midpoints
+      // in one round (diamond graph) carries multiplicity > 1, and
+      // exceptAll only subtracts `closure`'s single copy — the survivor
+      // would be unioned into `closure` as a duplicate row.
       val next = cp(frontier.withColumnRenamed("dst", "mid")
         .join(e.withColumnRenamed("src", "mid"), "mid")
         .select("src", "dst")
-        .exceptAll(closure)
-        .distinct())
+        .distinct()
+        .exceptAll(closure))
       if (next.isEmpty) done = true
       else {
         closure = cp(closure.union(next))

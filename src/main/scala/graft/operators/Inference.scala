@@ -28,7 +28,14 @@ object Inference {
     var i = 0
     var done = false
     while (!done && i < maxIters) {
-      val derived = cp(rule(all).exceptAll(all).distinct())
+      // distinct BEFORE the subtraction: exceptAll subtracts multiplicities,
+      // so a statement the rule re-derives via two premises in one round
+      // (x memberOf g1,g2, both subsetOf h) would survive `exceptAll(all)`
+      // with multiplicity 1 and re-enter `all` as a duplicate — and on
+      // cyclic rule graphs the surviving multiplicities grow every round,
+      // so the fixpoint is never detected. Deduping the candidates first
+      // keeps `all` duplicate-free by induction.
+      val derived = cp(rule(all).distinct().exceptAll(all))
       if (derived.isEmpty) done = true
       else all = cp(all.union(derived))
       i += 1

@@ -169,6 +169,46 @@ class OperatorSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[dotproduct""".r.findFirstIn(plan).isDefined, plan.take(800))
   }
 
+  test("closure and inference emit no duplicate rows on diamond re-derivation") {
+    import graft.operators.Inference
+    // diamond WITH the shortcut edge: (1,4) is an edge (so already in the
+    // closure) AND re-derived via midpoints 2 and 3 in the same round —
+    // multiplicity 2 enters the exceptAll, which subtracts only the one
+    // copy the closure holds. The closure must stay a SET.
+    val diamond = Seq((1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (4, 5))
+      .toDF("src", "dst")
+    val tc = GraphOps.transitiveClosure(diamond)
+    assert(tc.count() == tc.distinct().count(),
+      "transitive closure returned duplicate (src,dst) rows")
+    assert(tc.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1,2),(1,3),(1,4),(1,5),(2,4),(2,5),(3,4),(3,5),(4,5)))
+    // same pattern through Path's one-or-more, which returns the closure
+    // frame directly (no masking distinct downstream)
+    import graft.operators.Path
+    import graft.operators.Path._
+    val edges = diamond.select(col("src").cast("long").as("src"), lit("e").as("p"),
+      col("dst").cast("long").as("dst"))
+    val plus = Path.eval(edges, Pred("e").+)
+    assert(plus.count() == plus.distinct().count())
+    // inference: x memberOf g1,g2 with BOTH g1,g2 subsetOf h re-derives
+    // (x memberOf h) twice per round; cyclic subsetOf makes the rule
+    // re-derive known facts forever unless candidates dedup before except
+    val base = Seq(
+      ("x", "memberOf", "g1"), ("x", "memberOf", "g2"),
+      ("g1", "subsetOf", "h"), ("g2", "subsetOf", "h"),
+      ("h", "subsetOf", "g1") // cycle: never converges without the dedup
+    ).toDF("s", "p", "o")
+    val rule = (cur: org.apache.spark.sql.DataFrame) => {
+      val members = cur.filter($"p" === "memberOf").select($"s".as("x"), $"o".as("g"))
+      val subsets = cur.filter($"p" === "subsetOf").select($"s".as("g"), $"o".as("h"))
+      members.join(subsets, "g").select($"x".as("s"), lit("memberOf").as("p"), $"h".as("o"))
+    }
+    val out = Inference.materialize(base, rule)
+    assert(out.count() == out.distinct().count(),
+      "materialisation carries duplicate statements")
+    assert(out.filter($"s" === "x" && $"o" === "h").count() == 1)
+  }
+
   test("transitive closure on a known chain graph") {
     val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
     val tc = GraphOps.transitiveClosure(edges).collect()
