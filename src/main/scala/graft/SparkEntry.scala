@@ -240,6 +240,11 @@ object SparkEntry {
     "qd45_simhash_band" -> ((s, dir) => { implicit val sp = s
       DedupOps.simhashCandidates(t(dir, "documents"), maxLen = 64)
     }),
+    "qd53_simhash_verified" -> ((s, dir) => { implicit val sp = s
+      // banded candidates + exact Hamming verify: the precision step the
+      // pigeonhole banding alone lacks (recall stays exact for dist ≤ 3)
+      DedupOps.simhashNearDups(t(dir, "documents"), maxLen = 64, maxDist = 3)
+    }),
 
     // --- similarity search (training-data ops) ---
     "qd32_embed_topk" -> ((s, dir) => { implicit val sp = s
@@ -307,6 +312,27 @@ object SparkEntry {
         nodes = Seq(Node("meta", Seq(
           Leaf("n_chars", col("n_chars")),
           Leaf("head", substring(col("text"), 1, 8))))))
+    }),
+    "q54_templater_deep" -> ((s, dir) => { implicit val sp = s
+      // arbitrary-depth template recursion (templater.clj:40-51): a
+      // 3-level tree, skolem ids chained md5(parent ∥ 0x01 ∥ predicate)
+      import graft.operators.Templater._
+      graph(t(dir, "documents"), col("doc_id"), "g",
+        leaves = Seq(Leaf("lang", col("lang"))),
+        nodes = Seq(Node("meta", Seq(
+          Leaf("n_chars", col("n_chars")),
+          Node("head", Seq(
+            Leaf("h8", substring(col("text"), 1, 8)),
+            Leaf("h4", substring(col("text"), 1, 4))))))))
+    }),
+    "q55_ntriples" -> ((s, dir) => { implicit val sp = s
+      // N-Triples mode: a 3-column statement frame (triple = quad with
+      // nil context, protocols.cljc:396-406) serialises without <source>
+      graft.sources.NQuads.serialize(
+        t(dir, "documents").select(
+          col("doc_id").cast("string").as("subject"),
+          lit("lang").as("predicate"),
+          col("lang").as("object")))
     }),
     "q43_path_algebra" -> ((s, dir) => { implicit val sp = s
       // composable path DSL (reference path.clj grammar, e2e like
@@ -395,6 +421,16 @@ object SparkEntry {
       graft.operators.Inference.materialize(base, rule)
     })
   )
+
+  /** DuckDB twin of [[graft.operators.DedupOps.hammingHex64]]: 16 fixed
+    * nibble-XOR popcount-lookup terms (same lookup table both engines).
+    */
+  private def duckHamming(a: String, b: String): String =
+    (0 until 16).map { i =>
+      s"CAST(substr('0112122312232334', xor(" +
+        s"strpos('0123456789abcdef', substr($a, ${i + 1}, 1)) - 1, " +
+        s"strpos('0123456789abcdef', substr($b, ${i + 1}, 1)) - 1) + 1, 1) AS INT)"
+    }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
@@ -636,6 +672,34 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
          FROM blocks a JOIN blocks b2
            ON a.blk = b2.blk AND a.bval = b2.bval AND a.doc_id < b2.doc_id""",
+    "qd53_simhash_verified" ->
+      s"""WITH w AS (SELECT doc_id, substr(md5(word), 1, 16) AS h FROM (
+             SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word
+             FROM documents) WHERE length(word) > 0),
+         bits AS (SELECT doc_id, j.j,
+             sum(CASE WHEN CAST(floor(CAST(strpos('0123456789abcdef',
+                   substr(h, CAST(floor(j.j/4.0) AS INT)+1, 1)) - 1 AS DOUBLE)
+                 / (CASE WHEN j.j%4=0 THEN 8 WHEN j.j%4=1 THEN 4
+                         WHEN j.j%4=2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
+               THEN 1 ELSE -1 END) AS v
+           FROM w, (SELECT unnest(generate_series(0, 63)) AS j) j
+           GROUP BY doc_id, j.j),
+         nibs AS (SELECT doc_id, CAST(floor(j/4.0) AS INT) AS i,
+             sum(CASE WHEN v > 0 THEN (CASE WHEN j%4=0 THEN 8 WHEN j%4=1 THEN 4
+                 WHEN j%4=2 THEN 2 ELSE 1 END) ELSE 0 END) AS nv
+           FROM bits GROUP BY doc_id, CAST(floor(j/4.0) AS INT)),
+         sh AS (SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(nv AS INT)+1, 1), '' ORDER BY i) AS simhash
+           FROM nibs GROUP BY doc_id),
+         blocks AS (SELECT doc_id, b.b AS blk, substr(simhash, b.b*4 + 1, 4) AS bval, simhash
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) b),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+             a.simhash AS sh1, b2.simhash AS sh2
+           FROM blocks a JOIN blocks b2
+             ON a.blk = b2.blk AND a.bval = b2.bval AND a.doc_id < b2.doc_id)
+         SELECT id1, id2, dist FROM (
+           SELECT id1, id2, ${duckHamming("sh1", "sh2")} AS dist FROM cand)
+         WHERE dist <= 3""",
     "qd32_embed_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
          pairs AS (SELECT q.qid, e.vec_id AS nid,
@@ -694,6 +758,27 @@ object SparkEntry {
          UNION ALL
          SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || 'meta'), 'head',
                 substr(text, 1, 8), 'g' FROM documents""",
+    "q54_templater_deep" ->
+      """WITH sk1 AS (SELECT *, md5(CAST(doc_id AS VARCHAR) || chr(1) || 'meta') AS s1
+           FROM documents),
+         sk2 AS (SELECT *, md5(s1 || chr(1) || 'head') AS s2 FROM sk1)
+         SELECT CAST(doc_id AS VARCHAR) AS subject, 'lang' AS predicate,
+                lang AS object, 'g' AS source FROM sk2
+         UNION ALL
+         SELECT CAST(doc_id AS VARCHAR), 'meta', s1, 'g' FROM sk2
+         UNION ALL
+         SELECT s1, 'n_chars', CAST(n_chars AS VARCHAR), 'g' FROM sk2
+         UNION ALL
+         SELECT s1, 'head', s2, 'g' FROM sk2
+         UNION ALL
+         SELECT s2, 'h8', substr(text, 1, 8), 'g' FROM sk2
+         UNION ALL
+         SELECT s2, 'h4', substr(text, 1, 4), 'g' FROM sk2""",
+    "q55_ntriples" ->
+      """SELECT '<' || CAST(doc_id AS VARCHAR) || '> <lang> "' ||
+           replace(replace(replace(replace(replace(lang,
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '" .' AS value FROM documents""",
     "q43_path_algebra" ->
       """WITH hop1 AS (
            SELECT CAST(s_suppkey + 10000 AS BIGINT) AS src,

@@ -188,15 +188,55 @@ object DedupOps {
     * exactly. Candidates = pairs sharing any (block index, block value) —
     * an equi-join on the banded key, never an all-pairs comparison.
     */
-  def simhashCandidates(docs: DataFrame, maxLen: Int): DataFrame = {
-    val banded = simhash64(docs, maxLen)
+  def simhashCandidates(docs: DataFrame, maxLen: Int): DataFrame =
+    simhashCandidatePairs(simhash64(docs, maxLen))
+      .select(col("id1"), col("id2"))
+
+  /** Banded candidate pairs over a precomputed (doc_id, simhash) frame,
+    * carrying both hashes: (id1, id2, sh1, sh2).
+    */
+  private def simhashCandidatePairs(sh: DataFrame): DataFrame = {
+    val banded = sh
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("blk"), col("simhash"))
       .select(col("doc_id"), col("blk"),
-        col("simhash").substr(col("blk") * 4 + 1, lit(4)).as("bval"))
+        col("simhash").substr(col("blk") * 4 + 1, lit(4)).as("bval"), col("simhash"))
     banded.as("a").join(banded.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
       .distinct()
   }
+
+  /** Per-nibble popcount lookup: popcount(i) = digit i of this string.
+    * Same table works verbatim in the DuckDB oracle — no bit_count
+    * builtin dependency, no integer-width edge cases.
+    */
+  private val NibblePopcount = "0112122312232334"
+
+  /** Hamming distance between two 16-hex-char simhash strings as a pure
+    * Column: per hex position, XOR the decoded nibbles and look the
+    * popcount up in a 16-entry table — 16 fixed terms, no explode, stays
+    * inside whole-stage codegen.
+    */
+  def hammingHex64(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      val x = conv(a.substr(i + 1, 1), 16, 10).cast("int")
+        .bitwiseXOR(conv(b.substr(i + 1, 1), 16, 10).cast("int"))
+      lit(NibblePopcount).substr(x + 1, lit(1)).cast("int")
+    }.reduce(_ + _)
+
+  /** The full simhash near-dup pipeline: banded candidate generation
+    * (recall: pigeonhole guarantees no false negatives within `maxDist` ≤ 3
+    * for 4 blocks) followed by the exact Hamming-distance verify filter
+    * (precision). The verify runs on the CANDIDATE set only — the
+    * candidate-then-exact-check shape of the reference's `triple=` equality
+    * after pattern matching (protocols.cljc:457-469). Output
+    * (id1, id2, dist).
+    */
+  def simhashNearDups(docs: DataFrame, maxLen: Int, maxDist: Int): DataFrame =
+    simhashCandidatePairs(simhash64(docs, maxLen))
+      .select(col("id1"), col("id2"),
+        hammingHex64(col("sh1"), col("sh2")).as("dist"))
+      .filter(col("dist") <= maxDist)
 }

@@ -19,11 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Templater {
 
-  /** Direct property of the row's subject. */
-  final case class Leaf(predicate: String, value: Column)
+  /** One template property: either a direct value or a nested subtree.
+    * The ADT mirrors the reference's template grammar, where a nested
+    * vector at ANY depth becomes a fresh blank-node subtree
+    * (`make-triples` recurses unboundedly, templater.clj:40-51).
+    */
+  sealed trait Prop
 
-  /** Blank-node subtree: `subject --predicate--> _:skolem --child--> v`. */
-  final case class Node(predicate: String, children: Seq[Leaf])
+  /** Direct property of the row's subject. */
+  final case class Leaf(predicate: String, value: Column) extends Prop
+
+  /** Blank-node subtree: `subject --predicate--> _:skolem --child--> …`;
+    * children may themselves be [[Node]]s — depth is unbounded, and each
+    * level's skolem id chains the parent's id (md5 ∘ md5 ∘ …), so distinct
+    * positions in the template tree get distinct, replay-stable ids.
+    */
+  final case class Node(predicate: String, children: Seq[Prop]) extends Prop
 
   private val Sep = "\u0001"
 
@@ -39,27 +50,30 @@ object Templater {
   def addProperties(df: DataFrame, props: Map[String, Column]): DataFrame =
     props.foldLeft(df) { case (d, (name, value)) => d.withColumn(name, value) }
 
+  /** Recursive template expansion: one struct(subject, predicate, object)
+    * per emitted statement, subtrees linked through chained skolem ids
+    * (level-k id = md5 of level-(k−1) id ∥ 0x01 ∥ predicate).
+    */
+  private def expand(subject: Column, props: Seq[Prop]): Seq[Column] =
+    props.flatMap {
+      case Leaf(p, v) =>
+        Seq(struct(subject.cast("string").as("subject"),
+          lit(p).as("predicate"), v.cast("string").as("object")))
+      case Node(p, children) =>
+        val sk = skolem(subject, p)
+        struct(subject.cast("string").as("subject"), lit(p).as("predicate"),
+          sk.as("object")) +: expand(sk, children)
+    }
+
   /** Expand each row into (subject, predicate, object, source) statements,
     * stamping `graphId` as the context — the in-repo `make-graph`
-    * (templater.clj:68-97).
+    * (templater.clj:68-97). `leaves ++ nodes` form the template tree;
+    * nodes recurse to any depth.
     */
   def graph(df: DataFrame, subject: Column, graphId: String,
             leaves: Seq[Leaf], nodes: Seq[Node] = Seq.empty): DataFrame = {
-    val s = subject.cast("string")
-    val leafTriples = leaves.map { l =>
-      struct(s.as("subject"), lit(l.predicate).as("predicate"),
-        l.value.cast("string").as("object"))
-    }
-    val nodeTriples = nodes.flatMap { n =>
-      val sk = skolem(subject, n.predicate)
-      struct(s.as("subject"), lit(n.predicate).as("predicate"),
-        sk.as("object")) +:
-        n.children.map { c =>
-          struct(sk.as("subject"), lit(c.predicate).as("predicate"),
-            c.value.cast("string").as("object"))
-        }
-    }
-    df.select(explode(array((leafTriples ++ nodeTriples): _*)).as("t"))
+    val triples = expand(subject, (leaves: Seq[Prop]) ++ nodes)
+    df.select(explode(array(triples: _*)).as("t"))
       .select(col("t.subject").as("subject"), col("t.predicate").as("predicate"),
         col("t.object").as("object"), lit(graphId).as("source"))
   }

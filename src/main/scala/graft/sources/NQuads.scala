@@ -3,70 +3,133 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** N-Quads statement serialisation — the line-oriented RDF sink/source the
-  * reference writes through RDF4j Rio (`rdf-writer`, /root/reference/
-  * grafter.io/src/grafter_2/rdf4j/io.clj:500-582; N-Triples literal
-  * escaping io.clj:253-263) re-expressed as pure Column transforms over
-  * statement frames `(subject, predicate, object, source)`:
+/** N-Quads / N-Triples statement serialisation — the line-oriented RDF
+  * sink/source the reference writes through RDF4j Rio (`rdf-writer`,
+  * /root/reference/grafter.io/src/grafter_2/rdf4j/io.clj:500-582;
+  * N-Triples literal escaping io.clj:253-263) re-expressed as pure Column
+  * transforms over statement frames:
   *
-  * {{{ <subject> <predicate> "object" <source> . }}}
+  * {{{
+  *   (subject, predicate, object, source)  →  <s> <p> "o" <source> .   (.nq)
+  *   (subject, predicate, object)          →  <s> <p> "o" .            (.nt)
+  * }}}
+  *
+  * A triple IS a quad with a null context (reference
+  * protocols.cljc:396-406): a frame without a `source` column — or with a
+  * null source value — serialises as an N-Triples line; the parser returns
+  * a 4-column frame with `source = null` for triple lines, so the two
+  * formats round-trip through one schema.
   *
   * Objects are literals with N-Triples string escaping (\\ \" \n \r \t);
   * subject/predicate/graph render as IRIs. `parse ∘ serialise = id` is
-  * pinned by the round-trip spec, mirroring the reference's own
-  * round-trip tests (io_test.clj:187-223). Distributed text write/read —
-  * one line per statement, no driver materialisation.
+  * pinned by the round-trip spec, mirroring the reference's own round-trip
+  * tests (io_test.clj:187-223). Distributed text write/read — one line per
+  * statement, no driver materialisation.
   *
-  * Known limitation (documented): a NUL character in a literal is used as
-  * the unescape sentinel and cannot round-trip.
+  * A prefix map can be written as a file header (`@prefix k: <iri> .`
+  * lines, key-sorted), the analog of the reference's `write-prefixes`
+  * header (io.clj:500-582; ordering pinned like io_test.clj:284-397). The
+  * header lands in a part file whose name sorts before every data part, so
+  * the concatenated-in-name-order document starts with the prefixes.
+  *
+  * A literal containing U+0000 cannot be represented (it is the unescape
+  * sentinel): serialisation REJECTS it loudly with `raise_error` instead of
+  * corrupting silently.
   */
 object NQuads {
 
-  private def esc(c: Column): Column =
-    replace(replace(replace(replace(replace(c,
+  private val Nul = "\u0000"
+
+  private def esc(c: Column): Column = {
+    val escaped = replace(replace(replace(replace(replace(c,
       lit("\\"), lit("\\\\")),
       lit("\""), lit("\\\"")),
       lit("\n"), lit("\\n")),
       lit("\r"), lit("\\r")),
       lit("\t"), lit("\\t"))
+    when(c.contains(Nul), raise_error(concat(
+      lit("NQuads: literal contains U+0000 (the unescape sentinel) and " +
+        "cannot round-trip; refusing to serialise statement with subject "),
+      col("subject"))))
+      .otherwise(escaped)
+  }
 
   private def unesc(c: Column): Column =
     replace(replace(replace(replace(replace(replace(c,
-      lit("\\\\"), lit("\u0000")),
+      lit("\\\\"), lit(Nul)),
       lit("\\\""), lit("\"")),
       lit("\\n"), lit("\n")),
       lit("\\r"), lit("\r")),
       lit("\\t"), lit("\t")),
-      lit("\u0000"), lit("\\"))
+      lit(Nul), lit("\\"))
 
-  /** One N-Quads line per statement row. */
-  def serialize(statements: DataFrame): DataFrame =
-    statements.select(concat(
+  /** One N-Quads / N-Triples line per statement row. Frames without a
+    * `source` column — or rows whose source is null — emit triple lines.
+    */
+  def serialize(statements: DataFrame): DataFrame = {
+    val head = concat(
       lit("<"), col("subject"), lit("> <"), col("predicate"),
-      lit("> \""), esc(col("object")), lit("\" <"), col("source"),
-      lit("> .")).as("value"))
+      lit("> \""), esc(col("object")), lit("\""))
+    val line =
+      if (!statements.columns.contains("source")) concat(head, lit(" ."))
+      else when(col("source").isNull, concat(head, lit(" .")))
+        .otherwise(concat(head, lit(" <"), col("source"), lit("> .")))
+    statements.select(line.as("value"))
+  }
 
-  /** Distributed text write of the statement frame. */
-  def write(statements: DataFrame, path: String): Unit =
+  /** Distributed text write of the statement frame; `prefixes` (optional)
+    * are written as an `@prefix` header file that sorts before every data
+    * part, so readers concatenating parts in name order see the header
+    * first — the reference's `write-prefixes` semantics.
+    */
+  def write(statements: DataFrame, path: String,
+            prefixes: Map[String, String] = Map.empty): Unit = {
     serialize(statements).write.mode("overwrite").text(path)
+    if (prefixes.nonEmpty) {
+      val lines = prefixes.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"@prefix $k: <$v> ." }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "00000-prefixes.txt"),
+        lines.mkString("", "\n", "\n"))
+    }
+  }
 
-  private val Line = "^<([^>]*)> <([^>]*)> \"(.*)\" <([^>]*)> \\.$"
+  private val QuadLine = "^<([^>]*)> <([^>]*)> \"(.*)\" <([^>]*)> \\.$"
+  private val TripleLine = "^<([^>]*)> <([^>]*)> \"(.*)\" \\.$"
+  private val PrefixLine = "^@prefix ([^:]+): <([^>]*)> \\.$"
 
-  /** Parse an N-Quads file back into a statement frame. Malformed lines
-    * surface as all-null rows — distinguishable from data, since
-    * regexp_extract alone would return empty strings (route them through
-    * [[graft.cdc.Quarantine]]-style handling upstream if the input is
-    * untrusted).
+  /** Parse an N-Quads/N-Triples file back into a statement frame. Triple
+    * lines surface with `source = null` (triple = quad with nil context).
+    * `@prefix` header lines are metadata, not data — dropped here, read
+    * via [[readPrefixes]]. Malformed lines surface as all-null rows —
+    * distinguishable from data, since regexp_extract alone would return
+    * empty strings (route them through [[graft.cdc.Quarantine]]-style
+    * handling upstream if the input is untrusted).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val wellFormed = col("value").rlike(Line)
-    def grp(i: Int): Column =
-      when(wellFormed, regexp_extract(col("value"), Line, i))
+    val isQuad = col("value").rlike(QuadLine)
+    val isTriple = col("value").rlike(TripleLine)
+    def grp(pattern: String, i: Int): Column = regexp_extract(col("value"), pattern, i)
+    def pick(i: Int): Column =
+      when(isQuad, grp(QuadLine, i))
+        .when(isTriple && lit(i) <= 3, grp(TripleLine, i))
         .otherwise(lit(null).cast("string"))
-    spark.read.text(path).select(
-      grp(1).as("subject"),
-      grp(2).as("predicate"),
-      unesc(grp(3)).as("object"),
-      grp(4).as("source"))
+    spark.read.text(path)
+      .filter(!col("value").rlike(PrefixLine))
+      .select(
+        pick(1).as("subject"),
+        pick(2).as("predicate"),
+        unesc(pick(3)).as("object"),
+        pick(4).as("source"))
   }
+
+  /** The prefix header of a written statement file (empty map when none).
+    * Driver-side collect is bounded by the prefix count.
+    */
+  def readPrefixes(spark: SparkSession, path: String): Map[String, String] =
+    spark.read.text(path)
+      .filter(col("value").rlike(PrefixLine))
+      .select(regexp_extract(col("value"), PrefixLine, 1).as("k"),
+        regexp_extract(col("value"), PrefixLine, 2).as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 }

@@ -362,6 +362,56 @@ class CdcCoreSpec extends SparkSpec {
     assert(badRows.length == 1 && (0 until 4).forall(badRows(0).isNullAt))
   }
 
+  test("n-triples round trip, prefix header first-in-file, NUL rejected loudly") {
+    import graft.sources.NQuads
+    // triple = quad with nil context (protocols.cljc:396-406): a 3-column
+    // frame serialises as N-Triples and parses back with source = null
+    val triples = Seq(
+      ("d1", "lang", "en"),
+      ("d2", "text", "tab\there")
+    ).toDF("subject", "predicate", "object")
+    val dir = tmpDir("nt")
+    NQuads.write(triples, s"$dir/out.nt",
+      prefixes = Map("rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "ex" -> "http://example.org/"))
+    val lines = spark.read.text(s"$dir/out.nt").collect().map(_.getString(0))
+    assert(lines.filterNot(_.startsWith("@prefix"))
+      .forall(l => l.endsWith("\" .") && !l.contains("> <g>")))
+    val back = NQuads.read(spark, s"$dir/out.nt")
+    assert(back.filter(col("source").isNotNull).isEmpty)
+    val back3 = back.select("subject", "predicate", "object")
+    assert(back3.exceptAll(triples).isEmpty && triples.exceptAll(back3).isEmpty)
+    // prefix header: recoverable as a map, and FIRST in the file —
+    // concatenating part files in name order starts with the @prefix lines
+    // (the reference's write-prefixes header ordering, io.clj:500-582)
+    assert(NQuads.readPrefixes(spark, s"$dir/out.nt") ==
+      Map("rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "ex" -> "http://example.org/"))
+    import scala.jdk.CollectionConverters._
+    val ordered = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out.nt"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq.sorted
+      .flatMap(n => java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$dir/out.nt", n)).asScala)
+      .filter(_.nonEmpty)
+    assert(ordered.take(2).forall(_.startsWith("@prefix")),
+      s"prefix header not first-in-file: ${ordered.take(3)}")
+    assert(ordered(0).startsWith("@prefix ex:"), "prefix lines not key-sorted")
+    // quads round-trip unchanged next to triples (one schema, two formats)
+    val quads = Seq(("d3", "p", "o", "g")).toDF("subject", "predicate", "object", "source")
+    NQuads.write(quads, s"$dir/out.nq")
+    assert(NQuads.read(spark, s"$dir/out.nq").exceptAll(quads).isEmpty)
+    // the documented NUL limitation FAILS loudly instead of corrupting
+    val nul = Seq(("d4", "p", "bad\u0000byte")).toDF("subject", "predicate", "object")
+    val ex = intercept[Exception] {
+      NQuads.serialize(nul).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("U+0000")), messages(ex).mkString(" | "))
+  }
+
   test("load() restores table properties from metadata") {
     val dir = tmpDir("lake")
     val t1 = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 6)

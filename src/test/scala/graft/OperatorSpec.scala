@@ -105,6 +105,70 @@ class OperatorSpec extends SparkSpec {
       sh(1L).substring(b * 4, b * 4 + 4) == sh(3L).substring(b * 4, b * 4 + 4)))
   }
 
+  test("hamming verify: exact distance column; near-dups filtered, randoms dropped") {
+    // hammingHex64 against a bit-level Scala reference on fixed values
+    val fixtures = Seq(
+      ("0000000000000000", "0000000000000000", 0),
+      ("0000000000000000", "ffffffffffffffff", 64),
+      ("00000000000000ff", "0000000000000000", 8),
+      ("123456789abcdef0", "123456789abcdef0", 0),
+      ("8000000000000001", "0000000000000000", 2))
+    val df = fixtures.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(DedupOps.hammingHex64(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(got.sameElements(fixtures.map(_._3)))
+    // end-to-end: identical docs at distance 0 survive; a one-word edit
+    // stays within the bound; unrelated text is filtered out even when
+    // banding happened to emit it as a candidate
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy cat again and again today"
+    val far = "completely unrelated words zebra quantum fourier walrus estimate"
+    val d = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val verified = DedupOps.simhashNearDups(d, maxLen = 64, maxDist = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(verified((1L, 2L)) == 0, "identical docs must verify at distance 0")
+    // every verified pair's distance equals the straight recompute; the
+    // maxDist filter is exact over candidates
+    val strict = DedupOps.simhashNearDups(d, maxLen = 64, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((1L, 2L)))
+    verified.foreach { case (pair, dist) =>
+      assert(strict.contains(pair) == (dist <= 3),
+        s"$pair dist $dist vs maxDist-3 filter disagreement")
+    }
+  }
+
+  test("deep templater: 3-level recursion, chained skolems, round-trip") {
+    import graft.operators.Templater
+    import graft.operators.Templater._
+    val d = docs.limit(10)
+    def expand() = Templater.graph(d, col("doc_id"), "g",
+      leaves = Seq(Leaf("lang", col("lang"))),
+      nodes = Seq(Node("meta", Seq(
+        Leaf("n_chars", col("n_chars")),
+        Node("head", Seq(
+          Leaf("h8", substring(col("text"), 1, 8)),
+          Leaf("h4", substring(col("text"), 1, 4))))))))
+    val out = expand().cache()
+    // 6 statements per row: lang, meta-link, n_chars, head-link, h8, h4
+    assert(out.count() == 60)
+    // replay determinism at depth (gensym'd bnodes would fail this)
+    assert(out.exceptAll(expand()).isEmpty)
+    // walk doc --meta--> b1 --head--> b2 --h8--> value and compare with
+    // the source rows: the chain must reconstruct exactly
+    val l1 = out.filter($"predicate" === "meta").select($"subject".as("doc"), $"object".as("b1"))
+    val l2 = out.filter($"predicate" === "head").select($"subject".as("b1"), $"object".as("b2"))
+    val l3 = out.filter($"predicate" === "h8").select($"subject".as("b2"), $"object".as("v"))
+    val walked = l1.join(l2, "b1").join(l3, "b2").select($"doc", $"v")
+    val orig = d.select($"doc_id".cast("string").as("doc"),
+      substring($"text", 1, 8).as("v"))
+    assert(walked.exceptAll(orig).isEmpty && orig.exceptAll(walked).isEmpty)
+    // level-1 and level-2 skolems are disjoint (chained md5, not reused)
+    val b1s = l1.select($"b1".as("id")).distinct()
+    val b2s = l2.select($"b2".as("id")).distinct()
+    assert(b1s.count() == 10 && b2s.count() == 10)
+    assert(b1s.intersect(b2s).isEmpty)
+  }
+
   test("ngram gram-frequency cut bounds the join on pathological input") {
     val text = "aaaa bbbb cccc dddd eeee ffff"
     val same = (0 until 10).map(i => (i.toLong, text)).toDF("doc_id", "text")
