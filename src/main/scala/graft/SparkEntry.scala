@@ -293,10 +293,12 @@ object SparkEntry {
       // embedding-cosine near-duplicate pairs (exact over bounded subset)
       Similarity.embedNearDup(t(dir, "embeddings"), maxId = 60, threshold = 0.75)
     }),
-    // IVF-bucketed ANN: approximate (nprobe=1), rows-only check; recall
-    // floor vs brute force asserted in OperatorSpec
+    // IVF-bucketed ANN: deterministic k-means centroids, nprobe=2 —
+    // approximate by construction, rows-only check; recall floor ≥0.6 vs
+    // brute force asserted in OperatorSpec
     "qd40_ann_ivf" -> ((s, dir) => { implicit val sp = s
-      Similarity.ivfTopK(t(dir, "embeddings"), nCells = 4, numQueries = 8, k = 3)
+      Similarity.ivfTopK(t(dir, "embeddings"), nCells = 4, numQueries = 8, k = 3,
+        nprobe = 2)
     }),
     "qm41_resize" -> ((s, dir) => { implicit val sp = s
       // resize stub: binary-in/binary-out; SQL-verifiable metadata

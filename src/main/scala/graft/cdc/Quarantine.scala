@@ -37,17 +37,34 @@ object Quarantine {
     castChecks ++ structural
   }
 
+  /** Both sides of a split batch, backed by ONE cached evaluation of the
+    * source: `clean` and `bad` are filters over the same persisted tagged
+    * frame, so a quarantined batch costs one pass over the un-cached
+    * source (plus the cache read), not two. Callers MUST [[release]] once
+    * both sides are consumed.
+    */
+  final case class Split(clean: DataFrame, bad: DataFrame, private val tagged: DataFrame) {
+    def release(): Unit = { tagged.unpersist(); () }
+  }
+
   /** Split a batch into (clean, bad). The bad side carries `_bad_cols`
     * (the offending column names) — the "enriched error" of the
-    * reference, as data instead of an exception.
+    * reference, as data instead of an exception. Single-pass: the check
+    * columns are evaluated once into a persisted tagged frame
+    * (MEMORY_AND_DISK — a micro-batch may exceed executor memory and must
+    * spill, never recompute the source twice).
     */
-  def split(table: LakeTable, batch: DataFrame): (DataFrame, DataFrame) = {
+  def split(table: LakeTable, batch: DataFrame): Split = {
     val cs = checks(table, batch)
-    val anyBad = cs.map(_._2).reduce(_ || _)
     val badCols = array_compact(array(cs.map { case (n, c) =>
       when(c, lit(n)).otherwise(lit(null).cast("string"))
     }: _*))
-    (batch.filter(!anyBad), batch.filter(anyBad).withColumn("_bad_cols", badCols))
+    val tagged = batch.withColumn("_bad_cols", badCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Split(
+      clean = tagged.filter(size(col("_bad_cols")) === 0).drop("_bad_cols"),
+      bad = tagged.filter(size(col("_bad_cols")) > 0),
+      tagged = tagged)
   }
 
   /** Persist quarantined rows under `<table>/badrecords/epoch-N/` as JSON

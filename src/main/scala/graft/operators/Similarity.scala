@@ -74,38 +74,90 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** IVF assignment: nearest of `nCells` deterministic centroids. The
-    * "training-free" centroid set is the embeddings of `nCells` fixed
-    * probe ids (deterministic, replayable — a real deployment would slot
-    * k-means centroids in; the partitioning/probing shape is identical).
-    * Returns (vec_id, cell).
+  /** Deterministic spherical k-means centroids for IVF: seeded hash-ranked
+    * init (the `nCells` corpus vectors ranking first by
+    * `xxhash64(vec_id, seed)` — replayable, no RNG state), then `iters`
+    * fixed Lloyd rounds. Per-dimension means go through DECIMAL sums, so
+    * centroid values are independent of aggregation order — every replay
+    * produces bit-identical centroids, the determinism bar the rest of the
+    * engine holds (checkpoint replay, SURVEY.md §7.5). An empty cell keeps
+    * its previous centroid. Returns (cell: int, cvec: array<float>).
+    *
+    * Scale shape per round: assignment is the broadcast score + `max_by`
+    * aggregate of [[ivfAssign]]; the mean is posexplode → (cell, pos)
+    * hash aggregate — both map-side partial, no windows, no driver data
+    * beyond the nCells×dim centroid frame (checkpointed per round to cut
+    * lineage).
     */
-  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 4,
+                      seed: Long = 42L): DataFrame = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
-    val centroids = broadcast(
-      embeddings.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
-    embeddings.crossJoin(centroids)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("cvec")).as("csim"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val rank = xxhash64(col("vec_id"), lit(seed))
+    var centroids = embeddings
+      .select(col("vec_id"), col("embedding"), rank.as("_r"))
+      .orderBy(col("_r"), col("vec_id")).limit(nCells)
+      .select(
+        (row_number().over(Window.orderBy(col("_r"), col("vec_id"))) - 1).as("cell"),
+        col("embedding").as("cvec"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val means = ivfAssign(embeddings, centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(27,10)")) / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("_new"))
+      centroids = centroids
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("_new"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+      i += 1
+    }
+    centroids
   }
 
-  /** IVF top-k: queries probe only their own cell (nprobe=1 — the scale
-    * path writes the corpus bucketed by cell). Approximate; recall floor
-    * asserted in OperatorSpec.
+  /** IVF assignment: nearest centroid per vector, scored against the
+    * broadcast centroid set and reduced with a `max_by` AGGREGATE —
+    * map-side partial aggregation ships one candidate per (mapper, key),
+    * where a `row_number` window would shuffle and sort all N×nCells
+    * scored rows (the round-2 shape this replaces). Tie-break: highest
+    * cosine, then lowest cell id. Returns (vec_id, embedding, cell).
     */
-  def ivfTopK(embeddings: DataFrame, nCells: Int, numQueries: Int, k: Int): DataFrame = {
-    val assigned = ivfAssign(embeddings, nCells)
-    val queries = broadcast(
-      assigned.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("cell").as("qcell")))
-    val scored = assigned
-      .join(queries, col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("embedding")),
+        struct(col("csim"), -col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"), col("w.cell").as("cell"))
+  }
+
+  /** IVF top-k: k-means centroids (deterministic, see [[kmeansCentroids]]),
+    * corpus assigned to its nearest cell, queries probe their `nprobe`
+    * closest cells. At cluster scale the corpus is written bucketed by
+    * cell once and a probe reads nprobe buckets; the probe fan-out lives
+    * on the tiny broadcast query side. Approximate by construction —
+    * recall floor vs brute force asserted in OperatorSpec.
+    */
+  def ivfTopK(embeddings: DataFrame, nCells: Int, numQueries: Int, k: Int,
+              nprobe: Int = 2, kmeansIters: Int = 4, seed: Long = 42L): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCells, kmeansIters, seed)
+    val qw = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cell").asc)
+    val qprobes = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("cvec")).as("qsim"))
+      .withColumn("r", row_number().over(qw)) // query side: bounded rows
+      .filter(col("r") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell").as("qcell"))
+    val scored = ivfAssign(embeddings, centroids)
+      .join(broadcast(qprobes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         graft.functions.TextOps.round4(cosine(col("qvec"), col("embedding"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)

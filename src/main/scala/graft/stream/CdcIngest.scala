@@ -40,29 +40,31 @@ object CdcIngest {
     val src0 = if (dedup) Dedup.exact(batch) else batch
     // untrusted feeds: side-output schema-divergent rows with lineage
     // instead of silently nulling them (reference io.clj:185-209 — errors
-    // carry the offending record). Costs one extra pass over the batch;
-    // off by default for trusted WAL feeds.
-    val src =
-      if (!quarantine) src0
+    // carry the offending record). Single pass: both sides of the split
+    // read one cached tagged frame; off by default for trusted WAL feeds.
+    val (src, release) =
+      if (!quarantine) (src0, () => ())
       else {
-        val (clean, bad) = graft.cdc.Quarantine.split(table, src0)
-        // one pass over the bad side: write() detects emptiness from its
-        // own output and removes an all-empty epoch dir, so a clean feed
-        // accretes nothing and pays no extra isEmpty job
+        val sp = graft.cdc.Quarantine.split(table, src0)
+        // the bad-side write materialises the shared cache; write()
+        // detects emptiness from its own output and removes an all-empty
+        // epoch dir, so a clean feed accretes nothing
         if (epochId > table.lastCommittedEpoch)
-          graft.cdc.Quarantine.write(table, bad, epochId)
-        clean
+          graft.cdc.Quarantine.write(table, sp.bad, epochId)
+        (sp.clean, () => sp.release())
       }
-    val snap =
-      if (saltBuckets > 1)
-        table.upsert(Lww.reduceSalted(src, saltBuckets), epochId, reduce = false)
-      else
-        table.upsert(src, epochId, reduce = true)
-    // per-partition lineage comes free from the parquet footer stats of
-    // the just-written delta files (rows + lsn range per bucket) — zero
-    // extra Spark jobs per batch; the whole batch is ONE job
-    snap.foreach(s => LineageLog.append(table, epochId, s))
-    snap
+    try {
+      val snap =
+        if (saltBuckets > 1)
+          table.upsert(Lww.reduceSalted(src, saltBuckets), epochId, reduce = false)
+        else
+          table.upsert(src, epochId, reduce = true)
+      // per-partition lineage comes free from the parquet footer stats of
+      // the just-written delta files (rows + lsn range per bucket) — zero
+      // extra Spark jobs per batch; the whole batch is ONE job
+      snap.foreach(s => LineageLog.append(table, epochId, s))
+      snap
+    } finally release()
   }
 
   /** Replay a bounded feed directory as a stream with exactly-once commits.

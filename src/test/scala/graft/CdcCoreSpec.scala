@@ -322,6 +322,18 @@ class CdcCoreSpec extends SparkSpec {
     assert(bad.filter(col("_epoch") === 0L).count() == 2)
     // the offending rows survive verbatim for replay-after-fix
     assert(bad.filter(col("n_tok") === "oops").count() == 1)
+    // single-pass contract: both sides of a split are filters over ONE
+    // persisted tagged frame — the source is never evaluated twice
+    val sp = graft.cdc.Quarantine.split(table, batch)
+    try {
+      def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+        }.nonEmpty
+      assert(cached(sp.clean) && cached(sp.bad),
+        "split sides must read the shared cache, not re-scan the source")
+      assert(sp.clean.count() == 2 && sp.bad.count() == 2)
+    } finally sp.release()
   }
 
   test("batched keyed deletes: [3 3 1] splits, bounded per-batch work") {

@@ -196,15 +196,29 @@ class OperatorSpec extends SparkSpec {
     assert(full.count() == 25L * 26 / 2) // all (i,j) with i<j over 26 nodes
   }
 
-  test("IVF ANN: recall floor vs brute force; near-dup pairs are symmetric-free and thresholded") {
+  test("IVF ANN: k-means recall floor at nprobe=2; deterministic centroids") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 8, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, nCells = 4, numQueries = 8, k = 3)
+    val ivf = Similarity.ivfTopK(emb, nCells = 4, numQueries = 8, k = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.2, s"IVF recall $recall collapsed")
-    // every vector gets exactly one cell
-    assert(Similarity.ivfAssign(emb, 4).count() == emb.count())
+    assert(recall >= 0.6, s"IVF recall $recall below floor at nprobe=2")
+    // single-probe is weaker or equal but must not collapse
+    val ivf1 = Similarity.ivfTopK(emb, nCells = 4, numQueries = 8, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall1 = exact.intersect(ivf1).size.toDouble / exact.size
+    assert(recall1 >= 0.2 && recall1 <= recall, s"nprobe=1 recall $recall1")
+    // centroid training is replay-deterministic: two runs, bit-identical
+    val c1 = Similarity.kmeansCentroids(emb, nCells = 4)
+    val c2 = Similarity.kmeansCentroids(emb, nCells = 4)
+    assert(c1.exceptAll(c2).isEmpty && c2.exceptAll(c1).isEmpty)
+    assert(c1.count() == 4)
+    // every vector gets exactly one cell; cells genuinely partition
+    val assigned = Similarity.ivfAssign(emb, c1)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    assert(assigned.select("cell").distinct().count() > 1,
+      "k-means collapsed every vector into one cell")
 
     val nd = Similarity.embedNearDup(emb, maxId = 60, threshold = 0.75).collect()
     nd.foreach { r =>

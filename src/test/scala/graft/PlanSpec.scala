@@ -107,6 +107,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell assignment plans as a partial-aggregatable max_by, not a window") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = graft.operators.Similarity.kmeansCentroids(emb, nCells = 4, iters = 1)
+    val plan = planOf(graft.operators.Similarity.ivfAssign(emb, centroids))
+    // map-side combine: each mapper ships ONE candidate row per vec_id,
+    // where the old row_number design shuffled and sorted all N×nCells
+    // scored rows — at corpus scale that is nCells× the wire traffic
+    assert(plan.contains("partial_max_by"), plan.take(2000))
+    assert(!plan.contains("Window"), "assignment must not window-sort the corpus")
+  }
+
   test("single-snapshot read takes the fast path (no join)") {
     import spark.implicits._
     val dir = tmpDir("plan-lake2")
