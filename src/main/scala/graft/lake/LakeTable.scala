@@ -110,64 +110,128 @@ class LakeTable private (
 
   // ---- metadata (driver-side, small) ----
   //
-  // Cached after first read and maintained incrementally on commit /
-  // evolve (single-writer table — the commit itself enforces that, so the
-  // cache cannot go stale under the supported concurrency model; a fresh
-  // `load()` re-reads the directory). Without the cache every commit
-  // re-parses the WHOLE snapshot log: O(N) metadata reads per batch,
-  // O(N²) over a long replay — at the 10^10-event target with thousands
-  // of epochs the metadata would dominate the data.
+  // The HOT state (live files, current snapshot id, last epoch) is a fold
+  // maintained incrementally: cold-loaded from the newest CHECKPOINT file
+  // (`meta/ckpt-*.json`, the Iceberg manifest-list analog written every
+  // [[LakeTable.CheckpointInterval]] commits) plus the snapshot tail after
+  // it, then advanced in place on every commit/refresh. Cold `load()`
+  // therefore parses O(interval) metadata files — NOT O(epochs): at the
+  // 10^10-event target with 20k-event batches the log holds ~500k
+  // snapshots, and a cold start that parses all of them would dominate
+  // the job. Snapshot ids are dense (+1 per commit), so tail discovery
+  // probes `snap-<id+1>.json` directly — no directory listing either.
+  //
+  // The FULL snapshot history stays on disk for time travel /
+  // changesBetween / audits and is parsed lazily only when asked for.
 
   private var schemaCache: Seq[LakeSchema] = null
-  private var snapshotCache: Seq[Snapshot] = null
+  private var allSnapsCache: Seq[Snapshot] = null
+  private var stateSnapId: Long = -1L
+  private var stateEpoch: Long = -1L
+  private var stateLive: scala.collection.mutable.LinkedHashMap[String, LiveEntry] = null
+
+  /** Metadata files (snapshot / schema / checkpoint JSONs) parsed by this
+    * instance — the observable the O(interval) cold-load contract is
+    * pinned against in tests.
+    */
+  private[graft] var metaFilesParsed: Long = 0
+
+  private def parseSnap(p: Path): Snapshot = { metaFilesParsed += 1; readSnapshot(p) }
 
   def schemas: Seq[LakeSchema] = {
     if (schemaCache == null)
-      schemaCache = listFiles(metaDir, "schema-").map(p => readSchema(p)).sortBy(_.schemaId)
+      schemaCache = listFiles(metaDir, "schema-")
+        .map { p => metaFilesParsed += 1; readSchema(p) }.sortBy(_.schemaId)
     schemaCache
   }
 
-  /** Drop the metadata caches — a read-only consumer polling a table that
-    * ANOTHER process writes must call this (or `load()` fresh) to observe
-    * new commits; this instance's own commits keep the cache current.
+  /** Advance the metadata state — a read-only consumer polling a table
+    * that ANOTHER process writes must call this (or `load()` fresh) to
+    * observe new commits; this instance's own commits keep the state
+    * current. Incremental: parses only snapshots committed since the last
+    * look, never the whole log.
     */
   def refresh(): Unit = {
     schemaCache = null
-    snapshotCache = null
-    // the bucket layout is itself commit-carried state: a writer in
-    // another process may have re-bucketed the table
-    snapshots.lastOption.flatMap(_.summary.get("numBuckets")).map(_.toInt)
-      .foreach(n => _numBuckets = n)
+    allSnapsCache = null
+    if (stateLive == null) ensureState() else advanceState()
   }
 
   def currentSchema: LakeSchema = schemas.last
 
+  /** FULL snapshot history (parses the whole log — time travel, audits,
+    * maintenance; the ingest/read hot path never calls this).
+    */
   def snapshots: Seq[Snapshot] = {
-    if (snapshotCache == null)
-      snapshotCache = listFiles(metaDir, "snap-").map(p => readSnapshot(p)).sortBy(_.snapshotId)
-    snapshotCache
+    if (allSnapsCache == null)
+      allSnapsCache = listFiles(metaDir, "snap-").map(parseSnap).sortBy(_.snapshotId)
+    allSnapsCache
   }
 
-  def currentSnapshotId: Long = snapshots.lastOption.map(_.snapshotId).getOrElse(-1L)
+  def currentSnapshotId: Long = { ensureState(); stateSnapId }
 
-  def lastCommittedEpoch: Long = snapshots.lastOption.map(_.epochId).getOrElse(-1L)
+  def lastCommittedEpoch: Long = { ensureState(); stateEpoch }
 
-  /** Live delta files as of snapshot `asOf` (latest if None), plus the ids
-    * of the snapshots that contributed them.
-    */
-  def liveFiles(asOf: Option[Long] = None): Seq[FileEntry] = liveState(asOf)._1
+  /** Live delta files as of snapshot `asOf` (latest if None). */
+  def liveFiles(asOf: Option[Long] = None): Seq[FileEntry] = liveEntries(asOf).map(_.file)
 
-  private def liveState(asOf: Option[Long]): (Seq[FileEntry], Set[Long]) = {
-    val snaps = asOf match {
-      case Some(id) => snapshots.takeWhile(_.snapshotId <= id)
-      case None     => snapshots
+  private def ensureState(): Unit = {
+    if (stateLive != null) return
+    stateLive = scala.collection.mutable.LinkedHashMap[String, LiveEntry]()
+    stateSnapId = -1L
+    stateEpoch = -1L
+    // one names-only directory listing finds the newest checkpoint; the
+    // fold resumes from it and replays just the tail
+    listFiles(metaDir, "ckpt-").lastOption.foreach { p =>
+      metaFilesParsed += 1
+      val n = mapper.readTree(Files.readString(p))
+      stateSnapId = n.get("snapshotId").asLong()
+      stateEpoch = n.get("epochId").asLong()
+      _numBuckets = n.get("numBuckets").asInt()
+      n.get("live").elements().asScala.foreach { e =>
+        val f = FileEntry(e.get("path").asText(), e.get("bucket").asInt(),
+          e.get("bytes").asLong(), e.get("schemaId").asInt(),
+          e.get("rows").asLong(), e.get("minLsn").asLong(), e.get("maxLsn").asLong())
+        val layout = Option(e.get("layout")).map(_.asInt()).filter(_ >= 0)
+        stateLive(f.path) = LiveEntry(f, e.get("snapId").asLong(), layout)
+      }
     }
-    val data = scala.collection.mutable.LinkedHashMap[String, (FileEntry, Long)]()
-    snaps.foreach { s =>
-      s.addedData.foreach(f => data(f.path) = (f, s.snapshotId))
-      s.removedData.foreach(data.remove)
+    advanceState()
+  }
+
+  private def advanceState(): Unit = {
+    var next = stateSnapId + 1
+    var p = metaDir.resolve(f"snap-$next%012d.json")
+    while (Files.exists(p)) {
+      applyToState(parseSnap(p))
+      next += 1
+      p = metaDir.resolve(f"snap-$next%012d.json")
     }
-    (data.values.map(_._1).toSeq, data.values.map(_._2).toSet)
+  }
+
+  private def applyToState(s: Snapshot): Unit = {
+    val layout = s.summary.get("numBuckets").map(_.toInt)
+    s.addedData.foreach(f => stateLive(f.path) = LiveEntry(f, s.snapshotId, layout))
+    s.removedData.foreach(stateLive.remove)
+    stateSnapId = s.snapshotId
+    stateEpoch = s.epochId
+    // the bucket layout is commit-carried state: a writer in another
+    // process may have re-bucketed the table
+    layout.filter(_ != _numBuckets).foreach(n => _numBuckets = n)
+  }
+
+  private def liveEntries(asOf: Option[Long]): Seq[LiveEntry] = asOf match {
+    case None =>
+      ensureState()
+      stateLive.values.toSeq
+    case Some(id) => // time travel: fold the history up to `id`
+      val data = scala.collection.mutable.LinkedHashMap[String, LiveEntry]()
+      snapshots.takeWhile(_.snapshotId <= id).foreach { s =>
+        val layout = s.summary.get("numBuckets").map(_.toInt)
+        s.addedData.foreach(f => data(f.path) = LiveEntry(f, s.snapshotId, layout))
+        s.removedData.foreach(data.remove)
+      }
+      data.values.toSeq
   }
 
   // ---- read path ----
@@ -214,9 +278,9 @@ class LakeTable private (
     * exchanges, at O(buckets) driver-side plan cost.
     */
   def mergedWinners(asOf: Option[Long] = None): DataFrame = {
-    val (files, contributingSnaps) = liveState(asOf)
-    val schema = schemaFor(files, asOf)
-    winnersOver(files, contributingSnaps, schema)
+    val entries = liveEntries(asOf)
+    val schema = schemaFor(entries.map(_.file), asOf)
+    winnersOver(entries, schema)
   }
 
   private def schemaFor(files: Seq[FileEntry], asOf: Option[Long]): LakeSchema =
@@ -235,9 +299,9 @@ class LakeTable private (
     * (repository.clj:716-727, SURVEY.md §2.3 F3).
     */
   def lookup(keyValue: Any, asOf: Option[Long] = None): DataFrame = {
-    val (files, contributingSnaps) = liveState(asOf)
-    val schema = schemaFor(files, asOf)
-    val subset = layoutOf(contributingSnaps) match {
+    val entries = liveEntries(asOf)
+    val schema = schemaFor(entries.map(_.file), asOf)
+    val subset = layoutOf(entries) match {
       case Some(layout) =>
         import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
         val dt = schema.fields.find(_.name == keyCol)
@@ -249,27 +313,24 @@ class LakeTable private (
         val attr = AttributeReference(keyCol, dt, nullable = false)()
         val b = org.apache.spark.sql.execution.datasources.BucketingUtils
           .getBucketIdFromValue(attr, layout, internal)
-        files.filter(_.bucket == b)
-      case None => files
+        entries.filter(_.file.bucket == b)
+      case None => entries
     }
-    winnersOver(subset, contributingSnaps, schema)
+    winnersOver(subset, schema)
       .filter(col(keyCol) === lit(keyValue) && !col(TombCol))
       .drop(LsnCol, TombCol)
   }
 
-  /** Single bucket layout of a snapshot set, None when mixed/unknown. */
-  private def layoutOf(contributingSnaps: Set[Long]): Option[Int] = {
-    val byId = snapshots.map(s => s.snapshotId -> s).toMap
-    contributingSnaps.flatMap(id => byId.get(id).flatMap(_.summary.get("numBuckets")))
-      .map(_.toInt).toSeq.distinct match {
+  /** Single bucket layout of a live-entry set, None when mixed/unknown. */
+  private def layoutOf(entries: Seq[LiveEntry]): Option[Int] =
+    entries.flatMap(_.layout).distinct match {
       case Seq(n) => Some(n)
       case Seq()  => Some(numBuckets) // legacy snapshots without the key
       case _      => None
     }
-  }
 
-  private def winnersOver(files: Seq[FileEntry], contributingSnaps: Set[Long],
-                          schema: LakeSchema): DataFrame = {
+  private def winnersOver(entries: Seq[LiveEntry], schema: LakeSchema): DataFrame = {
+    val files = entries.map(_.file)
     // no files (fresh table, or a lookup pruned to an empty bucket) —
     // empty frame, and never an empty-reduce crash in the branch path
     if (files.isEmpty) return readDataFiles(files, schema)
@@ -278,10 +339,10 @@ class LakeTable private (
     // winner aggregate needed, but still served through the bucketed
     // relation when eligible (bucket pruning for key point-lookups,
     // reported partitioning for downstream joins)
-    if (contributingSnaps.size <= 1)
-      bucketedRelation(files, schema, contributingSnaps)
+    if (entries.map(_.snapId).distinct.size <= 1)
+      bucketedRelation(entries, schema)
         .getOrElse(readDataFiles(files, schema))
-    else bucketedWinners(files, schema, contributingSnaps).getOrElse {
+    else bucketedWinners(entries, schema).getOrElse {
       val nonKey = schema.fields.map(_.name).filterNot(_ == keyCol) ++
         Seq(LsnCol, TombCol)
       files.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, bucketFiles) =>
@@ -303,15 +364,16 @@ class LakeTable private (
     * when ineligible (mixed schema versions or mixed/unsniffable bucket
     * layout) — callers fall back to plain per-group reads.
     */
-  private def bucketedRelationRaw(files: Seq[FileEntry], target: LakeSchema,
-      contributingSnaps: Set[Long]): Option[(DataFrame, LakeSchema)] = {
+  private def bucketedRelationRaw(entries: Seq[LiveEntry], target: LakeSchema)
+      : Option[(DataFrame, LakeSchema)] = {
+    val files = entries.map(_.file)
     if (files.isEmpty) return None
     val sids = files.map(_.schemaId).distinct
     if (sids.size != 1) return None
     // layout of the contributing snapshots (bucket evolution rewrites the
     // whole live set, so a live set always carries exactly one layout; for
     // time travel it may differ from the CURRENT table layout)
-    val layout = layoutOf(contributingSnaps).getOrElse(return None)
+    val layout = layoutOf(entries).getOrElse(return None)
     if (files.exists(f => f.bucket >= layout ||
         !f.path.matches(""".*_\d{5}\.[^/]*$"""))) return None
     val fileSchema = schemas.find(_.schemaId == sids.head).getOrElse(return None)
@@ -352,9 +414,9 @@ class LakeTable private (
   /** Single-snapshot bucketed read: no winner aggregate, just the mapped
     * relation (bucket pruning + reported partitioning for free).
     */
-  private def bucketedRelation(files: Seq[FileEntry], target: LakeSchema,
-      contributingSnaps: Set[Long]): Option[DataFrame] =
-    bucketedRelationRaw(files, target, contributingSnaps).map {
+  private def bucketedRelation(entries: Seq[LiveEntry], target: LakeSchema)
+      : Option[DataFrame] =
+    bucketedRelationRaw(entries, target).map {
       case (df, fileSchema) => mapToTarget(df, fileSchema, target)
     }
 
@@ -363,9 +425,9 @@ class LakeTable private (
     * when the live files share one schema version and one bucket layout;
     * returns None otherwise (caller falls back to plan branches).
     */
-  private def bucketedWinners(files: Seq[FileEntry], target: LakeSchema,
-                              contributingSnaps: Set[Long]): Option[DataFrame] =
-    bucketedRelationRaw(files, target, contributingSnaps).map { case (df, fileSchema) =>
+  private def bucketedWinners(entries: Seq[LiveEntry], target: LakeSchema)
+      : Option[DataFrame] =
+    bucketedRelationRaw(entries, target).map { case (df, fileSchema) =>
       // the key is projected from the GROUPING attribute (not from the
       // max_by struct): Catalyst then carries HashPartitioning(key, n)
       // through the aggregate, so downstream joins/aggs on the key — e.g.
@@ -492,30 +554,45 @@ class LakeTable private (
     * the delta files those snapshots added (no merge join).
     */
   /** Tail the table's committed winner rows as a STREAM (CDC out): each
-    * upsert's delta files arrive as they commit — the downstream analog of
-    * the change feed this engine ingests. Tombstone winners ride along
-    * with `_tomb = true`; `_lsn` carries the version. Compaction rewrites
-    * live under `data/compact-*` and are never re-emitted. The schema is
-    * pinned at call time; files written under older schema versions
-    * surface added columns as null and widen legally (parquet reader
-    * type promotion).
+    * upsert's delta files arrive as their snapshot COMMITS — the
+    * downstream analog of the change feed this engine ingests. Tombstone
+    * winners ride along with `_tomb = true`; `_lsn` carries the version.
+    * Compaction rewrites are never re-emitted.
+    *
+    * Driven by the snapshot log, not a directory glob ([[LakeCdcSource]]):
+    * the offset IS the snapshot id, each micro-batch reads exactly the new
+    * snapshots' manifest files. A file-glob source here would (a) re-list
+    * the entire data tree every trigger and keep an O(all-files-ever)
+    * seen-files map — unbounded driver state at thousands of snapshots —
+    * and (b) emit rows the moment a staged delta dir lands, BEFORE its
+    * snapshot commits: a crash between the dir move and the commit would
+    * leak phantom uncommitted rows (and the replayed epoch's fresh UUID
+    * filenames would duplicate them). Manifest-driven planning makes
+    * visibility follow the commit and per-trigger work O(new snapshots).
     */
-  def changesStream(maxFilesPerTrigger: Int = 8): DataFrame = {
-    val hidden = Seq(
-      StructField(LsnCol, LongType, nullable = true),
-      StructField(TombCol, BooleanType, nullable = true))
-    val s = StructType(
-      currentSchema.sparkSchema.fields.toSeq.map(_.copy(nullable = true)) ++ hidden)
-    spark.readStream.schema(s)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(s"$root/data/snap-*")
-  }
+  def changesStream(maxSnapshotsPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .format(classOf[LakeCdcSourceProvider].getName)
+      .option(LakeCdcSource.RootOption, root)
+      .option(LakeCdcSource.MaxSnapshotsOption, maxSnapshotsPerTrigger.toString)
+      .load()
 
+  /** Incremental changelog read: winner rows committed by upsert snapshots
+    * in (from, to]. Snapshot ids are dense, so the range is read by
+    * DIRECT file probes — O(range) metadata reads, no listing, no full-log
+    * parse (this runs once per CDC-out micro-batch).
+    */
   def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
-    val snaps = snapshots.filter(s =>
-      s.snapshotId > fromSnapshotId && s.snapshotId <= toSnapshotId &&
-        s.summary.get("operation").contains("upsert"))
-    readDataFiles(snaps.flatMap(_.addedData), currentSchema)
+    val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
+      val p = metaDir.resolve(f"snap-$id%012d.json")
+      if (!Files.exists(p)) Seq.empty[FileEntry]
+      else {
+        val s = parseSnap(p)
+        if (s.summary.get("operation").contains("upsert")) s.addedData
+        else Seq.empty[FileEntry]
+      }
+    }
+    readDataFiles(files, currentSchema)
   }
 
   /** @param purgeTombstonesBelowLsn tombstones with `_lsn` below this are
@@ -738,7 +815,7 @@ class LakeTable private (
   }
 
   private def commit(s: Snapshot): Unit = {
-    val prior = snapshots // materialise the cache BEFORE the new file lands
+    ensureState()
     val tmp = metaDir.resolve(s"snap-.tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, snapshotJson(s))
     val target = metaDir.resolve(f"snap-${s.snapshotId}%012d.json")
@@ -748,9 +825,41 @@ class LakeTable private (
         s"commit conflict: snapshot ${s.snapshotId} already exists (concurrent writer?)")
     }
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    snapshotCache = prior :+ s
+    applyToState(s)
+    if (allSnapsCache != null) allSnapsCache = allSnapsCache :+ s
+    // roll the log up every CheckpointInterval commits: the checkpoint is
+    // the materialised fold (live files + layout + last epoch), so a cold
+    // load resumes from it and parses only the tail — O(interval), not
+    // O(epochs). Iceberg's manifest-list analog.
+    if (s.snapshotId > 0 && s.snapshotId % CheckpointInterval == 0) writeCheckpoint()
+  }
+
+  private def writeCheckpoint(): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("snapshotId", stateSnapId)
+    o.put("epochId", stateEpoch)
+    o.put("numBuckets", _numBuckets)
+    val arr = o.putArray("live")
+    stateLive.values.foreach { e =>
+      val fo = arr.addObject()
+      fo.put("path", e.file.path); fo.put("bucket", e.file.bucket)
+      fo.put("bytes", e.file.bytes); fo.put("schemaId", e.file.schemaId)
+      fo.put("rows", e.file.rows); fo.put("minLsn", e.file.minLsn)
+      fo.put("maxLsn", e.file.maxLsn)
+      fo.put("snapId", e.snapId); fo.put("layout", e.layout.getOrElse(-1))
+    }
+    val tmp = metaDir.resolve(s"ckpt-.tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, o.toPrettyString)
+    Files.move(tmp, metaDir.resolve(f"ckpt-$stateSnapId%012d.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }
+
+/** One live data file with the snapshot that committed it and that
+  * snapshot's bucket layout — the unit of the rolled-up metadata fold.
+  */
+private[lake] final case class LiveEntry(file: FileEntry, snapId: Long,
+    layout: Option[Int])
 
 /** FileIndex served straight from the snapshot manifest: the log already
   * records every live file with its exact size, so scan planning does ZERO
@@ -784,6 +893,12 @@ private[lake] class ManifestFileIndex(root: String, files: Seq[FileEntry])
 }
 
 object LakeTable {
+  /** Snapshot-log roll-up cadence: a checkpoint (materialised fold) is
+    * written every this-many commits, bounding cold-load metadata parses
+    * to interval + 1 regardless of table age.
+    */
+  val CheckpointInterval = 16
+
   val LsnCol = "_lsn"
   val TombCol = "_tomb"
   val SrcMinCol = "_src_min"
@@ -840,13 +955,15 @@ object LakeTable {
     require(Files.exists(meta), s"no table at $root")
     val p = meta.resolve("table.json")
     val n = mapper.readTree(Files.readString(p))
-    val t = new LakeTable(spark, root, n.get("keyCol").asText(), n.get("numBuckets").asInt())
-    t.snapshots.lastOption.flatMap(_.summary.get("numBuckets")).map(_.toInt)
-      .filter(_ != t.numBuckets)
-      .foreach { fromLog =>
-        t._numBuckets = fromLog
-        writeTableProps(meta, t.keyCol, fromLog) // heal table.json
-      }
+    val fromProps = n.get("numBuckets").asInt()
+    val t = new LakeTable(spark, root, n.get("keyCol").asText(), fromProps)
+    // the incremental state fold (checkpoint + tail — O(interval) parses,
+    // never the whole log) already carries the commit-recorded layout; a
+    // crash between a re-bucketing compaction's commit and its table.json
+    // update must not resurrect the old layout
+    t.ensureState()
+    if (t.numBuckets != fromProps)
+      writeTableProps(meta, t.keyCol, t.numBuckets) // heal table.json
     t
   }
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.feed.{ChangeFeed, FeedConfig}
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.stream.CdcIngest
+import graft.verify.FoldOracle
+
+/** Metadata-plane scale contract: the snapshot log rolls up into periodic
+  * checkpoint files, so a cold `load()` parses O(CheckpointInterval)
+  * metadata files — NOT O(epochs). At the 10^10-event target (~500k
+  * snapshots at 20k-event batches) an O(epochs) cold start would dominate
+  * the job; this suite replays 200 epochs and pins the bound.
+  */
+class LakeMetaSpec extends SparkSpec {
+
+  test("200-epoch replay: cold load parses O(interval) metadata files, state exact") {
+    val dir = tmpDir("lake-meta")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 1)
+    val cfg = FeedConfig(seed = 11L, numEvents = 1000L, numDocs = 120L,
+      deletePct = 10, maxTokens = 4)
+    val events = ChangeFeed.events(spark, cfg).toDF().cache()
+    events.count()
+    (0 until 200).foreach { c =>
+      CdcIngest.applyBatch(table,
+        events.filter(col("lsn").between(c * 5L, c * 5L + 4L)), epochId = c.toLong)
+    }
+    assert(table.currentSnapshotId == 199L)
+    // roll-up artifacts exist on disk
+    import scala.jdk.CollectionConverters._
+    val metaNames = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t/meta"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(metaNames.count(_.startsWith("ckpt-")) >= 10,
+      s"expected periodic checkpoints, found ${metaNames.count(_.startsWith("ckpt-"))}")
+    assert(metaNames.count(_.startsWith("snap-")) == 200)
+
+    // COLD load: driving the hot path (state + schema + merged read) may
+    // parse the latest checkpoint plus the tail after it — never the
+    // whole 200-snapshot log
+    val t2 = LakeTable.load(spark, s"$dir/t")
+    val merged = t2.read()
+    assert(t2.metaFilesParsed <= LakeTable.CheckpointInterval + 4,
+      s"cold load parsed ${t2.metaFilesParsed} metadata files — O(epochs) regression")
+
+    // the rolled-up fold is EXACT: merged state matches the event-by-event
+    // in-memory oracle bit-for-bit
+    val errs = FoldOracle.diff(merged, FoldOracle.finalState(cfg))
+    assert(errs.isEmpty, errs.take(10).mkString("; "))
+
+    // a polling reader advances incrementally: one new commit costs one
+    // metadata parse, not a re-fold
+    CdcIngest.applyBatch(table,
+      events.filter(col("lsn") === 0L).withColumn("lsn", lit(5000L)),
+      epochId = 200L)
+    val before = t2.metaFilesParsed
+    t2.refresh()
+    assert(t2.currentSnapshotId == 200L)
+    assert(t2.metaFilesParsed - before <= 2,
+      s"refresh parsed ${t2.metaFilesParsed - before} files for one new commit")
+
+    // full-history APIs (time travel, audits) still see every snapshot
+    val t3 = LakeTable.load(spark, s"$dir/t")
+    assert(t3.snapshots.size == 201)
+    assert(t3.readAt(49L).count() > 0)
+    assert(t3.lastCommittedEpoch == 200L)
+  }
+}

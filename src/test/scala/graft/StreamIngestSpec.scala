@@ -80,6 +80,65 @@ class StreamIngestSpec extends SparkSpec {
     assert(spark.table("cdcout3").filter(col("_tomb")).count() > 0)
   }
 
+  test("CDC tail is manifest-driven: snapshot-id offsets, no globbing, no phantoms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val c0 = cfg.copy(numEvents = 2000L)
+    val dir = tmpDir("cdc-tail")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    def commitBatch(c: Int): Unit = {
+      val batch = spark.range(c * 500L, (c + 1) * 500L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    // SHARED checkpoint across drains: each drain resumes from the last
+    // committed snapshot-id offset and emits ONLY the new commits
+    // (foreachBatch sink — memory sink cannot recover from a checkpoint)
+    def drain(name: String): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = table.changesStream()
+        .writeStream.queryName(name)
+        .option("checkpointLocation", s"$dir/ckpt-shared")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          total.addAndGet(b.count()); ()
+        }
+        .start()
+      q.awaitTermination()
+      total.get()
+    }
+    commitBatch(0)
+    val n0 = drain("tail0")
+    assert(n0 == table.changesBetween(-1L, 0L).count())
+    commitBatch(1)
+    commitBatch(2)
+    val n12 = drain("tail1")
+    assert(n12 == table.changesBetween(0L, 2L).count(),
+      s"resumed tail emitted $n12, expected only snapshots 1..2")
+    // phantom immunity: a staged-but-never-committed delta dir (crash
+    // between the dir move and the snapshot commit) must emit NOTHING —
+    // visibility follows the commit, not the filesystem
+    val orphanSrc = java.nio.file.Paths.get(s"$dir/t/data/snap-0")
+    val orphanDst = java.nio.file.Paths.get(s"$dir/t/data/snap-99")
+    val sub = java.nio.file.Files.list(orphanSrc).iterator().next()
+    java.nio.file.Files.createDirectories(orphanDst)
+    java.nio.file.Files.copy(sub, orphanDst.resolve(sub.getFileName))
+    assert(drain("tail2") == 0, "uncommitted orphan dir leaked phantom rows")
+    // planning is manifest-driven: the batch for offsets (1, 2] reads
+    // EXACTLY the files snapshot 2's manifest recorded — nothing listed,
+    // nothing extra (the glob design re-listed the whole tree every
+    // trigger). changesBetween IS the source's getBatch planning path.
+    val planned = table.changesBetween(1L, 2L)
+    val snap2Files = LakeTable.load(spark, s"$dir/t").snapshots
+      .find(_.snapshotId == 2L).get.addedData.map(f => s"$dir/t/${f.path}").toSet
+    assert(planned.inputFiles.map(p => new java.net.URI(p).getPath).toSet == snap2Files,
+      s"planned ${planned.inputFiles.length} files, manifest has ${snap2Files.size}")
+    // and the source hands the engine a stream-tagged frame of that plan
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8)
+    assert(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)).isStreaming)
+  }
+
   test("kill mid-replay, restart from checkpoint: final state bit-identical") {
     val dir = tmpDir("stream")
     ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 12)
