@@ -715,7 +715,7 @@ class LakeTable private (
       // Files.list is weakly consistent and may re-observe a renamed entry
       val parts = Files.list(stage).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      val entries = parts.flatMap { f =>
+      def trackFile(f: Path): Option[FileEntry] = {
         val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
         val bucket = name.stripPrefix("part-").take(5).toInt
         val stats = footerStats(f, conf)
@@ -741,7 +741,22 @@ class LakeTable private (
           Some(FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId,
             stats.rows, stats.minLsn, stats.maxLsn))
         }
-      }.sortBy(_.bucket)
+      }
+      // footer reads + renames touch one file each and dominate the
+      // driver-side commit cost at high bucket counts (32 buckets × N
+      // batches of sequential ~ms-scale opens) — run them on a bounded
+      // pool; ordering is restored by the bucket sort
+      val entries = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(8, parts.size)))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            parts.map(f => scala.concurrent.Future(trackFile(f)))),
+          scala.concurrent.duration.Duration.Inf).flatten.sortBy(_.bucket)
+        finally pool.shutdown()
+      }
       val target = Paths.get(s"$root/$relDir")
       Files.createDirectories(target.getParent)
       // an existing target dir is always an ORPHAN: had its snapshot
