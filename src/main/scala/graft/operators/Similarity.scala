@@ -89,7 +89,7 @@ object Similarity {
     * beyond the nCells×dim centroid frame (checkpointed per round to cut
     * lineage).
     */
-  def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 4,
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 2,
                       seed: Long = 42L): DataFrame = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
     val rank = xxhash64(col("vec_id"), lit(seed))
@@ -144,7 +144,7 @@ object Similarity {
     * recall floor vs brute force asserted in OperatorSpec.
     */
   def ivfTopK(embeddings: DataFrame, nCells: Int, numQueries: Int, k: Int,
-              nprobe: Int = 2, kmeansIters: Int = 4, seed: Long = 42L): DataFrame = {
+              nprobe: Int = 2, kmeansIters: Int = 2, seed: Long = 42L): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, kmeansIters, seed)
     val qw = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cell").asc)
     val qprobes = embeddings.filter(col("vec_id") < numQueries)
