@@ -225,6 +225,11 @@ class LakeTable private (
       ensureState()
       stateLive.values.toSeq
     case Some(id) => // time travel: fold the history up to `id`
+      // a partial fold over an expired prefix would be silently WRONG
+      // state — refuse loudly instead (expireSnapshots documents the trade)
+      require(snapshots.headOption.exists(_.snapshotId == 0L),
+        s"time travel to snapshot $id unavailable: history below snapshot " +
+          s"${snapshots.headOption.map(_.snapshotId).getOrElse(-1L)} was expired")
       val data = scala.collection.mutable.LinkedHashMap[String, LiveEntry]()
       snapshots.takeWhile(_.snapshotId <= id).foreach { s =>
         val layout = s.summary.get("numBuckets").map(_.toInt)
@@ -847,6 +852,38 @@ class LakeTable private (
     // load resumes from it and parses only the tail — O(interval), not
     // O(epochs). Iceberg's manifest-list analog.
     if (s.snapshotId > 0 && s.snapshotId % CheckpointInterval == 0) writeCheckpoint()
+  }
+
+  /** Expire snapshot history: delete snapshot JSONs with id ≤
+    * `upToSnapshotId` (and superseded checkpoints), PROVIDED the latest
+    * checkpoint covers them — the rolled-up fold stays the complete,
+    * sufficient table state, so the hot path and cold `load()` are
+    * untouched. Bounds the metadata file count on long replays (at the
+    * 10^10-event target the log would otherwise accrete ~500k files);
+    * Iceberg's `expire_snapshots` analog. The trade is explicit and loud:
+    * time travel below the horizon throws, and a CDC tail
+    * ([[changesStream]]) that has fallen behind the horizon misses the
+    * expired range — retention must exceed maximum consumer lag, the same
+    * contract as any log retention. Returns the number of files removed.
+    */
+  def expireSnapshots(upToSnapshotId: Long): Int = {
+    ensureState()
+    def idOf(p: Path, prefix: String): Long =
+      p.getFileName.toString.stripPrefix(prefix).stripSuffix(".json").toLong
+    val ckptIds = listFiles(metaDir, "ckpt-").map(idOf(_, "ckpt-"))
+    require(ckptIds.nonEmpty,
+      s"no checkpoint exists yet — expiring would delete the only copy of table state")
+    val latestCkpt = ckptIds.max
+    val horizon = math.min(upToSnapshotId, latestCkpt)
+    var deleted = 0
+    (0L to horizon).foreach { id =>
+      if (Files.deleteIfExists(metaDir.resolve(f"snap-$id%012d.json"))) deleted += 1
+    }
+    ckptIds.filter(_ < latestCkpt).foreach { id =>
+      if (Files.deleteIfExists(metaDir.resolve(f"ckpt-$id%012d.json"))) deleted += 1
+    }
+    allSnapsCache = null
+    deleted
   }
 
   private def writeCheckpoint(): Unit = {

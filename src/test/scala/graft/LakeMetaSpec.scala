@@ -65,5 +65,23 @@ class LakeMetaSpec extends SparkSpec {
     assert(t3.snapshots.size == 201)
     assert(t3.readAt(49L).count() > 0)
     assert(t3.lastCommittedEpoch == 200L)
+
+    // expiry bounds the on-disk metadata file count; the rolled-up fold
+    // keeps the current state exact, and expired time travel fails LOUDLY
+    val removed = t3.expireSnapshots(180L)
+    assert(removed > 150, s"expired only $removed files")
+    val left = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t/meta"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(left.count(_.startsWith("snap-")) <= 200 - 180 + LakeTable.CheckpointInterval)
+    assert(left.count(_.startsWith("ckpt-")) == 1)
+    val t4 = LakeTable.load(spark, s"$dir/t")
+    // identical merged state before and after expiry (data files untouched)
+    assert(t4.read().exceptAll(t3.read()).isEmpty &&
+      t3.read().exceptAll(t4.read()).isEmpty)
+    assert(t4.metaFilesParsed <= LakeTable.CheckpointInterval + 4)
+    val ex = intercept[IllegalArgumentException] { t4.readAt(49L).count() }
+    assert(ex.getMessage.contains("expired"))
+    // the CDC tail above the horizon still plans (recent range intact)
+    assert(t4.changesBetween(195L, 200L).count() > 0)
   }
 }
