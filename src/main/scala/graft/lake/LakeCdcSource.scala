@@ -43,6 +43,12 @@ class LakeCdcSource(sqlContext: SQLContext, root: String,
   // wait for the next run (-1 = unbounded, normal triggers)
   private var availableAtStart: Long = -1L
 
+  // schema version pinned at stream start: a mid-stream evolution must
+  // not change this source's output shape (the engine binds attributes
+  // once); batches map newer files onto it by field id, and a RESTART
+  // picks the evolved schema up
+  private val pinnedSchema = table.currentSchema
+
   override val schema: StructType = LakeCdcSource.schemaFor(table)
 
   private def longOf(o: OffsetV2): Long = o match {
@@ -84,7 +90,7 @@ class LakeCdcSource(sqlContext: SQLContext, root: String,
     val e = longOf(end)
     table.refresh()
     val batch = org.apache.spark.sql.graftshim.StreamingFrameShim
-      .asStreaming(table.changesBetween(s, e))
+      .asStreaming(table.changesBetweenAs(s, e, pinnedSchema))
     // an empty range has no file relation to re-tag — swap in an empty
     // streaming local relation of the same shape
     if (batch.isStreaming) batch

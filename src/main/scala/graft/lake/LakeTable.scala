@@ -587,7 +587,17 @@ class LakeTable private (
     * DIRECT file probes — O(range) metadata reads, no listing, no full-log
     * parse (this runs once per CDC-out micro-batch).
     */
-  def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+  def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame =
+    changesBetweenAs(fromSnapshotId, toSnapshotId, currentSchema)
+
+  /** [[changesBetween]] projected onto an explicit schema version — the
+    * CDC-out stream pins its schema at stream start and keeps consuming
+    * through a mid-stream evolution (files written under other versions
+    * map by field id: added columns null out, widenings cast); a restart
+    * picks the evolved schema up.
+    */
+  private[lake] def changesBetweenAs(fromSnapshotId: Long, toSnapshotId: Long,
+      target: LakeSchema): DataFrame = {
     val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val p = metaDir.resolve(f"snap-$id%012d.json")
       if (!Files.exists(p)) Seq.empty[FileEntry]
@@ -597,7 +607,7 @@ class LakeTable private (
         else Seq.empty[FileEntry]
       }
     }
-    readDataFiles(files, currentSchema)
+    readDataFiles(files, target)
   }
 
   /** @param purgeTombstonesBelowLsn tombstones with `_lsn` below this are

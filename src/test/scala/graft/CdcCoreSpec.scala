@@ -374,6 +374,26 @@ class CdcCoreSpec extends SparkSpec {
     assert(badRows.length == 1 && (0 until 4).forall(badRows(0).isNullAt))
   }
 
+  test("n-quads adversarial objects round-trip (delimiter look-alikes)") {
+    import graft.sources.NQuads
+    // objects that mimic the line grammar itself: a fake graph tail, a
+    // fake prefix header, bare terminators, backslash runs
+    val nasty = Seq(
+      ("d1", "p", "evil\" <g2> .", "g"),
+      ("d2", "p", "@prefix x: <y> .", "g"),
+      ("d3", "p", "\" .", "g"),
+      ("d4", "p", "\\n not a newline \\\\", "g"),
+      ("d5", "p", "> <", "g"),
+      ("d6", "p", "trailing backslash \\", "g")
+    ).toDF("subject", "predicate", "object", "source")
+    val dir = tmpDir("nq-adv")
+    NQuads.write(nasty, s"$dir/out.nq")
+    val back = NQuads.read(spark, s"$dir/out.nq")
+    assert(back.exceptAll(nasty).isEmpty && nasty.exceptAll(back).isEmpty)
+    // and none of them leaked into the prefix map
+    assert(NQuads.readPrefixes(spark, s"$dir/out.nq").isEmpty)
+  }
+
   test("n-triples round trip, prefix header first-in-file, NUL rejected loudly") {
     import graft.sources.NQuads
     // triple = quad with nil context (protocols.cljc:396-406): a 3-column

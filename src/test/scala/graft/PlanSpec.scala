@@ -118,6 +118,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "assignment must not window-sort the corpus")
   }
 
+  test("simhash near-dup pipeline joins on band keys — never an all-pairs product") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.operators.DedupOps.simhashNearDups(docs, maxLen = 64, maxDist = 3))
+    // the candidate step must be an equi-join on (block, value); a
+    // cartesian/nested-loop shape is the O(N²) corpus-scale killer
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape detected:\n${plan.take(2000)}")
+    val jac = planOf(graft.operators.DedupOps.ngramJaccard(docs, 3, 40, 0.1, maxDocFreq = 64))
+    assert(!jac.contains("CartesianProduct") && !jac.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("single-snapshot read takes the fast path (no join)") {
     import spark.implicits._
     val dir = tmpDir("plan-lake2")

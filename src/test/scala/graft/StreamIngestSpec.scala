@@ -139,6 +139,76 @@ class StreamIngestSpec extends SparkSpec {
     assert(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)).isStreaming)
   }
 
+  test("changelog completeness: a downstream table rebuilt ONLY from the CDC tail matches upstream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val c0 = cfg.copy(numEvents = 4000L, deletePct = 15)
+    val dir = tmpDir("cdc-replicate")
+    val up = LakeTable.create(spark, s"$dir/up", Schemas.docRow, numBuckets = 4)
+    (0 until 4).foreach { c =>
+      val batch = spark.range(c * 1000L, (c + 1) * 1000L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF()
+      CdcIngest.applyBatch(up, batch, epochId = c.toLong)
+    }
+    // downstream consumer: re-apply each tailed micro-batch as a change
+    // batch (op derived from _tomb, lsn from _lsn) — if the tail is a
+    // COMPLETE changelog, downstream state must equal upstream state
+    val down = LakeTable.create(spark, s"$dir/down", Schemas.docRow, numBuckets = 2)
+    val q = up.changesStream(maxSnapshotsPerTrigger = 1)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        val asFeed = b.select(
+          when(col(LakeTable.TombCol), "D").otherwise("U").as("op"),
+          col("doc_id"), col(LakeTable.LsnCol).as("lsn"),
+          col("tokens"), col("n_tok"), col("source"))
+        CdcIngest.applyBatch(down, asFeed, epochId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val a = up.read()
+    val b = down.read()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "downstream (changelog-replayed) state diverged from upstream")
+    assert(b.count() > 0)
+  }
+
+  test("CDC tail survives a mid-stream schema evolution (schema pinned at start)") {
+    import spark.implicits._
+    val c0 = cfg.copy(numEvents = 1000L)
+    val dir = tmpDir("cdc-evolve-tail")
+    val writer = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    CdcIngest.applyBatch(writer,
+      spark.range(0L, 500L).mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF(),
+      epochId = 0L)
+    // source created (schema pinned) BEFORE the evolution
+    val src = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8)
+    val pinnedCols = src.schema.fieldNames.toSeq
+    // table evolves and commits a batch carrying the new column
+    writer.evolveSchema(org.apache.spark.sql.types.StructType(
+      Schemas.docRow.fields :+
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    CdcIngest.applyBatch(writer,
+      spark.range(500L, 1000L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF()
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      epochId = 1L)
+    // the running source keeps its pinned shape — the engine bound its
+    // attributes at start; without pinning this batch would carry an
+    // extra column and crash the stream mid-run
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val batch = src.getBatch(Some(LongOffset(0L)), LongOffset(1L))
+    assert(batch.columns.toSeq == pinnedCols,
+      s"mid-stream batch shape changed: ${batch.columns.toSeq} vs $pinnedCols")
+    assert(batch.isStreaming)
+    // a RESTARTED tail (new source) picks the evolved schema up
+    val src2 = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8)
+    assert(src2.schema.fieldNames.contains("lang"))
+  }
+
   test("kill mid-replay, restart from checkpoint: final state bit-identical") {
     val dir = tmpDir("stream")
     ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 12)
