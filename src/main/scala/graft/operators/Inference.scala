@@ -45,4 +45,41 @@ object Inference {
         "raise maxIters; refusing to return a partial materialisation")
     all
   }
+
+  /** Semi-naive materialisation: `rule(all, delta)` receives BOTH the full
+    * statement set and the statements new since the last round, and
+    * should derive candidates whose premises touch the delta — each
+    * round's join work is then proportional to the NEW facts, not the
+    * accumulated set (the same frontier discipline as
+    * [[GraphOps.transitiveClosure]]). Sound whenever the rule is monotone
+    * and every derivation uses ≥1 delta premise (true of Datalog-style
+    * rules like RDFS type/subclass propagation); equality with the naive
+    * [[materialize]] is spec-pinned. At a 10^9-statement materialised
+    * view, re-joining the full set every round is the difference between
+    * O(rounds × all) and O(total derivations).
+    */
+  def materializeIncremental(base: DataFrame,
+                             rule: (DataFrame, DataFrame) => DataFrame,
+                             maxIters: Int = 20,
+                             reliableCheckpoint: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    var all = cp(base.distinct())
+    var delta = all
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val derived = cp(rule(all, delta).distinct().exceptAll(all))
+      if (derived.isEmpty) done = true
+      else {
+        all = cp(all.union(derived))
+        delta = derived
+      }
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"inference did not reach a fixpoint within $maxIters iterations — " +
+        "raise maxIters; refusing to return a partial materialisation")
+    all
+  }
 }

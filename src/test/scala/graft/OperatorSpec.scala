@@ -364,6 +364,31 @@ class OperatorSpec extends SparkSpec {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  test("semi-naive inference == naive materialisation (delta-driven rounds)") {
+    import graft.operators.Inference
+    // deep subclass chain: semi-naive derives each new level from the
+    // DELTA only, naive re-joins everything — results must be identical
+    val base = (Seq(("x", "type", "C0"), ("y", "type", "C2")) ++
+      (0 until 8).map(i => (s"C$i", "subClassOf", s"C${i + 1}")))
+      .toDF("s", "p", "o")
+    val naive = Inference.materialize(base, cur => {
+      val types = cur.filter($"p" === "type").select($"s".as("x"), $"o".as("c1"))
+      val subs = cur.filter($"p" === "subClassOf").select($"s".as("c1"), $"o".as("c2"))
+      types.join(subs, "c1").select($"x".as("s"), lit("type").as("p"), $"c2".as("o"))
+    })
+    val semi = Inference.materializeIncremental(base, (all, delta) => {
+      // only DELTA type-facts join the (stable) subclass hierarchy
+      val newTypes = delta.filter($"p" === "type").select($"s".as("x"), $"o".as("c1"))
+      val subs = all.filter($"p" === "subClassOf").select($"s".as("c1"), $"o".as("c2"))
+      newTypes.join(subs, "c1").select($"x".as("s"), lit("type").as("p"), $"c2".as("o"))
+    })
+    assert(naive.exceptAll(semi).isEmpty && semi.exceptAll(naive).isEmpty)
+    assert(semi.count() == semi.distinct().count())
+    // x reaches every class above C0, y every class above C2
+    assert(semi.filter($"s" === "x" && $"p" === "type").count() == 9)
+    assert(semi.filter($"s" === "y" && $"p" === "type").count() == 7)
+  }
+
   test("add-properties merges a predicate map (replace + append)") {
     import graft.operators.Templater
     val d = Seq((1L, "x")).toDF("doc_id", "v")
