@@ -152,8 +152,20 @@ class LakeTable private (
     * look, never the whole log.
     */
   def refresh(): Unit = {
-    schemaCache = null
     allSnapsCache = null
+    // schemas advance incrementally too (ids are dense): a CDC tail calls
+    // refresh() every trigger, and re-parsing the whole schema chain per
+    // micro-batch would be pointless file IO on the hot path
+    if (schemaCache != null) {
+      var next = schemaCache.last.schemaId + 1
+      var p = metaDir.resolve(f"schema-$next%04d.json")
+      while (Files.exists(p)) {
+        metaFilesParsed += 1
+        schemaCache = schemaCache :+ readSchema(p)
+        next += 1
+        p = metaDir.resolve(f"schema-$next%04d.json")
+      }
+    }
     if (stateLive == null) ensureState() else advanceState()
   }
 
