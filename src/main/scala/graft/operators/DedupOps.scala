@@ -104,12 +104,15 @@ object DedupOps {
                            k: Int, bands: Int): DataFrame = {
     val mh = minhash(docs, w, maxLen, k)
     val rowsPerBand = k / bands
+    // materialise band keys once before the self-join (no ReusedExchange
+    // for the identical subplans — see simhashCandidatePairs)
     val banded = mh
       .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
       // array_agg ordered by seed → deterministic band key
       .agg(md5(concat_ws(",", array_sort(collect_list(
         concat_ws(":", lpad(col("seed").cast("string"), 4, "0"), col("mh")))))).as("bkey"))
+      .localCheckpoint()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -193,9 +196,14 @@ object DedupOps {
       .select(col("id1"), col("id2"))
 
   /** Banded candidate pairs over a precomputed (doc_id, simhash) frame,
-    * carrying both hashes: (id1, id2, sh1, sh2).
+    * carrying both hashes: (id1, id2, sh1, sh2). The hash frame is
+    * materialised ONCE (localCheckpoint) before the self-join — Catalyst
+    * does not reuse the two identical aggregation subplans (verified: no
+    * ReusedExchange), and at corpus scale computing the full simhash
+    * aggregation twice doubles the most expensive stage.
     */
-  private def simhashCandidatePairs(sh: DataFrame): DataFrame = {
+  private def simhashCandidatePairs(sh0: DataFrame): DataFrame = {
+    val sh = sh0.localCheckpoint()
     val banded = sh
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("blk"), col("simhash"))
       .select(col("doc_id"), col("blk"),
