@@ -336,6 +336,18 @@ object SparkEntry {
           lit("lang").as("predicate"),
           col("lang").as("object")))
     }),
+    "q56_prefix_expand" -> ((s, dir) => { implicit val sp = s
+      // CURIE prefix expansion/compaction (C3, repository.clj:670-673) as
+      // pure Column rewrites; compact ∘ expand round-trips the lang CURIE
+      import graft.sources.Prefixes
+      val m = Map(
+        "doc" -> "http://example.org/doc/",
+        "lang" -> "http://purl.org/dc/terms/language/")
+      t(dir, "documents").select(col("doc_id"),
+        Prefixes.expand(concat(lit("doc:"), col("doc_id")), m).as("iri"),
+        Prefixes.compact(
+          Prefixes.expand(concat(lit("lang:"), col("lang")), m), m).as("curie"))
+    }),
     "q43_path_algebra" -> ((s, dir) => { implicit val sp = s
       // composable path DSL (reference path.clj grammar, e2e like
       // path_test.clj:53-58): (s_in | c_in) / in_region / to_hub?
@@ -781,6 +793,11 @@ object SparkEntry {
            replace(replace(replace(replace(replace(lang,
              '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
            || '" .' AS value FROM documents""",
+    "q56_prefix_expand" ->
+      """SELECT doc_id,
+         'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS iri,
+         'lang:' || lang AS curie
+         FROM documents""",
     "q43_path_algebra" ->
       """WITH hop1 AS (
            SELECT CAST(s_suppkey + 10000 AS BIGINT) AS src,

@@ -56,3 +56,36 @@ class CodecSpec extends SparkSpec {
     assert(Codecs.infer("/x/feed.tsv").contains("tsv")) // built-in
   }
 }
+
+/** CURIE prefix expansion/compaction (SURVEY §2.9 C3). */
+class PrefixesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.sources.Prefixes
+
+  test("expand/compact: round trip, longest-namespace match, passthrough") {
+    val m = Map(
+      "ex" -> "http://example.org/",
+      "exd" -> "http://example.org/doc/", // nested inside ex's namespace
+      "dct" -> "http://purl.org/dc/terms/")
+    val vals = Seq("ex:thing", "exd:42", "dct:title", "unknown:x", "plain")
+      .toDF("v")
+    val out = vals.select($"v",
+      Prefixes.expand($"v", m).as("iri"))
+      .withColumn("back", Prefixes.compact($"iri", m))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byV = out.map(t => t._1 -> t).toMap
+    assert(byV("ex:thing")._2 == "http://example.org/thing")
+    assert(byV("exd:42")._2 == "http://example.org/doc/42")
+    assert(byV("dct:title")._2 == "http://purl.org/dc/terms/title")
+    // no mapping -> unchanged (unknown-passthrough, io.clj:176-181 analog)
+    assert(byV("unknown:x")._2 == "unknown:x" && byV("plain")._2 == "plain")
+    // compact inverts expand - INCLUDING the nested namespace, which must
+    // compact to the longest match (exd:, not ex:doc/)
+    out.foreach { case (v, _, back) => assert(back == v, s"$v -> $back") }
+    val nested = spark.range(1)
+      .select(Prefixes.compact(lit("http://example.org/doc/9"), m).as("c"))
+      .head().getString(0)
+    assert(nested == "exd:9")
+  }
+}
