@@ -238,10 +238,11 @@ class LakeTable private (
       stateLive.values.toSeq
     case Some(id) => // time travel: fold the history up to `id`
       // a partial fold over an expired prefix would be silently WRONG
-      // state — refuse loudly instead (expireSnapshots documents the trade)
-      require(snapshots.headOption.exists(_.snapshotId == 0L),
+      // state — refuse loudly instead (expireSnapshots documents the
+      // trade); an empty history (fresh table) folds to an empty state
+      require(snapshots.isEmpty || snapshots.head.snapshotId == 0L,
         s"time travel to snapshot $id unavailable: history below snapshot " +
-          s"${snapshots.headOption.map(_.snapshotId).getOrElse(-1L)} was expired")
+          s"${snapshots.head.snapshotId} was expired")
       val data = scala.collection.mutable.LinkedHashMap[String, LiveEntry]()
       snapshots.takeWhile(_.snapshotId <= id).foreach { s =>
         val layout = s.summary.get("numBuckets").map(_.toInt)
