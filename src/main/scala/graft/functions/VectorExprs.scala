@@ -53,17 +53,89 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Hamming distance between two lowercase-hex digest strings
+  * (e.g. 16-char simhash64 values): per character, XOR the decoded
+  * nibbles and popcount — one fused loop with `doGenCode`, replacing a
+  * 16-term conv/substr/xor Column tree in the near-dup verify filter
+  * (which runs once per CANDIDATE pair — billions of rows at corpus
+  * scale). Bit-identical to [[graft.operators.DedupOps.hammingHex64]]
+  * on the hex domain (property-pinned); non-hex characters decode to 0,
+  * lengths compare up to the shorter string.
+  */
+case class HammingHex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].getBytes
+    val y = b.asInstanceOf[UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Integer.bitCount(
+        (HammingHex.nibble(x(i)) ^ HammingHex.nibble(y(i))) & 0xf)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      val cls = classOf[HammingHex].getName
+      s"""
+         |byte[] $xa = $a.getBytes();
+         |byte[] $yb = $b.getBytes();
+         |int $n = java.lang.Math.min($xa.length, $yb.length);
+         |int acc_${ev.value} = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc_${ev.value} += java.lang.Integer.bitCount(
+         |    ($cls.nibble($xa[$i]) ^ $cls.nibble($yb[$i])) & 0xf);
+         |}
+         |${ev.value} = acc_${ev.value};
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingHex =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingHex {
+  /** Lowercase-hex nibble decode; anything else → 0 (matches `conv`'s
+    * treatment closely enough on the digest domain, which is all this is
+    * defined for). Public static for the generated code.
+    */
+  def nibble(c: Byte): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else 0
+}
+
 object VectorExprs {
   val FnName = "graft_vec_dot"
+  val HammingFnName = "graft_hamming_hex"
 
-  /** Idempotently register the expression with the session's function
+  /** Idempotently register the expressions with the session's function
     * registry (Spark 4 keeps Column↔Expression bridging private, so the
     * registry + `call_function` is the public route).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HammingFnName, exprs => HammingHex(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Dot product of two array<float> columns ([[register]] first). */
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
+
+  /** Hamming distance of two hex-digest columns ([[register]] first). */
+  def hammingHex(a: Column, b: Column): Column = call_function(HammingFnName, a, b)
 }

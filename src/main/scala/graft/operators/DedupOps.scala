@@ -225,7 +225,10 @@ object DedupOps {
   /** Hamming distance between two 16-hex-char simhash strings as a pure
     * Column: per hex position, XOR the decoded nibbles and look the
     * popcount up in a 16-entry table — 16 fixed terms, no explode, stays
-    * inside whole-stage codegen.
+    * inside whole-stage codegen. This is the REFERENCE implementation the
+    * DuckDB oracle mirrors term-for-term; the hot path uses the native
+    * fused-loop [[graft.functions.HammingHex]] expression, which is
+    * property-pinned bit-identical to this on the hex domain.
     */
   def hammingHex64(a: Column, b: Column): Column =
     (0 until 16).map { i =>
@@ -242,9 +245,11 @@ object DedupOps {
     * after pattern matching (protocols.cljc:457-469). Output
     * (id1, id2, dist).
     */
-  def simhashNearDups(docs: DataFrame, maxLen: Int, maxDist: Int): DataFrame =
+  def simhashNearDups(docs: DataFrame, maxLen: Int, maxDist: Int): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     simhashCandidatePairs(simhash64(docs, maxLen))
       .select(col("id1"), col("id2"),
-        hammingHex64(col("sh1"), col("sh2")).as("dist"))
+        graft.functions.VectorExprs.hammingHex(col("sh1"), col("sh2")).as("dist"))
       .filter(col("dist") <= maxDist)
+  }
 }

@@ -105,6 +105,31 @@ class OperatorSpec extends SparkSpec {
       sh(1L).substring(b * 4, b * 4 + 4) == sh(3L).substring(b * 4, b * 4 + 4)))
   }
 
+  test("native HammingHex expression == column-tree reference, codegen fires") {
+    graft.functions.VectorExprs.register(spark)
+    // random 16-hex pairs: native fused loop must equal the 16-term
+    // conv/substr column tree (the oracle's twin) on every input
+    val pairs = docs.limit(200)
+      .select(md5($"text").substr(1, 16).as("a"),
+        md5(concat($"text", lit("x"))).substr(1, 16).as("b"))
+    val diff = pairs.select(
+        graft.functions.VectorExprs.hammingHex(col("a"), col("b")).as("n"),
+        graft.operators.DedupOps.hammingHex64(col("a"), col("b")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(diff == 0)
+    // identical strings → 0; full complement → 64
+    val edge = Seq(("0123456789abcdef", "0123456789abcdef"),
+      ("0000000000000000", "ffffffffffffffff")).toDF("a", "b")
+      .select(graft.functions.VectorExprs.hammingHex(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 64))
+    // whole-stage codegen actually compiles the fused loop
+    val df = pairs.select(graft.functions.VectorExprs.hammingHex(col("a"), col("b")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[hamminghex""".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
+
   test("hamming verify: exact distance column; near-dups filtered, randoms dropped") {
     // hammingHex64 against a bit-level Scala reference on fixed values
     val fixtures = Seq(
