@@ -166,7 +166,23 @@ class LakeTable private (
         p = metaDir.resolve(f"schema-$next%04d.json")
       }
     }
-    if (stateLive == null) ensureState() else advanceState()
+    if (stateLive == null) ensureState()
+    else {
+      advanceState()
+      // gap detection: if the writer's version hint is ahead of our fold
+      // but our next tail file is gone, the range was EXPIRED under this
+      // lagging reader — rebase onto the newest checkpoint rather than
+      // stalling silently at the pre-expiry snapshot forever. O(1): one
+      // hint read per refresh, rebase only on an actual gap.
+      val hintFile = metaDir.resolve("latest.hint")
+      if (Files.exists(hintFile)) {
+        val hinted = Files.readString(hintFile).trim.toLong
+        if (hinted > stateSnapId) {
+          stateLive = null
+          ensureState()
+        }
+      }
+    }
   }
 
   def currentSchema: LakeSchema = schemas.last
@@ -613,12 +629,17 @@ class LakeTable private (
       target: LakeSchema): DataFrame = {
     val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val p = metaDir.resolve(f"snap-$id%012d.json")
-      if (!Files.exists(p)) Seq.empty[FileEntry]
-      else {
-        val s = parseSnap(p)
-        if (s.summary.get("operation").contains("upsert")) s.addedData
-        else Seq.empty[FileEntry]
-      }
+      // ids are dense and `to` is never beyond the committed head, so a
+      // missing file in the range means it was EXPIRED — emitting a
+      // silently incomplete changelog would corrupt every downstream
+      // consumer (same contract as a log store's offset-out-of-range)
+      if (!Files.exists(p)) throw new IllegalStateException(
+        s"snapshot $id in requested change range ($fromSnapshotId, " +
+          s"$toSnapshotId] was expired — CDC consumers must not lag past " +
+          "the retention horizon (see expireSnapshots)")
+      val s = parseSnap(p)
+      if (s.summary.get("operation").contains("upsert")) s.addedData
+      else Seq.empty[FileEntry]
     }
     readDataFiles(files, target)
   }
@@ -875,6 +896,14 @@ class LakeTable private (
     // load resumes from it and parses only the tail — O(interval), not
     // O(epochs). Iceberg's manifest-list analog.
     if (s.snapshotId > 0 && s.snapshotId % CheckpointInterval == 0) writeCheckpoint()
+    // version hint (Iceberg's version-hint.text analog): one tiny file a
+    // polling reader can probe in O(1) to detect that its incremental
+    // tail has a GAP (snapshots expired under it) and must rebase onto
+    // the newest checkpoint instead of silently stalling
+    val hint = metaDir.resolve(s"latest.tmp-${UUID.randomUUID()}")
+    Files.writeString(hint, s.snapshotId.toString)
+    Files.move(hint, metaDir.resolve("latest.hint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Expire snapshot history: delete snapshot JSONs with id ≤

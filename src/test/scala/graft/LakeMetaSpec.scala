@@ -83,5 +83,38 @@ class LakeMetaSpec extends SparkSpec {
     assert(ex.getMessage.contains("expired"))
     // the CDC tail above the horizon still plans (recent range intact)
     assert(t4.changesBetween(195L, 200L).count() > 0)
+    // …and a range that crosses the horizon fails LOUDLY (a silently
+    // incomplete changelog would corrupt every downstream consumer)
+    val gap = intercept[IllegalStateException] { t4.changesBetween(100L, 200L).count() }
+    assert(gap.getMessage.contains("expired"))
+  }
+
+  test("lagging reader rebases onto the checkpoint when its tail is expired under it") {
+    val dir = tmpDir("lake-lag")
+    val writer = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 1)
+    val cfg = FeedConfig(seed = 13L, numEvents = 200L, numDocs = 40L,
+      deletePct = 10, maxTokens = 4)
+    val events = ChangeFeed.events(spark, cfg).toDF().cache()
+    events.count()
+    def commitRange(ids: Range): Unit = ids.foreach { c =>
+      CdcIngest.applyBatch(writer,
+        events.filter(col("lsn").between(c * 10L, c * 10L + 9L)), epochId = c.toLong)
+    }
+    commitRange(0 until 6)
+    // reader folds the tail up to snapshot 5 (no checkpoint exists yet)
+    val reader = LakeTable.load(spark, s"$dir/t")
+    assert(reader.currentSnapshotId == 5L)
+    // writer advances through the roll-up boundary and expires the prefix
+    commitRange(6 until 20)
+    assert(writer.expireSnapshots(16L) > 0)
+    // the reader's next tail file (snap-6) is GONE: a plain probe loop
+    // would stall at 5 forever — the version hint forces a rebase onto
+    // the newest checkpoint, and state lands exactly on the writer's
+    reader.refresh()
+    assert(reader.currentSnapshotId == 19L,
+      s"lagging reader stalled at ${reader.currentSnapshotId}")
+    val a = reader.read()
+    val b = writer.read()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 }
