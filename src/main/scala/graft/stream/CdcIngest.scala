@@ -73,19 +73,29 @@ object CdcIngest {
     * from `checkpointDir` and re-delivers at most one batch, which the
     * epoch check makes a no-op.
     */
+  /** @param feedOptions extra options for the feed file source. At the
+    *   10^10-event target the knobs that matter are Spark's own
+    *   `cleanSource=archive|delete` + `sourceArchiveDir` and `maxFileAge`:
+    *   they bound the file source's seen-files map and the per-trigger
+    *   listing over a feed directory that would otherwise accrete
+    *   segments forever (the ingest-side mirror of the manifest-driven
+    *   CDC-out tail).
+    */
   def run(spark: SparkSession, feedDir: String, table: LakeTable,
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
           watermark: String = "1 hour", saltBuckets: Int = 0,
           format: Option[String] = None,
           compactEverySnapshots: Int = 0,
-          quarantine: Boolean = false): StreamingQuery = {
+          quarantine: Boolean = false,
+          feedOptions: Map[String, String] = Map.empty): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
     val events = graft.sources.Codecs.readStream(
       spark, feedDir, Schemas.changeEvent,
       format.orElse(graft.sources.Codecs.infer(feedDir)).orElse(Some("parquet")),
-      options = Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
+      options = feedOptions +
+        ("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
     val deduped = Dedup.streaming(events, watermark)
     deduped.writeStream
       .queryName("graft-cdc-ingest")
