@@ -1,0 +1,91 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable Misra–Gries heavy-hitter summary as a typed Spark
+  * `Aggregator` — the distributed skew probe for feeds with unknown key
+  * distribution. One pass over the batch, O(k) state per partition,
+  * partial summaries merge associatively (map-side combine like any
+  * aggregate), and the classic guarantee holds: every key with true
+  * frequency > n/(k+1) is present in the summary, and each reported
+  * count undercounts its true frequency by at most n/(k+1) (Misra &
+  * Gries 1982; mergeability per Agarwal et al., "Mergeable Summaries",
+  * PODS'12 — both public results).
+  *
+  * Why not `df.limit(sampleSize)` (the previous [[Lww.reduceAuto]]
+  * probe): a head sample reads whichever partitions answer first — a
+  * hot key concentrated elsewhere in the batch is invisible to it. The
+  * sketch sees EVERY row at bounded memory, which is the only honest
+  * skew detector at 100 TB. Cost: one column-pruned pass over the
+  * batch; use it for feeds with genuinely unknown skew, pass
+  * `saltBuckets` explicitly for feeds with known skew.
+  */
+object HeavyHitters {
+
+  /** Sketch buffer: the counter map plus the exact row count. */
+  final case class Sketch(counters: Map[String, Long], n: Long)
+
+  private[cdc] class MisraGries(k: Int)
+      extends Aggregator[String, Sketch, Sketch] {
+    require(k > 0, s"sketch size must be positive: $k")
+
+    override def zero: Sketch = Sketch(Map.empty, 0L)
+
+    override def reduce(b: Sketch, key: String): Sketch = {
+      val m = b.counters
+      val next =
+        if (m.contains(key)) m.updated(key, m(key) + 1L)
+        else if (m.size < k) m.updated(key, 1L)
+        else m.flatMap { case (kk, v) => // decrement-all step
+          if (v > 1L) Some(kk -> (v - 1L)) else None
+        }
+      Sketch(next, b.n + 1L)
+    }
+
+    override def merge(a: Sketch, b: Sketch): Sketch = {
+      val c = (a.counters.keySet ++ b.counters.keySet).iterator.map { kk =>
+        kk -> (a.counters.getOrElse(kk, 0L) + b.counters.getOrElse(kk, 0L))
+      }.toMap
+      val pruned =
+        if (c.size <= k) c
+        else {
+          // subtract the (k+1)-th largest count from everyone — the
+          // mergeable-summaries pruning that preserves the error bound
+          val thresh = c.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          c.flatMap { case (kk, v) =>
+            if (v > thresh) Some(kk -> (v - thresh)) else None
+          }
+        }
+      Sketch(pruned, a.n + b.n)
+    }
+
+    override def finish(reduction: Sketch): Sketch = reduction
+
+    override def bufferEncoder: Encoder[Sketch] = ExpressionEncoder[Sketch]()
+    override def outputEncoder: Encoder[Sketch] = ExpressionEncoder[Sketch]()
+  }
+
+  /** Run the sketch over `df`'s `keyCol` (cast to string): returns the
+    * summary plus exact row count. Driver receives O(k) data.
+    */
+  def sketch(df: DataFrame, keyCol: String, k: Int): Sketch = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string")).as[String]
+    keys.select(new MisraGries(k).toColumn).head()
+  }
+
+  /** Estimated share of the hottest key (0 when the batch is empty).
+    * Underestimates by at most 1/(k+1) — callers choosing a salting
+    * threshold `t` should size `k ≳ 2/t` so a truly-hot key cannot hide
+    * below the threshold.
+    */
+  def topShare(df: DataFrame, keyCol: String, k: Int = 64): Double = {
+    val s = sketch(df, keyCol, k)
+    if (s.n == 0L || s.counters.isEmpty) 0.0
+    else s.counters.values.max.toDouble / s.n
+  }
+}

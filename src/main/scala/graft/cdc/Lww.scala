@@ -97,6 +97,26 @@ object Lww {
     else reduceBucketed(events, keyCol, numBuckets)
   }
 
+  /** Skew-adaptive routing via the Misra–Gries sketch
+    * ([[HeavyHitters.topShare]]): ONE distributed column-pruned pass over
+    * the WHOLE batch with O(sketchSize) state per partition — unlike
+    * [[reduceAuto]]'s bounded head-sample, which only sees whichever
+    * partitions answer first and misses a hot key concentrated elsewhere
+    * in the batch. Same contract: routing never changes results (salted
+    * == unsalted is property-tested); choose this for feeds with
+    * genuinely unknown skew, pass `saltBuckets` explicitly when skew is
+    * known. Size `sketchSize ≳ 2/hotShare` so a truly-hot key cannot
+    * hide under the sketch's 1/(k+1) undercount.
+    */
+  def reduceAutoSketched(events: DataFrame, keyCol: String, numBuckets: Int,
+                         sketchSize: Int = 64, hotShare: Double = 0.2,
+                         saltBuckets: Int = 16): DataFrame = {
+    val share = HeavyHitters.topShare(events, keyCol, sketchSize)
+    if (share > hotShare)
+      reduceSalted(events, saltBuckets, keyCol).repartition(numBuckets, col(keyCol))
+    else reduceBucketed(events, keyCol, numBuckets)
+  }
+
   /** Two-phase salted LWW for pathological hot keys: phase 1 reduces
     * (doc_id, salt) groups — splitting a hot key across `saltBuckets`
     * reducers — phase 2 reduces the ≤saltBuckets survivors per key.

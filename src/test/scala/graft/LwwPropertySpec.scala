@@ -70,6 +70,39 @@ class LwwPropertySpec extends SparkSpec {
     })
   }
 
+  test("Misra–Gries sketch: detection guarantee, partition invariance, routing equivalence") {
+    import graft.cdc.HeavyHitters
+    import org.apache.spark.sql.functions._
+    // hot feed: key "hot" holds 50% of 10k rows, rest uniform over 500
+    val hot = spark.range(0, 10000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'hot' ELSE concat('k', id % 500) END AS doc_id")
+    val k = 64
+    // MG guarantee: a key with true share s is reported with share
+    // ≥ s − 1/(k+1); detection must also be invariant to partitioning
+    // (the sketch merges across partitions, it does not sample them)
+    Seq(1, 7, 32).foreach { parts =>
+      val share = HeavyHitters.topShare(hot.repartition(parts), "doc_id", k)
+      assert(share >= 0.5 - 1.0 / (k + 1) - 1e-9,
+        s"hot share $share under-detected at $parts partitions")
+      assert(share <= 0.51, s"hot share $share over-reported")
+    }
+    // uniform feed: no key may look hot (every true share = 1/500)
+    val uniform = spark.range(0, 10000).selectExpr("concat('k', id % 500) AS doc_id")
+    assert(HeavyHitters.topShare(uniform.repartition(8), "doc_id", k) < 0.05)
+    // empty batch → 0.0, never NaN/NPE (idle streaming triggers)
+    assert(HeavyHitters.topShare(hot.limit(0), "doc_id", k) == 0.0)
+    // routing never changes results: sketched auto == plain reduce on
+    // both shapes (the salted path engages for the hot feed)
+    val cfgHot = graft.feed.FeedConfig(seed = 5L, numEvents = 6000, numDocs = 200,
+      hotFraction = 0.5, numHot = 2, deletePct = 5, maxTokens = 6)
+    val feed = graft.feed.ChangeFeed.events(spark, cfgHot).toDF()
+    val auto = graft.cdc.Lww.reduceAutoSketched(feed, "doc_id", numBuckets = 4)
+      .select("doc_id", "lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = graft.cdc.Lww.reduce(feed)
+      .select("doc_id", "lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(auto == plain)
+  }
+
   test("fold oracle visibility: winner D hides the key, winner U carries payload") {
     check("fold-vis", Prop.forAll(eventsGen) { events =>
       val state = FoldOracle.finalState(events)
