@@ -300,6 +300,13 @@ object SparkEntry {
       Similarity.ivfTopK(t(dir, "embeddings"), nCells = 4, numQueries = 8, k = 3,
         nprobe = 2)
     }),
+    // LSH-bucketed near-dup pairs: approximate candidates (bucket
+    // equi-join) + exact cosine verify — precision exact, recall floor
+    // asserted in OperatorSpec vs the brute-force variant; rows-only check
+    "qd57_neardup_lsh" -> ((s, dir) => { implicit val sp = s
+      Similarity.lshNearDupPairs(t(dir, "embeddings"), dim = 64, bits = 2,
+        seed = 42L, threshold = 0.35)
+    }),
     "qm41_resize" -> ((s, dir) => { implicit val sp = s
       // resize stub: binary-in/binary-out; SQL-verifiable metadata
       Multimodal.resizeStub(t(dir, "documents"), factor = 4)

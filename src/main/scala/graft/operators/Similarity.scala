@@ -74,6 +74,30 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding near-duplicate pairs AT SCALE: candidates are pairs
+    * sharing a random-hyperplane LSH bucket (equi-join on the bucket id —
+    * never an all-pairs product), verified with the exact cosine ≥
+    * threshold filter. Precision is exact (every emitted pair passes the
+    * true test); recall < 1 by construction (cosine-similar vectors
+    * collide with probability (1 − θ/π)^bits per the public SimHash/LSH
+    * analysis) — floor asserted in OperatorSpec against [[embedNearDup]].
+    * At cluster scale the corpus is written bucketed by the LSH id once;
+    * the self-join is then bucket-local.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, dim: Int, bits: Int, seed: Long,
+                      threshold: Double): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    val b = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), dim, bits, seed))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        graft.functions.TextOps.round4(
+          cosine(col("a.embedding"), col("b.embedding"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic spherical k-means centroids for IVF: seeded hash-ranked
     * init (the `nCells` corpus vectors ranking first by
     * `xxhash64(vec_id, seed)` — replayable, no RNG state), then `iters`

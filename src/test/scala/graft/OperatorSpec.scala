@@ -252,6 +252,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("LSH near-dup pairs: exact precision, recall floor vs brute force") {
+    val n = emb.count().toInt
+    // exact pairs over the whole corpus at a threshold that yields some
+    val exact = Similarity.embedNearDup(emb, maxId = n, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture produced no near-dup pairs — spec vacuous")
+    val approx = Similarity.lshNearDupPairs(emb, dim = 64, bits = 2, seed = 42L,
+      threshold = 0.35).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is EXACT by construction: every emitted pair passes the
+    // true cosine test, so approx ⊆ exact
+    assert(approx.subsetOf(exact), s"${(approx -- exact).take(5)} not in exact set")
+    // recall floor: cosine ≥ 0.35 ⇒ per-plane agreement ≥ 0.61 ⇒ same
+    // 2-bit bucket with prob ≥ 0.37; assert a conservative floor
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.15, s"LSH near-dup recall $recall collapsed")
+  }
+
   test("native DotProduct expression == higher-order fold, bit-identical") {
     graft.functions.VectorExprs.register(spark)
     val pairs = emb.limit(50).select($"vec_id", $"embedding".as("a"))
