@@ -250,8 +250,9 @@ object SparkEntry {
     "qd32_embed_topk" -> ((s, dir) => { implicit val sp = s
       Similarity.bruteForceTopK(t(dir, "embeddings"), numQueries = 8, k = 3)
     }),
-    // approximate by construction → no SQL oracle (rows-only check);
-    // recall vs brute force is asserted in SimilaritySpec
+    // approximate by construction but fully deterministic: the ±1 plane
+    // literals are SQL-expressible, so the oracle mirrors the whole
+    // bucket→multiprobe→score pipeline; recall floor also in OperatorSpec
     "qd33_ann_lsh" -> ((s, dir) => { implicit val sp = s
       Similarity.lshTopK(t(dir, "embeddings"), dim = 64, bits = 4, seed = 42L,
         numQueries = 8, k = 3)
@@ -293,16 +294,16 @@ object SparkEntry {
       // embedding-cosine near-duplicate pairs (exact over bounded subset)
       Similarity.embedNearDup(t(dir, "embeddings"), maxId = 60, threshold = 0.75)
     }),
-    // IVF-bucketed ANN: deterministic k-means centroids, nprobe=2 —
-    // approximate by construction, rows-only check; recall floor ≥0.6 vs
-    // brute force asserted in OperatorSpec
+    // IVF-bucketed ANN: sample-trained exact-integer k-means, nprobe=2 —
+    // approximate routing, yet every stage is deterministic, so the DuckDB
+    // oracle mirrors the full pipeline; recall floor ≥0.6 in OperatorSpec
     "qd40_ann_ivf" -> ((s, dir) => { implicit val sp = s
       Similarity.ivfTopK(t(dir, "embeddings"), nCells = 4, numQueries = 8, k = 3,
         nprobe = 2)
     }),
     // LSH-bucketed near-dup pairs: approximate candidates (bucket
     // equi-join) + exact cosine verify — precision exact, recall floor
-    // asserted in OperatorSpec vs the brute-force variant; rows-only check
+    // asserted in OperatorSpec; oracle mirrors buckets via plane literals
     "qd57_neardup_lsh" -> ((s, dir) => { implicit val sp = s
       Similarity.lshNearDupPairs(t(dir, "embeddings"), dim = 64, bits = 2,
         seed = 42L, threshold = 0.35)
@@ -452,6 +453,54 @@ object SparkEntry {
         s"strpos('0123456789abcdef', substr($a, ${i + 1}, 1)) - 1, " +
         s"strpos('0123456789abcdef', substr($b, ${i + 1}, 1)) - 1) + 1, 1) AS INT)"
     }.mkString(" + ")
+
+  /** DuckDB twin of the float-cosine dot subqueries (dab/daa/dbb select
+    * fragment) the qd32 oracle established as hash-exact against the
+    * native [[graft.functions.DotProduct]] fold.
+    */
+  private def duckCosDots(a: String, b: String): String =
+    s"""(SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+        FROM (SELECT unnest($a) AS a, unnest($b) AS b) x) AS dab,
+       (SELECT sum(CAST(x.a AS DOUBLE) * CAST(x.a AS DOUBLE))
+        FROM (SELECT unnest($a) AS a) x) AS daa,
+       (SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
+        FROM (SELECT unnest($b) AS b) x) AS dbb"""
+
+  /** DuckDB twin of [[graft.operators.Similarity.intCosine]]: exact
+    * integer dots (sum(BIGINT) is exact in both engines) pushed through
+    * the same IEEE double ops — bit-identical scores, so argmax/rank
+    * decisions can never diverge between engine and oracle.
+    */
+  private def duckIntCosine(a: String, b: String): String =
+    s"""(CAST((SELECT sum(x.a*x.b) FROM (SELECT unnest($a) AS a, unnest($b) AS b) x) AS DOUBLE)
+        / (sqrt(CAST((SELECT sum(x.a*x.a) FROM (SELECT unnest($a) AS a) x) AS DOUBLE))
+         * sqrt(CAST((SELECT sum(x.b*x.b) FROM (SELECT unnest($b) AS b) x) AS DOUBLE))))"""
+
+  /** DuckDB twin of [[graft.operators.Similarity.quantize]]. */
+  private val duckQuantize =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))"
+
+  /** The ±1 hyperplane literal for LSH plane `j` — generated from the SAME
+    * `mix64` constants [[graft.operators.Similarity.lshBucket]] uses, so
+    * the oracle's bucket assignment is the engine's by construction.
+    */
+  private def duckPlaneLit(dim: Int, j: Int, seed: Long): String =
+    (0 until dim).map { d =>
+      val h = graft.feed.EventGen.mix64(seed ^ (j.toLong << 32) ^ d.toLong)
+      if ((h & 1L) == 0L) "1.0" else "-1.0"
+    }.mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[graft.operators.Similarity.lshBucket]]: per plane,
+    * a float×(±1) dot in double (sequential sum both engines) signed into
+    * bit 2^j. Plane vectors are inlined literals — data-independent, so
+    * the SQL is still a pure function of the parquet tables.
+    */
+  private def duckLshBucket(vec: String, dim: Int, bits: Int, seed: Long): String =
+    (0 until bits).map { j =>
+      val dot = s"(SELECT sum(CAST(x.u AS DOUBLE) * x.p) FROM (SELECT unnest($vec) AS u, " +
+        s"unnest(CAST(${duckPlaneLit(dim, j, seed)} AS DOUBLE[])) AS p) x)"
+      s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
@@ -731,6 +780,74 @@ object SparkEntry {
              (SELECT sum(CAST(x.b AS DOUBLE) * CAST(x.b AS DOUBLE))
               FROM (SELECT unnest(e.embedding) AS b) x) AS dbb
            FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         sims AS (SELECT qid, nid, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs),
+         ranked AS (SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM sims)
+         SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3""",
+    // qd33: the LSH planes are deterministic ±1 literals, so the bucket
+    // assignment is SQL-expressible and the WHOLE approximate pipeline
+    // (bucket → multiprobe → score → rank) is exactly checkable
+    "qd33_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+             ${duckLshBucket("embedding", 64, 4, 42L)} AS bucket FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+           FROM b WHERE vec_id < 8),
+         probes AS (SELECT qid, qvec, xor(qbucket, f.f) AS qbucket
+           FROM q, (SELECT unnest([0, 1, 2, 4, 8]) AS f) f),
+         pairs AS (SELECT p.qid, e.vec_id AS nid, ${duckCosDots("p.qvec", "e.embedding")}
+           FROM b e JOIN probes p ON e.bucket = p.qbucket AND e.vec_id <> p.qid),
+         sims AS (SELECT qid, nid, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs),
+         ranked AS (SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM sims)
+         SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3""",
+    // qd57: LSH-bucket candidates + exact cosine verify, same plane trick
+    "qd57_neardup_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+             ${duckLshBucket("embedding", 64, 2, 42L)} AS bucket FROM embeddings),
+         pairs AS (SELECT a.vec_id AS id1, b2.vec_id AS id2,
+             ${duckCosDots("a.embedding", "b2.embedding")}
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         sims AS (SELECT id1, id2, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs)
+         SELECT id1, id2, sim FROM sims WHERE sim >= 0.35""",
+    // qd40: the full IVF pipeline — quantize → md5-ranked sample → one
+    // exact-integer Lloyd round → full assignment → nprobe=2 probe →
+    // exact score. Every stage deterministic (integer or IEEE-on-integer
+    // arithmetic), so the approximate index is oracle-checkable too.
+    "qd40_ann_ivf" ->
+      s"""WITH emb AS (SELECT vec_id, embedding, $duckQuantize AS qv FROM embeddings),
+         samp AS (SELECT vec_id, qv, md5('kseed:42:' || CAST(vec_id AS VARCHAR)) AS r
+           FROM emb ORDER BY r, vec_id LIMIT 256),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cell,
+             qv AS cvec
+           FROM (SELECT * FROM samp ORDER BY r, vec_id LIMIT 4)),
+         a1 AS (SELECT s.vec_id, s.qv, c.cell, ${duckIntCosine("s.qv", "c.cvec")} AS csim
+           FROM samp s, c0 c),
+         w1 AS (SELECT cell, qv FROM (SELECT cell, qv,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+           FROM a1) WHERE rn = 1),
+         m1 AS (SELECT cell, p.p AS pos,
+             CAST(floor(CAST(sum(qv[p.p]) AS DOUBLE)/count(*)) AS BIGINT) AS m
+           FROM w1, (SELECT unnest(generate_series(1, 64)) AS p) p
+           GROUP BY cell, p.p),
+         c1v AS (SELECT cell, list(m ORDER BY pos) AS nvec FROM m1 GROUP BY cell),
+         c1 AS (SELECT c0.cell, COALESCE(c1v.nvec, c0.cvec) AS cvec
+           FROM c0 LEFT JOIN c1v USING (cell)),
+         af AS (SELECT e.vec_id, e.embedding, c.cell,
+             ${duckIntCosine("e.qv", "c.cvec")} AS csim
+           FROM emb e, c1 c),
+         wf AS (SELECT vec_id, embedding, cell FROM (SELECT vec_id, embedding, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+           FROM af) WHERE rn = 1),
+         qs AS (SELECT e.vec_id AS qid, e.embedding AS qvec, c.cell,
+             ${duckIntCosine("e.qv", "c.cvec")} AS csim
+           FROM emb e, c1 c WHERE e.vec_id < 8),
+         probes AS (SELECT qid, qvec, cell AS qcell FROM (SELECT qid, qvec, cell,
+             row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell ASC) AS pr
+           FROM qs) WHERE pr <= 2),
+         pairs AS (SELECT p.qid, w.vec_id AS nid, ${duckCosDots("p.qvec", "w.embedding")}
+           FROM wf w JOIN probes p ON w.cell = p.qcell AND w.vec_id <> p.qid),
          sims AS (SELECT qid, nid, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs),
          ranked AS (SELECT qid, nid, sim,
              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank

@@ -34,14 +34,31 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
   * — the same pair Spark's own file source implements.
   */
 class LakeCdcSource(sqlContext: SQLContext, root: String,
-    maxSnapshotsPerTrigger: Int) extends Source
+    maxSnapshotsPerTrigger: Int, startingSnapshotId: Option[String]) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val table = LakeTable.load(sqlContext.sparkSession, root)
 
+  /** Offset floor for a stream with no checkpoint yet: the batch range is
+    * (floor, end]. Resolved once at source creation (= stream start); on a
+    * restart the engine supplies the checkpointed offset, which wins.
+    * `latest` skips all existing history; `earliest` begins at the oldest
+    * SURVIVING snapshot — the escape hatch that lets a NEW consumer start
+    * on a table whose early history was expired (a fresh offset of −1
+    * would probe snap-0 and throw forever).
+    */
+  private val startFloor: Long = startingSnapshotId match {
+    case None             => -1L
+    case Some("latest")   => table.currentSnapshotId
+    case Some("earliest") => math.max(-1L, table.oldestSnapshotId - 1L)
+    case Some(n)          => n.toLong
+  }
+
   // Trigger.AvailableNow ceiling: snapshots committed after stream start
-  // wait for the next run (-1 = unbounded, normal triggers)
-  private var availableAtStart: Long = -1L
+  // wait for the next run. Option (not a −1 sentinel): an AvailableNow
+  // drain started against an EMPTY table pins a ceiling of −1 and emits
+  // nothing, instead of racing commits that land mid-drain.
+  private var availableCeiling: Option[Long] = None
 
   // schema version pinned at stream start: a mid-stream evolution must
   // not change this source's output shape (the engine binds attributes
@@ -60,7 +77,7 @@ class LakeCdcSource(sqlContext: SQLContext, root: String,
 
   override def prepareForTriggerAvailableNow(): Unit = {
     table.refresh()
-    availableAtStart = table.currentSnapshotId
+    availableCeiling = Some(table.currentSnapshotId)
   }
 
   override def reportLatestOffset(): OffsetV2 = {
@@ -69,11 +86,10 @@ class LakeCdcSource(sqlContext: SQLContext, root: String,
   }
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val start = Option(startOffset).map(longOf).getOrElse(-1L)
+    val start = Option(startOffset).map(longOf).getOrElse(startFloor)
     table.refresh() // incremental: parses only snapshots since last look
-    val ceiling =
-      if (availableAtStart >= 0) math.min(availableAtStart, table.currentSnapshotId)
-      else table.currentSnapshotId
+    val ceiling = availableCeiling
+      .fold(table.currentSnapshotId)(math.min(_, table.currentSnapshotId))
     val end = math.max(start, math.min(ceiling, start + maxSnapshotsPerTrigger))
     if (end < 0) null else LongOffset(end)
   }
@@ -86,7 +102,7 @@ class LakeCdcSource(sqlContext: SQLContext, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val s = start.map(o => longOf(o)).getOrElse(-1L)
+    val s = start.map(o => longOf(o)).getOrElse(startFloor)
     val e = longOf(end)
     table.refresh()
     val batch = org.apache.spark.sql.graftshim.StreamingFrameShim
@@ -104,6 +120,14 @@ class LakeCdcSource(sqlContext: SQLContext, root: String,
 object LakeCdcSource {
   val RootOption = "tableRoot"
   val MaxSnapshotsOption = "maxSnapshotsPerTrigger"
+
+  /** Where a stream WITHOUT a checkpoint begins: absent = from genesis
+    * (snapshot 0), `latest` = only commits after stream start, `earliest`
+    * = oldest surviving snapshot (required to start a new consumer on a
+    * table whose history prefix was expired), or an explicit snapshot id.
+    * Ignored once the stream has a checkpointed offset.
+    */
+  val StartingSnapshotOption = "startingSnapshotId"
 
   /** Stream schema: the table's current schema plus the `_lsn` version and
     * `_tomb` delete-flag columns, everything nullable (tombstone rows
@@ -127,6 +151,8 @@ object LakeCdcSource {
   */
 class LakeCdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
+  import LakeCdcSource.StartingSnapshotOption
+
   override def shortName(): String = "graft-lake-cdc"
 
   private def root(parameters: Map[String, String]): String =
@@ -144,5 +170,6 @@ class LakeCdcSourceProvider extends StreamSourceProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new LakeCdcSource(sqlContext, root(parameters),
-      parameters.get(LakeCdcSource.MaxSnapshotsOption).map(_.toInt).getOrElse(8))
+      parameters.get(LakeCdcSource.MaxSnapshotsOption).map(_.toInt).getOrElse(8),
+      parameters.get(StartingSnapshotOption))
 }

@@ -198,10 +198,36 @@ class LakeTable private (
 
   def currentSnapshotId: Long = { ensureState(); stateSnapId }
 
+  /** Oldest SURVIVING snapshot id (−1 on a fresh table) — the floor an
+    * `earliest`-starting CDC stream can begin from after expiry.
+    */
+  def oldestSnapshotId: Long =
+    listFiles(metaDir, "snap-").headOption
+      .map(_.getFileName.toString.stripPrefix("snap-").stripSuffix(".json").toLong)
+      .getOrElse(-1L)
+
   def lastCommittedEpoch: Long = { ensureState(); stateEpoch }
 
   /** Live delta files as of snapshot `asOf` (latest if None). */
   def liveFiles(asOf: Option[Long] = None): Seq[FileEntry] = liveEntries(asOf).map(_.file)
+
+  /** Parsed checkpoint: the materialised fold as of `snapshotId`. */
+  private case class CkptState(snapshotId: Long, epochId: Long, numBuckets: Int,
+      live: Seq[(String, LiveEntry)])
+
+  private def readCkpt(p: Path): CkptState = {
+    metaFilesParsed += 1
+    val n = mapper.readTree(Files.readString(p))
+    val live = n.get("live").elements().asScala.map { e =>
+      val f = FileEntry(e.get("path").asText(), e.get("bucket").asInt(),
+        e.get("bytes").asLong(), e.get("schemaId").asInt(),
+        e.get("rows").asLong(), e.get("minLsn").asLong(), e.get("maxLsn").asLong())
+      val layout = Option(e.get("layout")).map(_.asInt()).filter(_ >= 0)
+      f.path -> LiveEntry(f, e.get("snapId").asLong(), layout)
+    }.toSeq
+    CkptState(n.get("snapshotId").asLong(), n.get("epochId").asLong(),
+      n.get("numBuckets").asInt(), live)
+  }
 
   private def ensureState(): Unit = {
     if (stateLive != null) return
@@ -211,18 +237,11 @@ class LakeTable private (
     // one names-only directory listing finds the newest checkpoint; the
     // fold resumes from it and replays just the tail
     listFiles(metaDir, "ckpt-").lastOption.foreach { p =>
-      metaFilesParsed += 1
-      val n = mapper.readTree(Files.readString(p))
-      stateSnapId = n.get("snapshotId").asLong()
-      stateEpoch = n.get("epochId").asLong()
-      _numBuckets = n.get("numBuckets").asInt()
-      n.get("live").elements().asScala.foreach { e =>
-        val f = FileEntry(e.get("path").asText(), e.get("bucket").asInt(),
-          e.get("bytes").asLong(), e.get("schemaId").asInt(),
-          e.get("rows").asLong(), e.get("minLsn").asLong(), e.get("maxLsn").asLong())
-        val layout = Option(e.get("layout")).map(_.asInt()).filter(_ >= 0)
-        stateLive(f.path) = LiveEntry(f, e.get("snapId").asLong(), layout)
-      }
+      val c = readCkpt(p)
+      stateSnapId = c.snapshotId
+      stateEpoch = c.epochId
+      _numBuckets = c.numBuckets
+      c.live.foreach { case (path, e) => stateLive(path) = e }
     }
     advanceState()
   }
@@ -253,14 +272,34 @@ class LakeTable private (
       ensureState()
       stateLive.values.toSeq
     case Some(id) => // time travel: fold the history up to `id`
-      // a partial fold over an expired prefix would be silently WRONG
-      // state — refuse loudly instead (expireSnapshots documents the
-      // trade); an empty history (fresh table) folds to an empty state
-      require(snapshots.isEmpty || snapshots.head.snapshotId == 0L,
-        s"time travel to snapshot $id unavailable: history below snapshot " +
-          s"${snapshots.head.snapshotId} was expired")
       val data = scala.collection.mutable.LinkedHashMap[String, LiveEntry]()
-      snapshots.takeWhile(_.snapshotId <= id).foreach { s =>
+      var from = -1L // fold tail snapshots with id > `from`
+      if (snapshots.nonEmpty && snapshots.head.snapshotId > 0L) {
+        // the history prefix was expired: resume the fold from the newest
+        // surviving checkpoint at or below `id` — above-horizon reads stay
+        // reconstructible after expiry (ckpt = the rolled-up prefix). A
+        // partial fold over the gap would be silently WRONG state, so a
+        // request below every surviving checkpoint refuses loudly
+        // (expireSnapshots documents the trade).
+        val ckpt = listFiles(metaDir, "ckpt-").filter { p =>
+          p.getFileName.toString.stripPrefix("ckpt-").stripSuffix(".json").toLong <= id
+        }.lastOption.getOrElse(throw new IllegalArgumentException(
+          s"time travel to snapshot $id unavailable: history below snapshot " +
+            s"${snapshots.head.snapshotId} was expired and no checkpoint at " +
+            "or below the requested snapshot survives"))
+        val c = readCkpt(ckpt)
+        c.live.foreach { case (path, e) => data(path) = e }
+        from = c.snapshotId
+      }
+      // ids are dense, so the tail must cover (from, min(id, head)] exactly
+      // (an id beyond the committed head folds everything available — the
+      // pre-existing takeWhile semantics)
+      val hi = math.min(id, snapshots.lastOption.map(_.snapshotId).getOrElse(-1L))
+      val tail = snapshots.filter(s => s.snapshotId > from && s.snapshotId <= hi)
+      require(tail.size == math.max(0L, hi - from),
+        s"time travel to snapshot $id unavailable: snapshots in ($from, $hi] " +
+          "are missing (expired under this reader)")
+      tail.foreach { s =>
         val layout = s.summary.get("numBuckets").map(_.toInt)
         s.addedData.foreach(f => data(f.path) = LiveEntry(f, s.snapshotId, layout))
         s.removedData.foreach(data.remove)
@@ -604,12 +643,16 @@ class LakeTable private (
     * filenames would duplicate them). Manifest-driven planning makes
     * visibility follow the commit and per-trigger work O(new snapshots).
     */
-  def changesStream(maxSnapshotsPerTrigger: Int = 8): DataFrame =
-    spark.readStream
+  def changesStream(maxSnapshotsPerTrigger: Int = 8,
+      startingSnapshotId: Option[String] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[LakeCdcSourceProvider].getName)
       .option(LakeCdcSource.RootOption, root)
       .option(LakeCdcSource.MaxSnapshotsOption, maxSnapshotsPerTrigger.toString)
+    startingSnapshotId
+      .fold(r)(v => r.option(LakeCdcSource.StartingSnapshotOption, v))
       .load()
+  }
 
   /** Incremental changelog read: winner rows committed by upsert snapshots
     * in (from, to]. Snapshot ids are dense, so the range is read by
@@ -804,6 +847,15 @@ class LakeTable private (
           scala.concurrent.Future.sequence(
             parts.map(f => scala.concurrent.Future(trackFile(f)))),
           scala.concurrent.duration.Duration.Inf).flatten.sortBy(_.bucket)
+        catch { case t: Throwable =>
+          // Future.sequence fails fast while sibling tasks may still be
+          // mid-rename inside the stage dir — wait them out so the outer
+          // cleanup's walk-delete cannot race a move (which would mask
+          // the real error with NoSuchFileException) or leak the dir
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw t
+        }
         finally pool.shutdown()
       }
       val target = Paths.get(s"$root/$relDir")
@@ -913,7 +965,9 @@ class LakeTable private (
     * untouched. Bounds the metadata file count on long replays (at the
     * 10^10-event target the log would otherwise accrete ~500k files);
     * Iceberg's `expire_snapshots` analog. The trade is explicit and loud:
-    * time travel below the horizon throws, and a CDC tail
+    * time travel below the newest surviving checkpoint throws (at or above
+    * it, `readAt` folds from the checkpoint plus the surviving tail and
+    * keeps working), and a CDC tail
     * ([[changesStream]]) that has fallen behind the horizon misses the
     * expired range — retention must exceed maximum consumer lag, the same
     * contract as any log retention. Returns the number of files removed.

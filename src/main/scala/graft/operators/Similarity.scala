@@ -98,41 +98,80 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** Deterministic spherical k-means centroids for IVF: seeded hash-ranked
-    * init (the `nCells` corpus vectors ranking first by
-    * `xxhash64(vec_id, seed)` — replayable, no RNG state), then `iters`
-    * fixed Lloyd rounds. Per-dimension means go through DECIMAL sums, so
-    * centroid values are independent of aggregation order — every replay
-    * produces bit-identical centroids, the determinism bar the rest of the
-    * engine holds (checkpoint replay, SURVEY.md §7.5). An empty cell keeps
-    * its previous centroid. Returns (cell: int, cvec: array<float>).
-    *
-    * Scale shape per round: assignment is the broadcast score + `max_by`
-    * aggregate of [[ivfAssign]]; the mean is posexplode → (cell, pos)
-    * hash aggregate — both map-side partial, no windows, no driver data
-    * beyond the nCells×dim centroid frame (checkpointed per round to cut
-    * lineage).
+  /** Per-dimension round-half-up quantization to 1e-4 as `array<bigint>`.
+    * float → double is exact, ×10000 + 0.5 and floor are deterministic
+    * IEEE ops, so BOTH engines (Spark and the DuckDB oracle) produce the
+    * SAME integers — the trick that makes every downstream k-means step
+    * exact-integer arithmetic and therefore oracle-checkable bit-for-bit.
     */
-  def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 2,
-                      seed: Long = 42L): DataFrame = {
-    graft.functions.VectorExprs.register(embeddings.sparkSession)
-    val rank = xxhash64(col("vec_id"), lit(seed))
-    var centroids = embeddings
-      .select(col("vec_id"), col("embedding"), rank.as("_r"))
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 10000d + 0.5d).cast("long"))
+
+  /** Exact integer dot of two `array<bigint>` columns (no float ever). */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (u, v) => u * v), lit(0L), (acc, e) => acc + e)
+
+  /** Cosine over QUANTIZED vectors: the three dots are exact integers
+    * (|q|≤~10⁴ per dim, 64 dims → well inside 2^53), and `a/(√b·√c)` on
+    * exact-integer inputs is IEEE-deterministic — identical doubles in
+    * Spark and DuckDB, so argmax decisions over these scores can never
+    * diverge between engine and oracle. (√(b·c) would overflow Long at
+    * b,c ≈ 6.4e9 — hence the sqrt-then-multiply form.)
+    */
+  def intCosine(a: Column, b: Column): Column =
+    idot(a, b).cast("double") /
+      (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double")))
+
+  /** Deterministic SAMPLE-TRAINED spherical k-means centroids for IVF.
+    *
+    * Training runs on a seeded hash-ranked sample (`sampleSize` vectors
+    * ranking first by `md5("kseed:"+seed+":"+vec_id)` — replayable, no RNG
+    * state), NOT the full corpus: at 100 TB the Lloyd rounds touch only
+    * M ≈ 64×nCells rows while the corpus is scanned exactly once, by the
+    * final [[ivfAssign]] — the standard IVF build shape. Init: the first
+    * `nCells` sample vectors by the same rank. Arithmetic is exact
+    * integer end-to-end on [[quantize]]d vectors (centroid[d] =
+    * ⌊Σq[d]/n⌋), so every replay — and the DuckDB oracle — produces
+    * bit-identical centroids; an empty cell keeps its previous centroid.
+    * Returns (cell: int, cvec: array<bigint>).
+    *
+    * Scale shape per round: assignment is a broadcast score + `max_by`
+    * aggregate; the mean is posexplode → (cell, pos) hash aggregate —
+    * both map-side partial, no windows, no driver data beyond the
+    * nCells×dim centroid frame (checkpointed per round to cut lineage).
+    */
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 1,
+                      seed: Long = 42L, sampleSize: Int = 256): DataFrame = {
+    val rank = md5(concat(lit(s"kseed:$seed:"), col("vec_id").cast("string")))
+    val samp = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"), rank.as("_r"))
+      .orderBy(col("_r"), col("vec_id")).limit(sampleSize)
+      .localCheckpoint()
+    var centroids = samp
       .orderBy(col("_r"), col("vec_id")).limit(nCells)
       .select(
-        (row_number().over(Window.orderBy(col("_r"), col("vec_id"))) - 1).as("cell"),
-        col("embedding").as("cvec"))
+        (row_number().over(Window.orderBy(col("_r"), col("vec_id"))) - 1)
+          .cast("int").as("cell"),
+        col("qv").as("cvec"))
       .localCheckpoint()
     var i = 0
     while (i < iters) {
-      val means = ivfAssign(embeddings, centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val assigned = samp.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("qv"), col("cell"),
+          intCosine(col("qv"), col("cvec")).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("qv")),
+          struct(col("csim"), -col("cell"))).as("w"))
+        .select(col("w.cell").as("cell"), col("w.qv").as("qv"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(27,10)")) / count(lit(1))).as("m"))
+        // Σ over ≤ sampleSize ints ≤ 10⁴·sampleSize — exact in double;
+        // ⌊·/n⌋ is floor division, identical in both engines
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("_new"))
+          x => x.getField("m")).as("_new"))
       centroids = centroids
         .join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("_new"), col("cvec")).as("cvec"))
@@ -146,36 +185,45 @@ object Similarity {
     * broadcast centroid set and reduced with a `max_by` AGGREGATE —
     * map-side partial aggregation ships one candidate per (mapper, key),
     * where a `row_number` window would shuffle and sort all N×nCells
-    * scored rows (the round-2 shape this replaces). Tie-break: highest
-    * cosine, then lowest cell id. Returns (vec_id, embedding, cell).
+    * scored rows (the round-2 shape this replaces). Scoring is the
+    * deterministic [[intCosine]] on quantized vectors, so assignments are
+    * replay- and oracle-stable. Tie-break: highest cosine, then lowest
+    * cell id. Returns (vec_id, embedding, cell).
     */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    graft.functions.VectorExprs.register(embeddings.sparkSession)
-    embeddings.crossJoin(broadcast(centroids))
+    embeddings
+      .select(col("vec_id"), col("embedding"), quantize(col("embedding")).as("_qv"))
+      .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("cvec")).as("csim"))
+        intCosine(col("_qv"), col("cvec")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cell"), col("embedding")),
         struct(col("csim"), -col("cell"))).as("w"))
       .select(col("vec_id"), col("w.embedding").as("embedding"), col("w.cell").as("cell"))
   }
 
-  /** IVF top-k: k-means centroids (deterministic, see [[kmeansCentroids]]),
-    * corpus assigned to its nearest cell, queries probe their `nprobe`
-    * closest cells. At cluster scale the corpus is written bucketed by
-    * cell once and a probe reads nprobe buckets; the probe fan-out lives
-    * on the tiny broadcast query side. Approximate by construction —
-    * recall floor vs brute force asserted in OperatorSpec.
+  /** IVF top-k: sample-trained k-means centroids (deterministic, see
+    * [[kmeansCentroids]]), corpus assigned to its nearest cell in ONE
+    * pass, queries probe their `nprobe` closest cells. At cluster scale
+    * the corpus is written bucketed by cell once and a probe reads nprobe
+    * buckets (see [[graft.lake.LakeTable]] integration); the probe
+    * fan-out lives on the tiny broadcast query side. Cell routing is
+    * approximate by construction, but every stage is deterministic, so
+    * the full query IS oracle-checkable (qd40's DuckDB twin mirrors the
+    * quantize → train → assign → probe → score pipeline exactly).
     */
   def ivfTopK(embeddings: DataFrame, nCells: Int, numQueries: Int, k: Int,
-              nprobe: Int = 2, kmeansIters: Int = 2, seed: Long = 42L): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nCells, kmeansIters, seed)
+              nprobe: Int = 2, kmeansIters: Int = 1, seed: Long = 42L,
+              sampleSize: Int = 256): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    val centroids = kmeansCentroids(embeddings, nCells, kmeansIters, seed, sampleSize)
     val qw = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cell").asc)
     val qprobes = embeddings.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        quantize(col("embedding")).as("_qq"))
       .crossJoin(broadcast(centroids))
       .select(col("qid"), col("qvec"), col("cell"),
-        cosine(col("qvec"), col("cvec")).as("qsim"))
+        intCosine(col("_qq"), col("cvec")).as("qsim"))
       .withColumn("r", row_number().over(qw)) // query side: bounded rows
       .filter(col("r") <= nprobe)
       .select(col("qid"), col("qvec"), col("cell").as("qcell"))

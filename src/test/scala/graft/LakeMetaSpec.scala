@@ -89,6 +89,33 @@ class LakeMetaSpec extends SparkSpec {
     assert(gap.getMessage.contains("expired"))
   }
 
+  test("expiry keeps ABOVE-horizon time travel: asOf folds checkpoint + surviving tail") {
+    val dir = tmpDir("lake-expire-tt")
+    val writer = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 1)
+    val cfg = FeedConfig(seed = 17L, numEvents = 200L, numDocs = 40L,
+      deletePct = 10, maxTokens = 4)
+    val events = ChangeFeed.events(spark, cfg).toDF().cache()
+    events.count()
+    (0 until 20).foreach { c =>
+      CdcIngest.applyBatch(writer,
+        events.filter(col("lsn").between(c * 10L, c * 10L + 9L)), epochId = c.toLong)
+    }
+    // snapshot states captured BEFORE expiry: at the checkpoint (16),
+    // between checkpoint and head (17), and at the head (19)
+    val at16 = writer.readAt(16L).collect().toSet
+    val at17 = writer.readAt(17L).collect().toSet
+    val at19 = writer.readAt(19L).collect().toSet
+    assert(writer.expireSnapshots(16L) > 0)
+    val t = LakeTable.load(spark, s"$dir/t")
+    // above (or at) the surviving checkpoint: bit-identical reconstruction
+    assert(t.readAt(16L).collect().toSet == at16)
+    assert(t.readAt(17L).collect().toSet == at17)
+    assert(t.readAt(19L).collect().toSet == at19)
+    // below every surviving checkpoint: loud refusal, honest message
+    val ex = intercept[IllegalArgumentException] { t.readAt(3L).count() }
+    assert(ex.getMessage.contains("no checkpoint at or below"))
+  }
+
   test("lagging reader rebases onto the checkpoint when its tail is expired under it") {
     val dir = tmpDir("lake-lag")
     val writer = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 1)

@@ -135,7 +135,7 @@ class StreamIngestSpec extends SparkSpec {
       s"planned ${planned.inputFiles.length} files, manifest has ${snap2Files.size}")
     // and the source hands the engine a stream-tagged frame of that plan
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-    val src = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8)
+    val src = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8, None)
     assert(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)).isStreaming)
   }
 
@@ -184,7 +184,7 @@ class StreamIngestSpec extends SparkSpec {
       spark.range(0L, 500L).mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF(),
       epochId = 0L)
     // source created (schema pinned) BEFORE the evolution
-    val src = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8)
+    val src = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8, None)
     val pinnedCols = src.schema.fieldNames.toSeq
     // table evolves and commits a batch carrying the new column
     writer.evolveSchema(org.apache.spark.sql.types.StructType(
@@ -205,7 +205,7 @@ class StreamIngestSpec extends SparkSpec {
       s"mid-stream batch shape changed: ${batch.columns.toSeq} vs $pinnedCols")
     assert(batch.isStreaming)
     // a RESTARTED tail (new source) picks the evolved schema up
-    val src2 = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8)
+    val src2 = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 8, None)
     assert(src2.schema.fieldNames.contains("lang"))
   }
 
@@ -252,5 +252,78 @@ class StreamIngestSpec extends SparkSpec {
     val epochs = table.snapshots.map(_.epochId)
     assert(epochs == epochs.sorted && epochs.distinct == epochs,
       s"epochs not strictly increasing: $epochs")
+  }
+
+  test("CDC start floors: earliest survives expiry, latest skips history; AvailableNow empty-table ceiling") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import spark.implicits._
+    val c0 = cfg.copy(numEvents = 2000L)
+    val dir = tmpDir("cdc-floors")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    (0 until 20).foreach { c =>
+      val batch = spark.range(c * 100L, (c + 1) * 100L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    assert(table.expireSnapshots(16L) > 0) // history below ckpt-16 is gone
+
+    // planned files straight off the logical plan — a stream-tagged batch
+    // frame refuses batch-side analysis (inputFiles/count)
+    def planFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.toSet
+            case _ => Set.empty[String]
+          }
+      }.flatten.toSet
+
+    // default floor (genesis): a NEW stream on the expired table cannot
+    // start — the motivating failure for startingSnapshotId
+    val srcDefault = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/t", 100, None)
+    intercept[IllegalStateException] {
+      srcDefault.getBatch(None, LongOffset(19L))
+    }
+
+    // earliest: floor = oldest surviving snapshot; first batch plans
+    // exactly the surviving range's files — same as changesBetween
+    val srcEarliest = new graft.lake.LakeCdcSource(
+      spark.sqlContext, s"$dir/t", 100, Some("earliest"))
+    val end = srcEarliest.latestOffset(null, ReadLimit.allAvailable())
+    assert(end.asInstanceOf[LongOffset].offset == 19L)
+    val got = planFiles(srcEarliest.getBatch(None, LongOffset(19L)))
+    val want = planFiles(table.changesBetween(table.oldestSnapshotId - 1L, 19L))
+    assert(got == want && got.nonEmpty)
+
+    // latest: floor = head at source creation; the first batch is EMPTY
+    // (only commits after stream start flow)
+    val srcLatest = new graft.lake.LakeCdcSource(
+      spark.sqlContext, s"$dir/t", 100, Some("latest"))
+    assert(planFiles(srcLatest.getBatch(None, LongOffset(19L))).isEmpty)
+    // ...and a post-start commit flows from the pinned floor
+    CdcIngest.applyBatch(table,
+      spark.range(2000L, 2100L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF(),
+      epochId = 20L)
+    val end2 = srcLatest.latestOffset(null, ReadLimit.allAvailable())
+    assert(end2.asInstanceOf[LongOffset].offset == 20L)
+    assert(planFiles(srcLatest.getBatch(None, LongOffset(20L))) ==
+      planFiles(table.changesBetween(19L, 20L)))
+
+    // AvailableNow on an EMPTY table: the drain ceiling pins at "nothing",
+    // so commits racing the drain are NOT consumed this run (the -1
+    // no-ceiling sentinel bug would have drained them)
+    val empty = LakeTable.create(spark, s"$dir/empty", Schemas.docRow, numBuckets = 1)
+    val srcEmpty = new graft.lake.LakeCdcSource(spark.sqlContext, s"$dir/empty", 100, None)
+    srcEmpty.prepareForTriggerAvailableNow()
+    CdcIngest.applyBatch(empty,
+      spark.range(0L, 50L)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(c0, i))).toDF(),
+      epochId = 0L)
+    assert(srcEmpty.latestOffset(null, ReadLimit.allAvailable()) == null,
+      "AvailableNow drain on an empty table consumed a mid-drain commit")
   }
 }
