@@ -308,6 +308,18 @@ object SparkEntry {
       Similarity.lshNearDupPairs(t(dir, "embeddings"), dim = 64, bits = 2,
         seed = 42L, threshold = 0.35)
     }),
+    // LAKE-RESIDENT IVF: corpus written one-commit-per-cell into a
+    // LakeTable (cell-pure files + manifest stats → probes open only
+    // probed cells' files; OperatorSpec pins the skip), same deterministic
+    // pipeline as qd40 — so the same DuckDB oracle checks it end-to-end
+    "qd59_ann_ivf_lake" -> ((s, dir) => { implicit val sp = s
+      val root = s"${sys.props("java.io.tmpdir")}/graft-q-ivflake-" +
+        s"${s.sparkContext.applicationId}-" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = t(dir, "embeddings")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/meta")))
+        Similarity.writeIvfLake(emb, root, nCells = 4)
+      Similarity.ivfTopKLake(s, root, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+    }),
     "qm41_resize" -> ((s, dir) => { implicit val sp = s
       // resize stub: binary-in/binary-out; SQL-verifiable metadata
       Multimodal.resizeStub(t(dir, "documents"), factor = 4)
@@ -383,6 +395,17 @@ object SparkEntry {
              max(col("p_size")).as("max_size"))
     }),
     "q47_changelog" -> ((s, dir) => CdcQueries.changelogSecondChunk(s, dir)),
+    // source-restricted changelog over the LAKE table: the filter pushes
+    // to the manifest-driven scan, and per-file column stats skip
+    // non-matching delta files driver-side (PlanSpec pins the skip); the
+    // oracle recomputes the per-chunk winners from raw events
+    "q58_lake_source_restrict" -> ((s, dir) => {
+      val table = CdcQueries.replayTable(s, dir, chunks = 4, slot = "skip")
+      table.changesBetween(-1L, table.currentSnapshotId)
+        .filter(col("source") === "click")
+        .select(col("doc_id"),
+          col(graft.lake.LakeTable.LsnCol).as("win_lsn"), col("source"))
+    }),
     "q48_zero_or_more" -> ((s, dir) => { implicit val sp = s
       // ZeroOrMorePath `*` (J4): reflexive-transitive closure
       val nations = t(dir, "nation").select(col("n_nationkey").cast("int").as("src"),
@@ -501,6 +524,50 @@ object SparkEntry {
         s"unnest(CAST(${duckPlaneLit(dim, j, seed)} AS DOUBLE[])) AS p) x)"
       s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** The IVF oracle: quantize → md5-ranked sample → one exact-integer
+    * Lloyd round → full assignment → nprobe=2 probe → exact score.
+    * Shared by qd40 (in-memory) and qd59 (lake-resident) — both run
+    * the same deterministic pipeline.
+    */
+  private lazy val ivfOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding, $duckQuantize AS qv FROM embeddings),
+         samp AS (SELECT vec_id, qv, md5('kseed:42:' || CAST(vec_id AS VARCHAR)) AS r
+           FROM emb ORDER BY r, vec_id LIMIT 256),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cell,
+             qv AS cvec
+           FROM (SELECT * FROM samp ORDER BY r, vec_id LIMIT 4)),
+         a1 AS (SELECT s.vec_id, s.qv, c.cell, ${duckIntCosine("s.qv", "c.cvec")} AS csim
+           FROM samp s, c0 c),
+         w1 AS (SELECT cell, qv FROM (SELECT cell, qv,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+           FROM a1) WHERE rn = 1),
+         m1 AS (SELECT cell, p.p AS pos,
+             CAST(floor(CAST(sum(qv[p.p]) AS DOUBLE)/count(*)) AS BIGINT) AS m
+           FROM w1, (SELECT unnest(generate_series(1, 64)) AS p) p
+           GROUP BY cell, p.p),
+         c1v AS (SELECT cell, list(m ORDER BY pos) AS nvec FROM m1 GROUP BY cell),
+         c1 AS (SELECT c0.cell, COALESCE(c1v.nvec, c0.cvec) AS cvec
+           FROM c0 LEFT JOIN c1v USING (cell)),
+         af AS (SELECT e.vec_id, e.embedding, c.cell,
+             ${duckIntCosine("e.qv", "c.cvec")} AS csim
+           FROM emb e, c1 c),
+         wf AS (SELECT vec_id, embedding, cell FROM (SELECT vec_id, embedding, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+           FROM af) WHERE rn = 1),
+         qs AS (SELECT e.vec_id AS qid, e.embedding AS qvec, c.cell,
+             ${duckIntCosine("e.qv", "c.cvec")} AS csim
+           FROM emb e, c1 c WHERE e.vec_id < 8),
+         probes AS (SELECT qid, qvec, cell AS qcell FROM (SELECT qid, qvec, cell,
+             row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell ASC) AS pr
+           FROM qs) WHERE pr <= 2),
+         pairs AS (SELECT p.qid, w.vec_id AS nid, ${duckCosDots("p.qvec", "w.embedding")}
+           FROM wf w JOIN probes p ON w.cell = p.qcell AND w.vec_id <> p.qid),
+         sims AS (SELECT qid, nid, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs),
+         ranked AS (SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM sims)
+         SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_filter" ->
@@ -815,44 +882,9 @@ object SparkEntry {
     // exact-integer Lloyd round → full assignment → nprobe=2 probe →
     // exact score. Every stage deterministic (integer or IEEE-on-integer
     // arithmetic), so the approximate index is oracle-checkable too.
-    "qd40_ann_ivf" ->
-      s"""WITH emb AS (SELECT vec_id, embedding, $duckQuantize AS qv FROM embeddings),
-         samp AS (SELECT vec_id, qv, md5('kseed:42:' || CAST(vec_id AS VARCHAR)) AS r
-           FROM emb ORDER BY r, vec_id LIMIT 256),
-         c0 AS (SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cell,
-             qv AS cvec
-           FROM (SELECT * FROM samp ORDER BY r, vec_id LIMIT 4)),
-         a1 AS (SELECT s.vec_id, s.qv, c.cell, ${duckIntCosine("s.qv", "c.cvec")} AS csim
-           FROM samp s, c0 c),
-         w1 AS (SELECT cell, qv FROM (SELECT cell, qv,
-             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
-           FROM a1) WHERE rn = 1),
-         m1 AS (SELECT cell, p.p AS pos,
-             CAST(floor(CAST(sum(qv[p.p]) AS DOUBLE)/count(*)) AS BIGINT) AS m
-           FROM w1, (SELECT unnest(generate_series(1, 64)) AS p) p
-           GROUP BY cell, p.p),
-         c1v AS (SELECT cell, list(m ORDER BY pos) AS nvec FROM m1 GROUP BY cell),
-         c1 AS (SELECT c0.cell, COALESCE(c1v.nvec, c0.cvec) AS cvec
-           FROM c0 LEFT JOIN c1v USING (cell)),
-         af AS (SELECT e.vec_id, e.embedding, c.cell,
-             ${duckIntCosine("e.qv", "c.cvec")} AS csim
-           FROM emb e, c1 c),
-         wf AS (SELECT vec_id, embedding, cell FROM (SELECT vec_id, embedding, cell,
-             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
-           FROM af) WHERE rn = 1),
-         qs AS (SELECT e.vec_id AS qid, e.embedding AS qvec, c.cell,
-             ${duckIntCosine("e.qv", "c.cvec")} AS csim
-           FROM emb e, c1 c WHERE e.vec_id < 8),
-         probes AS (SELECT qid, qvec, cell AS qcell FROM (SELECT qid, qvec, cell,
-             row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell ASC) AS pr
-           FROM qs) WHERE pr <= 2),
-         pairs AS (SELECT p.qid, w.vec_id AS nid, ${duckCosDots("p.qvec", "w.embedding")}
-           FROM wf w JOIN probes p ON w.cell = p.qcell AND w.vec_id <> p.qid),
-         sims AS (SELECT qid, nid, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs),
-         ranked AS (SELECT qid, nid, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
-           FROM sims)
-         SELECT qid, nid, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3""",
+    "qd40_ann_ivf" -> ivfOracle,
+    // identical deterministic pipeline over the lake-resident index
+    "qd59_ann_ivf_lake" -> ivfOracle,
     "qm34_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          CAST(octet_length(encode(text)) % 640 AS INT) AS width,
@@ -951,6 +983,18 @@ object SparkEntry {
          SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS win_lsn,
                 event_type = 'error' AS tomb, event_type AS source
          FROM win WHERE rn = 1""",
+    "q58_lake_source_restrict" ->
+      """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+         r AS (SELECT lo, hi, CAST(floor((hi - lo + 4) / 4.0) AS BIGINT) AS per FROM b),
+         ch AS (SELECT e.*, CAST(floor((e.event_id - r.lo) / r.per) AS INT) AS chunk
+                FROM events e, r),
+         win AS (SELECT user_id, event_id, event_type, chunk,
+                   row_number() OVER (PARTITION BY user_id, chunk
+                                      ORDER BY event_id DESC) AS rn
+                 FROM ch)
+         SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS win_lsn,
+                event_type AS source
+         FROM win WHERE rn = 1 AND event_type = 'click'""",
     "q48_zero_or_more" ->
       """WITH RECURSIVE e(src, dst) AS (
            SELECT CAST(n_nationkey AS INT), CAST(n_regionkey + 100 AS INT) FROM nation

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * Gries 1982; mergeability per Agarwal et al., "Mergeable Summaries",
   * PODS'12 — both public results).
   *
-  * Why not `df.limit(sampleSize)` (the previous [[Lww.reduceAuto]]
-  * probe): a head sample reads whichever partitions answer first — a
+  * Why not `df.limit(sampleSize)` (a head-sample probe, the removed
+  * round-3 `reduceAuto` design): a head sample reads whichever partitions answer first — a
   * hot key concentrated elsewhere in the batch is invisible to it. The
   * sketch sees EVERY row at bounded memory, which is the only honest
   * skew detector at 100 TB. Cost: one column-pruned pass over the

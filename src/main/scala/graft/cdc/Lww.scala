@@ -72,37 +72,19 @@ object Lww {
       .map(_._2)
   }
 
-  /** Skew-adaptive routing: probe a bounded prefix of the batch for heavy
-    * hitters and choose the salted two-phase reduce when the hottest key
-    * holds more than `hotShare` of sampled rows, else the plain bucketed
-    * reduce (SURVEY.md §4 "detect heavy hitters via count sample"). The
-    * probe is one bounded-sample aggregate — a small driver action per
-    * batch, so this is an opt-in for feeds with unpredictable skew; feeds
-    * with known skew should pass saltBuckets explicitly.
-    * Salted == unsalted is property-tested, so routing never changes
-    * results.
+  /** Sentinel for `saltBuckets` in [[graft.stream.CdcIngest.applyBatch]]/
+    * [[graft.stream.CdcIngest.run]]: route each batch through
+    * [[reduceAutoSketched]] — skew probed per batch by the Misra–Gries
+    * sketch, salting engaged only when a heavy hitter is actually present.
     */
-  def reduceAuto(events: DataFrame, keyCol: String, numBuckets: Int,
-                 sampleSize: Int = 10000, hotShare: Double = 0.2,
-                 saltBuckets: Int = 16): DataFrame = {
-    val sample = events.select(col(keyCol)).limit(sampleSize)
-      .groupBy(col(keyCol)).count()
-      .agg(max("count").as("top"), sum("count").as("n"))
-      .head()
-    // an empty batch aggregates to nulls (streaming idle triggers are
-    // routinely empty) — route it through the plain reduce, never NPE
-    val hot = !sample.isNullAt(1) && sample.getLong(1) > 0 &&
-      sample.getLong(0).toDouble / sample.getLong(1) > hotShare
-    if (hot) reduceSalted(events, saltBuckets, keyCol).repartition(numBuckets, col(keyCol))
-    else reduceBucketed(events, keyCol, numBuckets)
-  }
+  val AutoSalt: Int = -1
 
   /** Skew-adaptive routing via the Misra–Gries sketch
     * ([[HeavyHitters.topShare]]): ONE distributed column-pruned pass over
-    * the WHOLE batch with O(sketchSize) state per partition — unlike
-    * [[reduceAuto]]'s bounded head-sample, which only sees whichever
-    * partitions answer first and misses a hot key concentrated elsewhere
-    * in the batch. Same contract: routing never changes results (salted
+    * the WHOLE batch with O(sketchSize) state per partition — unlike a
+    * bounded head-sample (the removed round-3 `reduceAuto`), which only
+    * sees whichever partitions answer first and misses a hot key
+    * concentrated elsewhere in the batch. Same contract: routing never changes results (salted
     * == unsalted is property-tested); choose this for feeds with
     * genuinely unknown skew, pass `saltBuckets` explicitly when skew is
     * known. Size `sketchSize ≳ 2/hotShare` so a truly-hot key cannot

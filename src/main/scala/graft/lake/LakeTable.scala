@@ -34,7 +34,9 @@ final case class LakeSchema(schemaId: Int, fields: Seq[LakeField]) {
   * shuffle.
   */
 final case class FileEntry(path: String, bucket: Int, bytes: Long, schemaId: Int,
-    rows: Long, minLsn: Long, maxLsn: Long)
+    rows: Long, minLsn: Long, maxLsn: Long,
+    colMin: Map[String, String] = Map.empty,
+    colMax: Map[String, String] = Map.empty)
 
 /** An atomic table version. The log of snapshots IS the table state:
   * live files = fold of added − removed over snapshots 0..N.
@@ -221,7 +223,8 @@ class LakeTable private (
     val live = n.get("live").elements().asScala.map { e =>
       val f = FileEntry(e.get("path").asText(), e.get("bucket").asInt(),
         e.get("bytes").asLong(), e.get("schemaId").asInt(),
-        e.get("rows").asLong(), e.get("minLsn").asLong(), e.get("maxLsn").asLong())
+        e.get("rows").asLong(), e.get("minLsn").asLong(), e.get("maxLsn").asLong(),
+        LakeTable.readColStats(e, "colMin"), LakeTable.readColStats(e, "colMax"))
       val layout = Option(e.get("layout")).map(_.asInt()).filter(_ >= 0)
       f.path -> LiveEntry(f, e.get("snapId").asLong(), layout)
     }.toSeq
@@ -516,22 +519,35 @@ class LakeTable private (
 
   /** Read a heterogeneous-schema set of delta files, mapping each file's
     * columns to the target schema by field id (nulls for added columns,
-    * `cast` for legal widenings).
+    * `cast` for legal widenings). Served through [[ManifestFileIndex]]
+    * relations (one per schema version), so pushed predicates get
+    * manifest-side per-column data skipping — a `source`-restricted
+    * changelog read opens only the files whose stat range overlaps.
     */
   private def readDataFiles(files: Seq[FileEntry], target: LakeSchema): DataFrame = {
+    // everything nullable: tombstone rows carry null payloads, and a
+    // hand-built relation must force this itself or codegen NPEs
     val hidden = Seq(
-      StructField(LsnCol, LongType, nullable = false),
-      StructField(TombCol, BooleanType, nullable = false))
+      StructField(LsnCol, LongType, nullable = true),
+      StructField(TombCol, BooleanType, nullable = true))
     if (files.isEmpty) {
-      val s = StructType(target.sparkSchema.fields ++ hidden)
+      val s = StructType(target.sparkSchema.fields.map(_.copy(nullable = true)) ++ hidden)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
     val byId = schemas.map(s => s.schemaId -> s).toMap
     files.groupBy(_.schemaId).map { case (sid, group) =>
       val fileSchema = byId(sid)
       val nameById = fileSchema.fields.map(f => f.id -> f.name).toMap
-      val readSchema = StructType(fileSchema.sparkSchema.fields ++ hidden)
-      val df = spark.read.schema(readSchema).parquet(group.map(abs): _*)
+      val readSchema = StructType(
+        fileSchema.sparkSchema.fields.toSeq.map(_.copy(nullable = true)) ++ hidden)
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new ManifestFileIndex(root, group),
+        partitionSchema = StructType(Nil),
+        dataSchema = readSchema,
+        bucketSpec = None,
+        fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        options = Map.empty)(spark)
+      val df = spark.baseRelationToDataFrame(relation)
       val cols: Seq[Column] = target.fields.map { tf =>
         nameById.get(tf.id) match {
           case Some(oldName) => col(oldName).cast(tf.dataType).as(tf.name)
@@ -830,8 +846,19 @@ class LakeTable private (
           }
           val dst = f.resolveSibling(suffixed)
           Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+          // surface the lsn range under `_lsn` for data skipping too: on
+          // upsert deltas it is the `_src_*` range, a SUPERSET of the
+          // winner `_lsn` range — conservative in the keep direction, so
+          // pruning against it is sound
+          val lsnStat =
+            if (stats.minLsn >= 0 && stats.maxLsn >= 0)
+              Map(LsnCol -> (stats.minLsn.toString, stats.maxLsn.toString))
+            else Map.empty[String, (String, String)]
+          val allStats = stats.cols ++ lsnStat
           Some(FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId,
-            stats.rows, stats.minLsn, stats.maxLsn))
+            stats.rows, stats.minLsn, stats.maxLsn,
+            allStats.map { case (k, v) => k -> v._1 },
+            allStats.map { case (k, v) => k -> v._2 }))
         }
       }
       // footer reads + renames touch one file each and dominate the
@@ -881,10 +908,18 @@ class LakeTable private (
   }
 
   private final case class FooterStats(rows: Long, minLsn: Long, maxLsn: Long,
-                                       minBucket: Int, maxBucket: Int)
+                                       minBucket: Int, maxBucket: Int,
+                                       cols: Map[String, (String, String)])
 
-  /** Row count, `_lsn`/`_src_*` range, and `_bucket` range from the
-    * parquet footer (driver-side, no Spark job).
+  /** Row count, `_lsn`/`_src_*` range, `_bucket` range, AND per-column
+    * min/max for every top-level primitive user column (int/long/string)
+    * from the parquet footer (driver-side, no Spark job — the footer is
+    * already open for the bucket-layout verification, so the manifest
+    * column stats are free). These power manifest-side data skipping
+    * ([[ManifestFileIndex.listFiles]]): the Iceberg per-column
+    * lower/upper-bound analog, and the access-path recast of the
+    * reference's index selection (/root/reference/grafter.repository/src/
+    * clj/grafter_2/rdf4j/repository.clj:131-136).
     */
   private def footerStats(f: Path, conf: org.apache.hadoop.conf.Configuration): FooterStats = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -893,6 +928,22 @@ class LakeTable private (
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
+      // stat-eligible user columns: top-level INT32/INT64/UTF8 primitives
+      // (nested/float/raw-binary columns carry no skippable range here)
+      val msgType = reader.getFooter.getFileMetaData.getSchema
+      val eligible: Map[String, Boolean] = msgType.getFields.asScala.flatMap { t =>
+        if (t.isPrimitive && !t.getName.startsWith("_")) {
+          val p = t.asPrimitiveType()
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          p.getPrimitiveTypeName match {
+            case INT32 | INT64 => Some(t.getName -> false)
+            case BINARY if p.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              Some(t.getName -> true)
+            case _ => None
+          }
+        } else None
+      }.toMap // name -> isString
       // decide the stat columns per FILE, not per block: source offset
       // range if present (upsert deltas), else the winner lsn range
       // (compaction rewrites) — then fold min/max over EVERY block.
@@ -906,6 +957,13 @@ class LakeTable private (
       var mx = Long.MinValue
       var bmn = Int.MaxValue
       var bmx = Int.MinValue
+      val cmin = scala.collection.mutable.HashMap[String, String]()
+      val cmax = scala.collection.mutable.HashMap[String, String]()
+      val noStat = scala.collection.mutable.HashSet[String]()
+      def statString(v: Any): String = v match {
+        case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+        case other                               => other.toString
+      }
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val path = c.getPath.toDotString
@@ -919,14 +977,29 @@ class LakeTable private (
               st.genericGetMin match { case i: java.lang.Integer => bmn = math.min(bmn, i); case _ => () }
               st.genericGetMax match { case i: java.lang.Integer => bmx = math.max(bmx, i); case _ => () }
             }
-          }
+            eligible.get(path).foreach { isString =>
+              // an all-null chunk contributes nothing (nulls never match a
+              // range predicate); a chunk WITHOUT stats poisons the column
+              // for this file — an unknown range must not prune
+              if (st.hasNonNullValue) {
+                def lt(a: String, b: String): Boolean =
+                  if (isString) a < b else a.toLong < b.toLong
+                val lo = statString(st.genericGetMin)
+                val hi = statString(st.genericGetMax)
+                cmin.updateWith(path)(o => Some(o.filter(lt(_, lo)).getOrElse(lo)))
+                cmax.updateWith(path)(o => Some(o.filter(v => lt(hi, v)).getOrElse(hi)))
+              }
+            }
+          } else if (eligible.contains(path)) noStat += path
         }
       }
+      noStat.foreach { p => cmin.remove(p); cmax.remove(p) }
       FooterStats(rows,
         if (mn == Long.MaxValue) -1L else mn,
         if (mx == Long.MinValue) -1L else mx,
         if (bmn == Int.MaxValue) -1 else bmn,
-        if (bmx == Int.MinValue) -1 else bmx)
+        if (bmx == Int.MinValue) -1 else bmx,
+        cmin.keySet.intersect(cmax.keySet).map(k => k -> (cmin(k), cmax(k))).toMap)
     } finally reader.close()
   }
 
@@ -1005,6 +1078,7 @@ class LakeTable private (
       fo.put("rows", e.file.rows); fo.put("minLsn", e.file.minLsn)
       fo.put("maxLsn", e.file.maxLsn)
       fo.put("snapId", e.snapId); fo.put("layout", e.layout.getOrElse(-1))
+      LakeTable.writeColStats(fo, e.file)
     }
     val tmp = metaDir.resolve(s"ckpt-.tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, o.toPrettyString)
@@ -1028,18 +1102,96 @@ private[lake] final case class LiveEntry(file: FileEntry, snapId: Long,
 private[lake] class ManifestFileIndex(root: String, files: Seq[FileEntry])
     extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
   private def abs(f: FileEntry) = new HPath(s"$root/${f.path}")
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(root))
 
+  /** Manifest-side data skipping: drop files whose per-column min/max
+    * range provably cannot satisfy a pushed filter — the Iceberg
+    * lower/upper-bound pruning analog, evaluated driver-side against the
+    * manifest (zero file opens for skipped files). Planning-time only and
+    * CONSERVATIVE: any predicate shape or type this doesn't understand
+    * keeps the file. Correctness composes with Catalyst's own pushdown
+    * rules: a filter only reaches `dataFilters` when pushing it below the
+    * plan above the scan is legal (e.g. it never crosses the LWW winner
+    * aggregate on a non-grouping column), so pruning against it is always
+    * sound here.
+    */
   override def listFiles(
-      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val kept = files.filter(f => dataFilters.forall(e => mayMatch(f, e)))
     Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
       org.apache.spark.sql.catalyst.InternalRow.empty,
-      files.map(f => new FileStatus(f.bytes, false, 1, 134217728L, 0L, abs(f))).toArray))
+      kept.map(f => new FileStatus(f.bytes, false, 1, 134217728L, 0L, abs(f))).toArray))
+  }
+
+  /** Stat range of `col` in `f` as (min, max, isString), if tracked and
+    * of an orderable type we compare exactly (integral or string).
+    */
+  private def range(f: FileEntry, a: Attribute): Option[(String, String, Boolean)] = {
+    val isString = a.dataType match {
+      case StringType                                  => true
+      case ByteType | ShortType | IntegerType | LongType => false
+      case _                                           => return None
+    }
+    for (lo <- f.colMin.get(a.name); hi <- f.colMax.get(a.name))
+      yield (lo, hi, isString)
+  }
+
+  private def le(isString: Boolean, a: String, b: String): Boolean =
+    if (isString) a <= b else a.toLong <= b.toLong
+
+  /** Literal's value as a stat-comparable string, None when incomparable. */
+  private def litStr(v: Any): Option[String] = v match {
+    case null => None
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+    case _ => None
+  }
+
+  private def mayMatch(f: FileEntry, e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+    case Or(l, r)  => mayMatch(f, l) || mayMatch(f, r)
+    case EqualTo(a: Attribute, Literal(v, _)) => containsValue(f, a, v)
+    case EqualTo(Literal(v, _), a: Attribute) => containsValue(f, a, v)
+    case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(l => containsValue(f, a, l.asInstanceOf[Literal].value))
+    case InSet(a: Attribute, vs) => vs.exists(v => containsValue(f, a, v))
+    case GreaterThan(a: Attribute, Literal(v, _))        => cmpMax(f, a, v, strict = true)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => cmpMax(f, a, v, strict = false)
+    case LessThan(a: Attribute, Literal(v, _))           => cmpMin(f, a, v, strict = true)
+    case LessThanOrEqual(a: Attribute, Literal(v, _))    => cmpMin(f, a, v, strict = false)
+    case GreaterThan(Literal(v, _), a: Attribute)        => cmpMin(f, a, v, strict = true)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) => cmpMin(f, a, v, strict = false)
+    case LessThan(Literal(v, _), a: Attribute)           => cmpMax(f, a, v, strict = true)
+    case LessThanOrEqual(Literal(v, _), a: Attribute)    => cmpMax(f, a, v, strict = false)
+    case _ => true // unknown shape: never prune
+  }
+
+  private def containsValue(f: FileEntry, a: Attribute, v: Any): Boolean =
+    (range(f, a), litStr(v)) match {
+      case (Some((lo, hi, s)), Some(x)) => le(s, lo, x) && le(s, x, hi)
+      case _                            => true
+    }
+
+  /** col > v (strict) / col >= v: satisfiable iff max(col) clears v. */
+  private def cmpMax(f: FileEntry, a: Attribute, v: Any, strict: Boolean): Boolean =
+    (range(f, a), litStr(v)) match {
+      case (Some((_, hi, s)), Some(x)) => if (strict) !le(s, hi, x) else le(s, x, hi)
+      case _                           => true
+    }
+
+  /** col < v (strict) / col <= v: satisfiable iff min(col) is below v. */
+  private def cmpMin(f: FileEntry, a: Attribute, v: Any, strict: Boolean): Boolean =
+    (range(f, a), litStr(v)) match {
+      case (Some((lo, _, s)), Some(x)) => if (strict) !le(s, x, lo) else le(s, lo, x)
+      case _                           => true
+    }
 
   override def inputFiles: Array[String] = files.map(f => abs(f).toString).toArray
 
@@ -1182,6 +1334,7 @@ object LakeTable {
       fo.put("path", f.path); fo.put("bucket", f.bucket)
       fo.put("bytes", f.bytes); fo.put("schemaId", f.schemaId)
       fo.put("rows", f.rows); fo.put("minLsn", f.minLsn); fo.put("maxLsn", f.maxLsn)
+      writeColStats(fo, f)
     }
     val rem = o.putArray("removedData")
     s.removedData.toSeq.sorted.foreach(rem.add)
@@ -1190,12 +1343,31 @@ object LakeTable {
     o.toPrettyString
   }
 
+  private[lake] def writeColStats(
+      fo: com.fasterxml.jackson.databind.node.ObjectNode, f: FileEntry): Unit = {
+    if (f.colMin.nonEmpty) {
+      val mo = fo.putObject("colMin")
+      f.colMin.toSeq.sortBy(_._1).foreach { case (k, v) => mo.put(k, v) }
+    }
+    if (f.colMax.nonEmpty) {
+      val xo = fo.putObject("colMax")
+      f.colMax.toSeq.sortBy(_._1).foreach { case (k, v) => xo.put(k, v) }
+    }
+  }
+
+  private[lake] def readColStats(
+      n: com.fasterxml.jackson.databind.JsonNode, key: String): Map[String, String] =
+    Option(n.get(key)).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+
   private def readSnapshot(p: Path): Snapshot = {
     val n = mapper.readTree(Files.readString(p))
     val added = n.get("addedData").elements().asScala.map { f =>
       FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
         f.get("bytes").asLong(), f.get("schemaId").asInt(),
-        f.get("rows").asLong(), f.get("minLsn").asLong(), f.get("maxLsn").asLong())
+        f.get("rows").asLong(), f.get("minLsn").asLong(), f.get("maxLsn").asLong(),
+        readColStats(f, "colMin"), readColStats(f, "colMax"))
     }.toSeq
     val removed = n.get("removedData").elements().asScala.map(_.asText()).toSet
     val summary = n.get("summary").properties().asScala

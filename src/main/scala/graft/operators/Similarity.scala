@@ -83,6 +83,14 @@ object Similarity {
     * analysis) — floor asserted in OperatorSpec against [[embedNearDup]].
     * At cluster scale the corpus is written bucketed by the LSH id once;
     * the self-join is then bucket-local.
+    *
+    * COST CONTRACT: the per-bucket self-join is O((N/2^bits)²) — `bits`
+    * MUST grow with the corpus (bits ≈ log2(N/targetBucketSize)), or a
+    * query copied verbatim at 10⁹ rows is a quadratic scale-killer. Use
+    * [[lshNearDupPairsAuto]] to derive `bits` from the corpus size, or
+    * [[lshBitsFor]] when N is already known; pass `bits` explicitly only
+    * with a deliberate recall/cost trade (fewer bits = higher recall,
+    * quadratically more candidate pairs).
     */
   def lshNearDupPairs(embeddings: DataFrame, dim: Int, bits: Int, seed: Long,
                       threshold: Double): DataFrame = {
@@ -97,6 +105,29 @@ object Similarity {
           cosine(col("a.embedding"), col("b.embedding"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Plane count that holds the EXPECTED bucket size at `targetBucketSize`
+    * as the corpus grows: bits = ⌈log2(N / target)⌉, floor 1 — so the
+    * per-bucket self-join work N/2^bits × target stays linear in N
+    * instead of quadratic (OperatorSpec pins the invariant
+    * N/2^bits ≤ target). Skewed buckets beyond the expectation are the
+    * usual salting/AQE story, orthogonal to the plane count.
+    */
+  def lshBitsFor(corpusSize: Long, targetBucketSize: Long): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0,
+      s"need positive sizes, got N=$corpusSize target=$targetBucketSize")
+    math.max(1, math.ceil(
+      math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+  }
+
+  /** [[lshNearDupPairs]] with `bits` derived from the corpus size (one
+    * count job) — the safe-by-default entry point for unknown N.
+    */
+  def lshNearDupPairsAuto(embeddings: DataFrame, dim: Int, seed: Long,
+                          threshold: Double,
+                          targetBucketSize: Long = 1024): DataFrame =
+    lshNearDupPairs(embeddings, dim,
+      lshBitsFor(embeddings.count(), targetBucketSize), seed, threshold)
 
   /** Per-dimension round-half-up quantization to 1e-4 as `array<bigint>`.
     * float → double is exact, ×10000 + 0.5 and floor are deterministic
@@ -228,6 +259,91 @@ object Similarity {
       .filter(col("r") <= nprobe)
       .select(col("qid"), col("qvec"), col("cell").as("qcell"))
     val scored = ivfAssign(embeddings, centroids)
+      .join(broadcast(qprobes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.TextOps.round4(cosine(col("qvec"), col("embedding"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** Build a LAKE-RESIDENT IVF index: the corpus is written into a
+    * [[graft.lake.LakeTable]] keyed by `vec_id`, ONE commit per IVF cell,
+    * so every delta file is cell-pure and carries a tight `cell` stat
+    * range in the manifest — a probe then opens ONLY the probed cells'
+    * files ([[graft.lake.ManifestFileIndex]] data skipping), which is the
+    * "corpus written bucketed once, probes read nprobe buckets" scale
+    * story as tested behavior rather than scaladoc narrative. Centroids
+    * (tiny: nCells×dim ints) are persisted next to the table for probes.
+    *
+    * The table stays a full CDC citizen: vectors can be upserted/deleted
+    * by `vec_id` later (subsequent commits are no longer cell-pure until
+    * a compaction; pruning degrades gracefully — extra files are read,
+    * never wrong results, because skipping is conservative).
+    */
+  def writeIvfLake(embeddings: DataFrame, root: String, nCells: Int,
+                   numBuckets: Int = 8, iters: Int = 1, seed: Long = 42L,
+                   sampleSize: Int = 256): graft.lake.LakeTable = {
+    import org.apache.spark.sql.types._
+    val spark = embeddings.sparkSession
+    val centroids = kmeansCentroids(embeddings, nCells, iters, seed, sampleSize)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$root/aux/centroids")
+    // checkpoint the assignment ONCE: (a) one corpus pass feeds all nCells
+    // commits instead of re-running the crossJoin-score per cell, and
+    // (b) it severs the aggregate's HashPartitioning(vec_id) lineage —
+    // otherwise upsert's explicit bucket repartition is elided as
+    // already-satisfied and AQE may then coalesce the aggregate's
+    // exchange, breaking the task-index==bucket layout contract (the
+    // write-side defense refuses such a delta loudly)
+    val assigned = ivfAssign(embeddings, centroids).localCheckpoint()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true),
+      StructField("cell", IntegerType, nullable = true)))
+    val table = graft.lake.LakeTable.create(spark, root, schema,
+      keyCol = "vec_id", numBuckets = numBuckets)
+    (0 until nCells).foreach { c =>
+      val batch = assigned.filter(col("cell") === c).select(
+        lit("I").as("op"), col("vec_id"), col("vec_id").as("lsn"),
+        col("embedding"), col("cell"))
+      table.upsert(batch, epochId = c.toLong)
+    }
+    table
+  }
+
+  /** IVF top-k over a lake-resident index built by [[writeIvfLake]]:
+    * probe cells are chosen against the persisted centroids (same
+    * deterministic [[intCosine]] scoring as the build), the bounded probe
+    * set is collected driver-side (≤ queries×nprobe ints — the broadcast
+    * side by construction), and the corpus scan carries a LITERAL
+    * `cell IN (…)` predicate so the manifest prunes to the probed cells'
+    * files before any file opens. Insert-only corpora read the changelog
+    * (no winner aggregate in the way of pushdown); results are identical
+    * to [[ivfTopK]] with the same build parameters.
+    */
+  def ivfTopKLake(spark: org.apache.spark.sql.SparkSession, root: String,
+                  queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val table = graft.lake.LakeTable.load(spark, root)
+    val centroids = spark.read.parquet(s"$root/aux/centroids")
+    val qw = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cell").asc)
+    val qprobes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        quantize(col("embedding")).as("_qq"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cell"),
+        intCosine(col("_qq"), col("cvec")).as("qsim"))
+      .withColumn("r", row_number().over(qw))
+      .filter(col("r") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell").as("qcell"))
+      .localCheckpoint() // bounded frame, reused for the cell list AND the join
+    val probedCells = qprobes.select("qcell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = table.changesBetween(-1L, table.currentSnapshotId)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = corpus
       .join(broadcast(qprobes),
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),

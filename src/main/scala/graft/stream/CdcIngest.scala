@@ -32,7 +32,11 @@ object CdcIngest {
     * the watermarked streaming dedup ([[graft.cdc.Dedup.streaming]]).
     *
     * Salting engages only when requested (AQE skew handling is the
-    * baseline; see SURVEY.md §4).
+    * baseline; see SURVEY.md §4): `saltBuckets > 1` forces the two-phase
+    * salted reduce, [[Lww.AutoSalt]] probes each batch with the
+    * Misra–Gries sketch ([[Lww.reduceAutoSketched]]) and salts only when
+    * a heavy hitter is actually present — routing never changes results
+    * (salted == unsalted is property-tested).
     */
   def applyBatch(table: LakeTable, batch: DataFrame, epochId: Long,
                  saltBuckets: Int = 0, dedup: Boolean = false,
@@ -55,7 +59,16 @@ object CdcIngest {
       }
     try {
       val snap =
-        if (saltBuckets > 1)
+        if (saltBuckets == Lww.AutoSalt) {
+          // pre-shuffle projection, same as upsert's reduce path: event-time
+          // and transport columns never cross the wire
+          val needed = (Seq(table.keyCol, "lsn", "op") ++
+            table.currentSchema.fields.map(_.name).filter(src.columns.contains)).distinct
+          val slim = src.select(needed.filter(src.columns.contains).map(col): _*)
+          table.upsert(
+            Lww.reduceAutoSketched(slim, table.keyCol, table.numBuckets),
+            epochId, reduce = false)
+        } else if (saltBuckets > 1)
           table.upsert(Lww.reduceSalted(src, saltBuckets), epochId, reduce = false)
         else
           table.upsert(src, epochId, reduce = true)

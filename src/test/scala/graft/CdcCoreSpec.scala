@@ -118,18 +118,18 @@ class CdcCoreSpec extends SparkSpec {
     def winners(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "lsn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // routing never changes results — both routes equal the plain reduce
-    assert(winners(Lww.reduceAuto(hot, "doc_id", 8)) == winners(Lww.reduce(hot)))
-    assert(winners(Lww.reduceAuto(uniform, "doc_id", 8)) == winners(Lww.reduce(uniform)))
+    assert(winners(Lww.reduceAutoSketched(hot, "doc_id", 8)) == winners(Lww.reduce(hot)))
+    assert(winners(Lww.reduceAutoSketched(uniform, "doc_id", 8)) == winners(Lww.reduce(uniform)))
     // and the hot feed actually takes the salted branch (two-phase agg in plan)
-    val hotPlan = Lww.reduceAuto(hot, "doc_id", 8).queryExecution.optimizedPlan.toString
+    val hotPlan = Lww.reduceAutoSketched(hot, "doc_id", 8).queryExecution.optimizedPlan.toString
     assert(hotPlan.contains("_salt"), "hot feed should route to the salted reduce")
-    val uniPlan = Lww.reduceAuto(uniform, "doc_id", 8).queryExecution.optimizedPlan.toString
+    val uniPlan = Lww.reduceAutoSketched(uniform, "doc_id", 8).queryExecution.optimizedPlan.toString
     assert(!uniPlan.contains("_salt"), "uniform feed should route to the plain reduce")
     // empty batches (idle streaming triggers) route cleanly, never NPE
-    assert(Lww.reduceAuto(uniform.limit(0), "doc_id", 8).isEmpty)
+    assert(Lww.reduceAutoSketched(uniform.limit(0), "doc_id", 8).isEmpty)
     // the salted route honors a non-default key column
     val renamed = hot.withColumnRenamed("doc_id", "k")
-    assert(winners(Lww.reduceAuto(renamed, "k", 8)
+    assert(winners(Lww.reduceAutoSketched(renamed, "k", 8)
       .withColumnRenamed("k", "doc_id")) == winners(Lww.reduce(hot)))
   }
 

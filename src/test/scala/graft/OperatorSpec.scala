@@ -252,6 +252,69 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("lshBitsFor holds expected bucket size as N grows; auto near-dup pairs verify exactly") {
+    // the bits-vs-N contract: at fixed target, N/2^bits never exceeds the
+    // target — per-bucket self-join work stays LINEAR in N
+    val target = 1024L
+    Seq(1L, 1000L, 100000L, 10000000L, 10000000000L).foreach { n =>
+      val bits = Similarity.lshBitsFor(n, target)
+      assert(n.toDouble / math.pow(2.0, bits) <= target,
+        s"N=$n bits=$bits leaves expected bucket ${n / math.pow(2.0, bits)}")
+      assert(bits >= 1)
+    }
+    // monotone: 2x corpus never needs FEWER planes
+    assert(Similarity.lshBitsFor(2048, 16) == Similarity.lshBitsFor(1024, 16) + 1)
+    // the auto entry point emits a SUBSET of the exact pairs (precision
+    // exact) at the derived bit count
+    val n = emb.count()
+    val auto = Similarity.lshNearDupPairsAuto(emb, dim = 64, seed = 42L,
+      threshold = 0.35, targetBucketSize = n / 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.embedNearDup(emb, maxId = n.toInt, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact) && auto.nonEmpty)
+  }
+
+  test("lake-resident IVF: probes open only probed cells' files, rows equal in-memory IVF") {
+    val dir = tmpDir("ivf-lake")
+    val table = Similarity.writeIvfLake(emb, s"$dir/t", nCells = 4, numBuckets = 4)
+    // every delta file is cell-pure: tight single-value cell stat range
+    assert(table.liveFiles().nonEmpty)
+    assert(table.liveFiles().forall(f =>
+      f.colMin.get("cell").isDefined && f.colMin.get("cell") == f.colMax.get("cell")),
+      "writeIvfLake produced a file spanning cells — stats cannot prune")
+
+    // the lake probe returns EXACTLY the in-memory pipeline's rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.ivfTopKLake(spark, s"$dir/t", queries, k = 3, nprobe = 2)
+    val want = Similarity.ivfTopK(emb, nCells = 4, numQueries = 8, k = 3, nprobe = 2)
+    assert(rows(got) == rows(want), "lake probe diverged from in-memory IVF")
+
+    // the probe's corpus scan shape: a literal cell IN (…) over the
+    // changelog — the manifest prunes to the probed cells' files only
+    val probed = Seq(1, 2)
+    val corpus = table.changesBetween(-1L, table.currentSnapshotId)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    corpus.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case other => Seq(other)
+    }
+    val scanned = unwrap(corpus.queryExecution.executedPlan).flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }).sum
+    val expected = table.liveFiles()
+      .count(f => f.colMin.get("cell").exists(c => probed.contains(c.toInt)))
+    assert(scanned == expected && expected < table.liveFiles().size,
+      s"probe scanned $scanned files, expected only the $expected probed-cell files " +
+        s"of ${table.liveFiles().size}")
+  }
+
   test("LSH near-dup pairs: exact precision, recall floor vs brute force") {
     val n = emb.count().toInt
     // exact pairs over the whole corpus at a threshold that yields some

@@ -174,4 +174,63 @@ class PlanSpec extends SparkSpec {
     // a missing key returns empty, never errors
     assert(table.lookup("no_such_key").isEmpty)
   }
+
+  test("manifest column stats skip files: source-restricted reads open only matching files") {
+    import spark.implicits._
+    val dir = tmpDir("lake-skip")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    // three feeds, one source value per batch (the realistic CDC layout:
+    // a batch comes from ONE upstream feed) — per-file source stats are
+    // then tight single-value ranges
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (src, c) =>
+      val batch = spark.range(c * 100L, (c + 1) * 100L).map { i =>
+        (s"d$i", i, Seq(i.toInt), 1, src)
+      }.toDF("doc_id", "lsn", "tokens", "n_tok", "source")
+        .withColumn("op", lit("U"))
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val allFiles = table.liveFiles().size
+    assert(allFiles == 6, s"expected 2 buckets x 3 batches, got $allFiles")
+    // every live file carries a source stat range in the manifest
+    assert(table.liveFiles().forall(f =>
+      f.colMin.contains("source") && f.colMax.contains("source")))
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => Seq(other)
+      }
+      val scans = unwrap(df.queryExecution.executedPlan).flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      })
+      assert(scans.nonEmpty, "no file scan in plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    // changelog read restricted to one source: the filter pushes to the
+    // scan and the manifest prunes to that batch's files — 2 of 6
+    val head = table.currentSnapshotId
+    val restricted = table.changesBetween(-1L, head).filter(col("source") === "beta")
+    assert(restricted.count() == 100L)
+    assert(scannedFiles(restricted) == 2L,
+      "source-restricted changelog did not skip non-matching files")
+    // an unrestricted read still opens everything (pruning is conservative)
+    assert(scannedFiles(table.changesBetween(-1L, head)) == 6L)
+    // range predicates prune on the integral lsn stats too
+    val lsnRestricted = table.changesBetween(-1L, head)
+      .filter(col(LakeTable.LsnCol) >= 200L)
+    assert(scannedFiles(lsnRestricted) == 2L)
+    // IN-set predicates prune to the union of matching batches
+    val inSet = table.changesBetween(-1L, head)
+      .filter(col("source").isin("alpha", "gamma"))
+    assert(inSet.count() == 200L && scannedFiles(inSet) == 4L)
+
+    // results are IDENTICAL with skipping defeated (correctness guard)
+    val unpruned = table.changesBetween(-1L, head)
+      .filter(col("source") === "beta").collect().toSet
+    assert(restricted.collect().toSet == unpruned)
+  }
 }

@@ -254,6 +254,22 @@ class StreamIngestSpec extends SparkSpec {
       s"epochs not strictly increasing: $epochs")
   }
 
+  test("AutoSalt ingest: sketch-routed skew handling end-to-end, state matches fold") {
+    // half the events on 2 hot keys — the per-batch Misra–Gries probe
+    // must engage the salted reduce (plan-level engagement pinned in
+    // CdcCoreSpec); here: the full streaming replay with AutoSalt lands
+    // bit-exactly on the fold oracle
+    val hotCfg = cfg.copy(numEvents = 8000L, hotFraction = 0.7, numHot = 2)
+    val dir = tmpDir("stream-autosalt")
+    ChangeFeed.writeFeed(spark, hotCfg, s"$dir/feed", chunks = 4)
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val q = CdcIngest.run(spark, s"$dir/feed", table, s"$dir/ckpt",
+      maxFilesPerTrigger = 2, saltBuckets = graft.cdc.Lww.AutoSalt)
+    q.awaitTermination()
+    val errs = FoldOracle.diff(table.read(), FoldOracle.finalState(hotCfg))
+    assert(errs.isEmpty, errs.take(10).mkString("; "))
+  }
+
   test("CDC start floors: earliest survives expiry, latest skips history; AvailableNow empty-table ceiling") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
