@@ -124,13 +124,22 @@ object VectorExprs {
 
   /** Idempotently register the expressions with the session's function
     * registry (Spark 4 keeps Column↔Expression bridging private, so the
-    * registry + `call_function` is the public route).
+    * registry + `call_function` is the public route). A session that
+    * already has both names skips the replace — `createOrReplaceTemp
+    * Function` logs a "replacing" warning per call, and queries register
+    * lazily, so a 57-query bench pass would otherwise emit hundreds of
+    * lines of registry noise.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      HammingFnName, exprs => HammingHex(exprs(0), exprs(1)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def has(n: String) = reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    if (!has(FnName))
+      reg.createOrReplaceTempFunction(
+        FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!has(HammingFnName))
+      reg.createOrReplaceTempFunction(
+        HammingFnName, exprs => HammingHex(exprs(0), exprs(1)), "built-in")
   }
 
   /** Dot product of two array<float> columns ([[register]] first). */

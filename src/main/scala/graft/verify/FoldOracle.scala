@@ -55,8 +55,8 @@ object FoldOracle {
       case (k, (lsn, row)) if tomb.getOrElse(k, Long.MinValue) < lsn => k -> row
     }.toMap
 
-  /** Per-row token-array equality of the merged table vs the oracle (the
-    * THE correctness invariant, BASELINE.json input_hint). Returns a list
+  /** Per-row token-array equality of the merged table vs the oracle (THE
+    * correctness invariant, BASELINE.json input_hint). Returns a list
     * of human-readable mismatches, empty = exact match.
     */
   def diff(actual: DataFrame, expected: Map[String, DocRow]): Seq[String] = {
