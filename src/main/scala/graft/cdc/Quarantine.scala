@@ -78,16 +78,11 @@ object Quarantine {
     val dir = f"${table.root}/badrecords/epoch-$epochId%012d"
     bad.withColumn("_epoch", lit(epochId))
       .write.mode("overwrite").json(dir)
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    val hasData = java.nio.file.Files.exists(p) &&
-      java.nio.file.Files.list(p).iterator().asScala.exists { f =>
-        f.getFileName.toString.startsWith("part-") && java.nio.file.Files.size(f) > 0
-      }
-    if (!hasData) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    val fs = table.fs
+    val hasData = fs.exists(dir) && fs.list(dir).exists { f =>
+      graft.lake.LakeFs.fileName(f).startsWith("part-") && fs.size(f) > 0
     }
+    if (!hasData) fs.deleteRecursively(dir)
     hasData
   }
 
@@ -95,12 +90,8 @@ object Quarantine {
     * quarantined rows are by definition schema-divergent).
     */
   def read(table: LakeTable): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(table.root, "badrecords")
-    val epochs =
-      if (!java.nio.file.Files.exists(dir)) Seq.empty
-      else java.nio.file.Files.list(dir).iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_)).map(_.toString).toSeq.sorted
+    val dir = s"${table.root}/badrecords"
+    val epochs = table.fs.list(dir).filter(table.fs.isDirectory).sorted
     require(epochs.nonEmpty, s"no quarantined batches under $dir")
     table.spark.read.json(epochs: _*)
   }

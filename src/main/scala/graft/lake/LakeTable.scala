@@ -1,6 +1,5 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -92,13 +91,20 @@ final case class Snapshot(
   *    and tombstone debt.
   *
   * Single-writer: commit conflicts (a snapshot file that already exists)
-  * throw; a production deployment would CAS through a catalog service.
+  * throw; the commit goes through [[LakeFs.putStringAtomic]]'s create-only
+  * CAS, so on a store with conditional PUT the same protocol is
+  * multi-writer-safe without a catalog service.
+  *
+  * ALL metadata/layout file IO routes through [[fs]] ([[LakeFs]]) — the
+  * object-store portability seam; bulk parquet bytes go through Spark's
+  * own Hadoop FS layer.
   */
 class LakeTable private (
     val spark: SparkSession,
     val root: String,
     val keyCol: String,
-    private var _numBuckets: Int) {
+    private var _numBuckets: Int,
+    val fs: LakeFs) {
 
   import LakeTable._
 
@@ -108,7 +114,10 @@ class LakeTable private (
     */
   def numBuckets: Int = _numBuckets
 
-  private def metaDir: Path = Paths.get(root, "meta")
+  private def metaDir: String = s"$root/meta"
+
+  private def listFiles(dir: String, prefix: String): Seq[String] =
+    LakeTable.listFiles(fs, dir, prefix)
 
   // ---- metadata (driver-side, small) ----
   //
@@ -138,12 +147,12 @@ class LakeTable private (
     */
   private[graft] var metaFilesParsed: Long = 0
 
-  private def parseSnap(p: Path): Snapshot = { metaFilesParsed += 1; readSnapshot(p) }
+  private def parseSnap(p: String): Snapshot = { metaFilesParsed += 1; readSnapshot(fs.readString(p)) }
 
   def schemas: Seq[LakeSchema] = {
     if (schemaCache == null)
       schemaCache = listFiles(metaDir, "schema-")
-        .map { p => metaFilesParsed += 1; readSchema(p) }.sortBy(_.schemaId)
+        .map { p => metaFilesParsed += 1; readSchema(fs.readString(p)) }.sortBy(_.schemaId)
     schemaCache
   }
 
@@ -160,12 +169,12 @@ class LakeTable private (
     // micro-batch would be pointless file IO on the hot path
     if (schemaCache != null) {
       var next = schemaCache.last.schemaId + 1
-      var p = metaDir.resolve(f"schema-$next%04d.json")
-      while (Files.exists(p)) {
+      var p = f"$metaDir/schema-$next%04d.json"
+      while (fs.exists(p)) {
         metaFilesParsed += 1
-        schemaCache = schemaCache :+ readSchema(p)
+        schemaCache = schemaCache :+ readSchema(fs.readString(p))
         next += 1
-        p = metaDir.resolve(f"schema-$next%04d.json")
+        p = f"$metaDir/schema-$next%04d.json"
       }
     }
     if (stateLive == null) ensureState()
@@ -176,9 +185,9 @@ class LakeTable private (
       // lagging reader — rebase onto the newest checkpoint rather than
       // stalling silently at the pre-expiry snapshot forever. O(1): one
       // hint read per refresh, rebase only on an actual gap.
-      val hintFile = metaDir.resolve("latest.hint")
-      if (Files.exists(hintFile)) {
-        val hinted = Files.readString(hintFile).trim.toLong
+      val hintFile = s"$metaDir/latest.hint"
+      if (fs.exists(hintFile)) {
+        val hinted = fs.readString(hintFile).trim.toLong
         if (hinted > stateSnapId) {
           stateLive = null
           ensureState()
@@ -205,7 +214,7 @@ class LakeTable private (
     */
   def oldestSnapshotId: Long =
     listFiles(metaDir, "snap-").headOption
-      .map(_.getFileName.toString.stripPrefix("snap-").stripSuffix(".json").toLong)
+      .map(p => LakeFs.fileName(p).stripPrefix("snap-").stripSuffix(".json").toLong)
       .getOrElse(-1L)
 
   def lastCommittedEpoch: Long = { ensureState(); stateEpoch }
@@ -217,9 +226,9 @@ class LakeTable private (
   private case class CkptState(snapshotId: Long, epochId: Long, numBuckets: Int,
       live: Seq[(String, LiveEntry)])
 
-  private def readCkpt(p: Path): CkptState = {
+  private def readCkpt(p: String): CkptState = {
     metaFilesParsed += 1
-    val n = mapper.readTree(Files.readString(p))
+    val n = mapper.readTree(fs.readString(p))
     val live = n.get("live").elements().asScala.map { e =>
       val f = FileEntry(e.get("path").asText(), e.get("bucket").asInt(),
         e.get("bytes").asLong(), e.get("schemaId").asInt(),
@@ -251,11 +260,11 @@ class LakeTable private (
 
   private def advanceState(): Unit = {
     var next = stateSnapId + 1
-    var p = metaDir.resolve(f"snap-$next%012d.json")
-    while (Files.exists(p)) {
+    var p = f"$metaDir/snap-$next%012d.json"
+    while (fs.exists(p)) {
       applyToState(parseSnap(p))
       next += 1
-      p = metaDir.resolve(f"snap-$next%012d.json")
+      p = f"$metaDir/snap-$next%012d.json"
     }
   }
 
@@ -285,7 +294,7 @@ class LakeTable private (
         // request below every surviving checkpoint refuses loudly
         // (expireSnapshots documents the trade).
         val ckpt = listFiles(metaDir, "ckpt-").filter { p =>
-          p.getFileName.toString.stripPrefix("ckpt-").stripSuffix(".json").toLong <= id
+          LakeFs.fileName(p).stripPrefix("ckpt-").stripSuffix(".json").toLong <= id
         }.lastOption.getOrElse(throw new IllegalArgumentException(
           s"time travel to snapshot $id unavailable: history below snapshot " +
             s"${snapshots.head.snapshotId} was expired and no checkpoint at " +
@@ -687,12 +696,12 @@ class LakeTable private (
   private[lake] def changesBetweenAs(fromSnapshotId: Long, toSnapshotId: Long,
       target: LakeSchema): DataFrame = {
     val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
-      val p = metaDir.resolve(f"snap-$id%012d.json")
+      val p = f"$metaDir/snap-$id%012d.json"
       // ids are dense and `to` is never beyond the committed head, so a
       // missing file in the range means it was EXPIRED — emitting a
       // silently incomplete changelog would corrupt every downstream
       // consumer (same contract as a log store's offset-out-of-range)
-      if (!Files.exists(p)) throw new IllegalStateException(
+      if (!fs.exists(p)) throw new IllegalStateException(
         s"snapshot $id in requested change range ($fromSnapshotId, " +
           s"$toSnapshotId] was expired — CDC consumers must not lag past " +
           "the retention horizon (see expireSnapshots)")
@@ -739,7 +748,7 @@ class LakeTable private (
     commit(snap)
     if (target != _numBuckets) {
       _numBuckets = target
-      writeTableProps(Paths.get(root, "meta"), keyCol, target)
+      writeTableProps(fs, metaDir, keyCol, target)
     }
     snap
   }
@@ -768,12 +777,12 @@ class LakeTable private (
       }
     }
     val prior = schemas // materialise the cache BEFORE the new file lands
-    writeSchemaFile(metaDir, LakeSchema(cur.schemaId + 1, fields))
+    writeSchemaFile(fs, metaDir, LakeSchema(cur.schemaId + 1, fields))
     // cache what a RE-READ produces, not the in-memory object: schema JSON
     // round-trips through DDL text, which drops containsNull/nullable
     // nuances — the cache must be indistinguishable from a cold load
     val evolved = readSchema(
-      metaDir.resolve(f"schema-${cur.schemaId + 1}%04d.json"))
+      fs.readString(f"$metaDir/schema-${cur.schemaId + 1}%04d.json"))
     schemaCache = prior :+ evolved
     evolved
   }
@@ -807,29 +816,29 @@ class LakeTable private (
     //     or the write REFUSES to commit — layout corruption can only ever
     //     be loud, never silent.
     val tagged = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(buckets)))
-    val stage = Paths.get(s"$root/data/.stage-${UUID.randomUUID()}")
+    val stage = s"$root/data/.stage-${UUID.randomUUID()}"
     val autoBucketKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.getOption(autoBucketKey)
     spark.conf.set(autoBucketKey, "false")
-    try tagged.write.mode("overwrite").parquet(stage.toString)
+    try tagged.write.mode("overwrite").parquet(stage)
     finally prevAuto match {
       case Some(v) => spark.conf.set(autoBucketKey, v)
       case None    => spark.conf.unset(autoBucketKey)
     }
-    if (!Files.exists(stage)) return Seq.empty
+    if (!fs.exists(stage)) return Seq.empty
     try {
       val conf = spark.sessionState.newHadoopConf()
       // materialise the listing BEFORE the side-effecting renames —
-      // Files.list is weakly consistent and may re-observe a renamed entry
-      val parts = Files.list(stage).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      def trackFile(f: Path): Option[FileEntry] = {
-        val name = f.getFileName.toString // part-00007-<uuid>.snappy.parquet
+      // a directory list is weakly consistent and may re-observe a renamed
+      // entry
+      val parts = fs.list(stage).filter(_.endsWith(".parquet"))
+      def trackFile(f: String): Option[FileEntry] = {
+        val name = LakeFs.fileName(f) // part-00007-<uuid>.snappy.parquet
         val bucket = name.stripPrefix("part-").take(5).toInt
         val stats = footerStats(f, conf)
         if (stats.rows == 0) {
           // empty task output: nothing to track (and no stats to verify)
-          Files.delete(f)
+          fs.deleteIfExists(f)
           None
         } else {
           // -1/-1 = no statistics present (e.g. stats disabled in the
@@ -844,8 +853,8 @@ class LakeTable private (
             val dot = name.indexOf('.')
             name.substring(0, dot) + f"_$bucket%05d" + name.substring(dot)
           }
-          val dst = f.resolveSibling(suffixed)
-          Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+          val dst = s"${LakeFs.parent(f)}/$suffixed"
+          fs.rename(f, dst)
           // surface the lsn range under `_lsn` for data skipping too: on
           // upsert deltas it is the `_src_*` range, a SUPERSET of the
           // winner `_lsn` range — conservative in the keep direction, so
@@ -855,7 +864,7 @@ class LakeTable private (
               Map(LsnCol -> (stats.minLsn.toString, stats.maxLsn.toString))
             else Map.empty[String, (String, String)]
           val allStats = stats.cols ++ lsnStat
-          Some(FileEntry(s"$relDir/$suffixed", bucket, Files.size(dst), schemaId,
+          Some(FileEntry(s"$relDir/$suffixed", bucket, fs.size(dst), schemaId,
             stats.rows, stats.minLsn, stats.maxLsn,
             allStats.map { case (k, v) => k -> v._1 },
             allStats.map { case (k, v) => k -> v._2 }))
@@ -885,26 +894,21 @@ class LakeTable private (
         }
         finally pool.shutdown()
       }
-      val target = Paths.get(s"$root/$relDir")
-      Files.createDirectories(target.getParent)
+      val target = s"$root/$relDir"
+      fs.createDirectories(LakeFs.parent(target))
       // an existing target dir is always an ORPHAN: had its snapshot
       // committed, snapId would have advanced past it. A crash between the
       // dir move and the commit must not wedge crash-replay, so the orphan
       // is replaced (the old overwrite-mode write had the same semantics).
-      deleteRecursively(target)
-      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      fs.deleteRecursively(target)
+      fs.rename(stage, target)
       entries
     } catch {
       case t: Throwable =>
         // never leak a full-size staging dir on a failing feed
-        deleteRecursively(stage)
+        fs.deleteRecursively(stage)
         throw t
     }
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (!Files.exists(p)) return
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 
   private final case class FooterStats(rows: Long, minLsn: Long, maxLsn: Long,
@@ -921,10 +925,10 @@ class LakeTable private (
     * reference's index selection (/root/reference/grafter.repository/src/
     * clj/grafter_2/rdf4j/repository.clj:131-136).
     */
-  private def footerStats(f: Path, conf: org.apache.hadoop.conf.Configuration): FooterStats = {
+  private def footerStats(f: String, conf: org.apache.hadoop.conf.Configuration): FooterStats = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toUri), conf))
+        new org.apache.hadoop.fs.Path(f), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
@@ -1005,15 +1009,12 @@ class LakeTable private (
 
   private def commit(s: Snapshot): Unit = {
     ensureState()
-    val tmp = metaDir.resolve(s"snap-.tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, snapshotJson(s))
-    val target = metaDir.resolve(f"snap-${s.snapshotId}%012d.json")
-    if (Files.exists(target)) {
-      Files.delete(tmp)
+    // create-only atomic publish: the CAS that serializes racing writers
+    // (LakeFs contract — local hard-link, object-store conditional PUT)
+    val target = f"$metaDir/snap-${s.snapshotId}%012d.json"
+    if (!fs.putStringAtomic(target, snapshotJson(s), createOnly = true))
       throw new IllegalStateException(
         s"commit conflict: snapshot ${s.snapshotId} already exists (concurrent writer?)")
-    }
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     applyToState(s)
     if (allSnapsCache != null) allSnapsCache = allSnapsCache :+ s
     // roll the log up every CheckpointInterval commits: the checkpoint is
@@ -1025,10 +1026,8 @@ class LakeTable private (
     // polling reader can probe in O(1) to detect that its incremental
     // tail has a GAP (snapshots expired under it) and must rebase onto
     // the newest checkpoint instead of silently stalling
-    val hint = metaDir.resolve(s"latest.tmp-${UUID.randomUUID()}")
-    Files.writeString(hint, s.snapshotId.toString)
-    Files.move(hint, metaDir.resolve("latest.hint"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fs.putStringAtomic(s"$metaDir/latest.hint", s.snapshotId.toString,
+      createOnly = false)
   }
 
   /** Expire snapshot history: delete snapshot JSONs with id ≤
@@ -1047,8 +1046,8 @@ class LakeTable private (
     */
   def expireSnapshots(upToSnapshotId: Long): Int = {
     ensureState()
-    def idOf(p: Path, prefix: String): Long =
-      p.getFileName.toString.stripPrefix(prefix).stripSuffix(".json").toLong
+    def idOf(p: String, prefix: String): Long =
+      LakeFs.fileName(p).stripPrefix(prefix).stripSuffix(".json").toLong
     val ckptIds = listFiles(metaDir, "ckpt-").map(idOf(_, "ckpt-"))
     require(ckptIds.nonEmpty,
       s"no checkpoint exists yet — expiring would delete the only copy of table state")
@@ -1056,10 +1055,10 @@ class LakeTable private (
     val horizon = math.min(upToSnapshotId, latestCkpt)
     var deleted = 0
     (0L to horizon).foreach { id =>
-      if (Files.deleteIfExists(metaDir.resolve(f"snap-$id%012d.json"))) deleted += 1
+      if (fs.deleteIfExists(f"$metaDir/snap-$id%012d.json")) deleted += 1
     }
     ckptIds.filter(_ < latestCkpt).foreach { id =>
-      if (Files.deleteIfExists(metaDir.resolve(f"ckpt-$id%012d.json"))) deleted += 1
+      if (fs.deleteIfExists(f"$metaDir/ckpt-$id%012d.json")) deleted += 1
     }
     allSnapsCache = null
     deleted
@@ -1080,10 +1079,8 @@ class LakeTable private (
       fo.put("snapId", e.snapId); fo.put("layout", e.layout.getOrElse(-1))
       LakeTable.writeColStats(fo, e.file)
     }
-    val tmp = metaDir.resolve(s"ckpt-.tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, o.toPrettyString)
-    Files.move(tmp, metaDir.resolve(f"ckpt-$stateSnapId%012d.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fs.putStringAtomic(f"$metaDir/ckpt-$stateSnapId%012d.json",
+      o.toPrettyString, createOnly = false)
   }
 }
 
@@ -1238,20 +1235,21 @@ object LakeTable {
   }
 
   def create(spark: SparkSession, root: String, schema: StructType,
-             keyCol: String = "doc_id", numBuckets: Int = 16): LakeTable = {
-    val meta = Paths.get(root, "meta")
-    require(!Files.exists(meta) || listFiles(meta, "schema-").isEmpty,
+             keyCol: String = "doc_id", numBuckets: Int = 16,
+             fs: LakeFs = LocalFs): LakeTable = {
+    val meta = s"$root/meta"
+    require(!fs.exists(meta) || listFiles(fs, meta, "schema-").isEmpty,
       s"table already exists at $root")
-    Files.createDirectories(meta)
+    fs.createDirectories(meta)
     val fields = schema.fields.toSeq.zipWithIndex.map { case (sf, i) =>
       LakeField(i + 1, sf.name, sf.dataType, sf.nullable)
     }
-    writeSchemaFile(meta, LakeSchema(0, fields))
+    writeSchemaFile(fs, meta, LakeSchema(0, fields))
     // table properties are persistent layout facts, not caller options —
     // the bucket count is grafter's native-store index-config analog
     // (repository.clj:131-136)
-    writeTableProps(meta, keyCol, numBuckets)
-    new LakeTable(spark, root, keyCol, numBuckets)
+    writeTableProps(fs, meta, keyCol, numBuckets)
+    new LakeTable(spark, root, keyCol, numBuckets, fs)
   }
 
   /** Load an existing table; layout properties come from its metadata.
@@ -1260,46 +1258,43 @@ object LakeTable {
     * its table.json update must not resurrect the old layout (mixed-layout
     * winner resolution would duplicate keys).
     */
-  def load(spark: SparkSession, root: String): LakeTable = {
-    val meta = Paths.get(root, "meta")
-    require(Files.exists(meta), s"no table at $root")
-    val p = meta.resolve("table.json")
-    val n = mapper.readTree(Files.readString(p))
+  def load(spark: SparkSession, root: String,
+           fs: LakeFs = LocalFs): LakeTable = {
+    val meta = s"$root/meta"
+    require(fs.exists(meta), s"no table at $root")
+    val n = mapper.readTree(fs.readString(s"$meta/table.json"))
     val fromProps = n.get("numBuckets").asInt()
-    val t = new LakeTable(spark, root, n.get("keyCol").asText(), fromProps)
+    val t = new LakeTable(spark, root, n.get("keyCol").asText(), fromProps, fs)
     // the incremental state fold (checkpoint + tail — O(interval) parses,
     // never the whole log) already carries the commit-recorded layout; a
     // crash between a re-bucketing compaction's commit and its table.json
     // update must not resurrect the old layout
     t.ensureState()
     if (t.numBuckets != fromProps)
-      writeTableProps(meta, t.keyCol, t.numBuckets) // heal table.json
+      writeTableProps(fs, meta, t.keyCol, t.numBuckets) // heal table.json
     t
   }
 
-  private[lake] def writeTableProps(meta: Path, keyCol: String, numBuckets: Int): Unit = {
+  private[lake] def writeTableProps(fs: LakeFs, meta: String, keyCol: String,
+                                    numBuckets: Int): Unit = {
     val props = mapper.createObjectNode()
     props.put("keyCol", keyCol)
     props.put("numBuckets", numBuckets)
-    val tmp = meta.resolve(s"table.tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, props.toPrettyString)
-    Files.move(tmp, meta.resolve("table.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fs.putStringAtomic(s"$meta/table.json", props.toPrettyString,
+      createOnly = false)
   }
 
-  private def listFiles(dir: Path, prefix: String): Seq[Path] = {
-    if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+  private def listFiles(fs: LakeFs, dir: String, prefix: String): Seq[String] =
+    fs.list(dir)
       .filter { p =>
-        val n = p.getFileName.toString
+        val n = LakeFs.fileName(p)
         n.startsWith(prefix) && n.endsWith(".json")
       }
-      .toSeq.sortBy(_.getFileName.toString)
-  }
+      .sortBy(LakeFs.fileName)
 
   // ---- JSON codecs (Jackson tree model; hand-rolled = no reflection) ----
 
-  private def writeSchemaFile(meta: Path, s: LakeSchema): Unit = {
+  private def writeSchemaFile(fs: LakeFs, meta: String, s: LakeSchema): Unit = {
     val o = mapper.createObjectNode()
     o.put("schemaId", s.schemaId)
     val arr = o.putArray("fields")
@@ -1308,11 +1303,12 @@ object LakeTable {
       fo.put("id", f.id); fo.put("name", f.name)
       fo.put("type", f.dataType.sql); fo.put("nullable", f.nullable)
     }
-    Files.writeString(meta.resolve(f"schema-${s.schemaId}%04d.json"), o.toPrettyString)
+    fs.putStringAtomic(f"$meta/schema-${s.schemaId}%04d.json",
+      o.toPrettyString, createOnly = false)
   }
 
-  private def readSchema(p: Path): LakeSchema = {
-    val n = mapper.readTree(Files.readString(p))
+  private def readSchema(json: String): LakeSchema = {
+    val n = mapper.readTree(json)
     val fields = n.get("fields").elements().asScala.map { f =>
       LakeField(f.get("id").asInt(), f.get("name").asText(),
         parseType(f.get("type").asText()), f.get("nullable").asBoolean())
@@ -1361,8 +1357,8 @@ object LakeTable {
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty)
 
-  private def readSnapshot(p: Path): Snapshot = {
-    val n = mapper.readTree(Files.readString(p))
+  private def readSnapshot(json: String): Snapshot = {
+    val n = mapper.readTree(json)
     val added = n.get("addedData").elements().asScala.map { f =>
       FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
         f.get("bytes").asLong(), f.get("schemaId").asInt(),

@@ -144,15 +144,14 @@ object LineageLog {
   import graft.lake.Snapshot
 
   def append(table: LakeTable, epochId: Long, snap: Snapshot): Unit = {
-    val dir = java.nio.file.Paths.get(table.root, "lineage")
-    java.nio.file.Files.createDirectories(dir)
-    val lines = snap.addedData.map { f =>
-      s"""{"epoch_id":$epochId,"partition_id":${f.bucket},"offset_start":${f.minLsn},""" +
-        s""""offset_end":${f.maxLsn},"rows_applied":${f.rows},""" +
-        s""""snapshot_id":${snap.snapshotId},"committed_at":0}"""
-    }
-    val out = dir.resolve(f"epoch-$epochId%012d.jsonl")
-    java.nio.file.Files.writeString(out, lines.mkString("", "\n", "\n"))
+    val dir = s"${table.root}/lineage"
+    table.fs.createDirectories(dir)
+    table.fs.putStringAtomic(f"$dir/epoch-$epochId%012d.jsonl",
+      snap.addedData.map { f =>
+        s"""{"epoch_id":$epochId,"partition_id":${f.bucket},"offset_start":${f.minLsn},""" +
+          s""""offset_end":${f.maxLsn},"rows_applied":${f.rows},""" +
+          s""""snapshot_id":${snap.snapshotId},"committed_at":0}"""
+      }.mkString("", "\n", "\n"), createOnly = false)
   }
 
   def read(table: LakeTable): DataFrame =
@@ -167,12 +166,8 @@ object LineageLog {
     * the lineage dir from the snapshot log.
     */
   def rebuild(table: LakeTable): Unit = {
-    val dir = java.nio.file.Paths.get(table.root, "lineage")
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala.toSeq
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val dir = s"${table.root}/lineage"
+    table.fs.list(dir).foreach(table.fs.deleteIfExists(_))
     table.snapshots
       .filter(_.summary.get("operation").contains("upsert"))
       .foreach(s => append(table, s.epochId, s))
