@@ -83,6 +83,29 @@ object LakeFs {
     require(i > 0, s"no parent: $p")
     p.substring(0, i)
   }
+
+  /** Scheme → implementation registry (the format-registry pattern of
+    * [[graft.sources.Codecs]] applied to storage): deployments register
+    * an object-store impl once and every `LakeTable.create/load` — and
+    * therefore the CDC streaming source, which loads tables by root
+    * string — resolves it from the table path. Schemeless and `file:`
+    * roots resolve to [[LocalFs]] (plain `java.nio` paths).
+    */
+  private val registry = scala.collection.concurrent.TrieMap[String, String => LakeFs]()
+
+  def register(scheme: String, make: String => LakeFs): Unit =
+    registry.put(scheme.toLowerCase, make)
+
+  def forRoot(root: String): LakeFs = {
+    val i = root.indexOf("://")
+    if (i < 0) LocalFs
+    else {
+      val scheme = root.substring(0, i).toLowerCase
+      registry.get(scheme).map(_(root)).getOrElse(throw new IllegalArgumentException(
+        s"no LakeFs registered for scheme '$scheme' — LakeFs.register it " +
+          "(schemeless local paths need no registration)"))
+    }
+  }
 }
 
 /** Local-filesystem implementation: the POSIX semantics the lake's specs

@@ -62,8 +62,8 @@ final case class Snapshot(
   * Layout:
   * {{{
   *   root/meta/schema-<id>.json      field-id'd schemas
-  *   root/meta/snap-<%012d id>.json  snapshot log (atomic rename commit)
-  *   root/data/snap-<id>/part-<bucket>-....parquet
+  *   root/meta/snap-<%012d id>.json  snapshot log (create-only CAS commit)
+  *   root/data/snap-<uuid>/part-<bucket>-....parquet   (writer-unique dirs)
   * }}}
   *
   * Merge-on-read LWW semantics: each upsert batch writes exactly one file
@@ -90,10 +90,20 @@ final case class Snapshot(
   *  - Commits are O(files) driver-side JSON; compaction bounds file count
   *    and tombstone debt.
   *
-  * Single-writer: commit conflicts (a snapshot file that already exists)
-  * throw; the commit goes through [[LakeFs.putStringAtomic]]'s create-only
-  * CAS, so on a store with conditional PUT the same protocol is
-  * multi-writer-safe without a catalog service.
+  * Concurrency: commits are OPTIMISTIC (Iceberg-style). The snapshot
+  * file is published through [[LakeFs.putStringAtomic]]'s create-only CAS
+  * — dense ids make the CAS a total order — and a loser VALIDATES and
+  * RETRIES ([[commitWithRetry]]): an upsert rebases onto the winner
+  * (additive, always safe; a duplicate epoch delivered by a replica
+  * driver is detected and dropped with its files), a rewrite
+  * ([[compact]]) rebases only while every file it replaces is still live
+  * and aborts loudly otherwise. Delta directories are writer-unique
+  * (uuid-suffixed), so a stale rival can never clobber committed data;
+  * crashed attempts leak unreferenced dirs that [[gcOrphanData]] removes.
+  * The exactly-once epoch sequence is per TABLE (one logical input
+  * stream, possibly with replicated/replayed drivers) — concurrent
+  * INDEPENDENT feeds into one table would need per-writer epoch ledgers,
+  * deliberately out of scope.
   *
   * ALL metadata/layout file IO routes through [[fs]] ([[LakeFs]]) — the
   * object-store portability seam; bulk parquet bytes go through Spark's
@@ -586,7 +596,6 @@ class LakeTable private (
              summary: Map[String, String] = Map.empty,
              reduce: Boolean = true): Option[Snapshot] = {
     if (epochId <= lastCommittedEpoch) return None
-    val snapId = currentSnapshotId + 1
     val schema = currentSchema
 
     // the key is cast to the TABLE's key type BEFORE any placement: the
@@ -618,12 +627,68 @@ class LakeTable private (
         srcMin.as(SrcMinCol), srcMax.as(SrcMaxCol))
     val delta = winners.select(outCols: _*)
 
-    val entries = writeDelta(delta, s"data/snap-$snapId", schema.schemaId, numBuckets)
-    val snap = Snapshot(snapId, snapId - 1, epochId, entries,
-      Set.empty,
+    val entries = writeDelta(delta, deltaDir("snap"), schema.schemaId, numBuckets)
+    commitWithRetry(Some(epochId), entries, removed = Set.empty,
       summary + ("operation" -> "upsert") + ("numBuckets" -> numBuckets.toString))
-    commit(snap)
-    Some(snap)
+  }
+
+  /** Writer-unique delta directory: the uuid suffix means two concurrent
+    * writers (or a crashed attempt and its replay) can NEVER collide on a
+    * data path — the precondition for optimistic commit retry. The
+    * snapshot id is deliberately absent from the name: it is not known
+    * until the commit CAS settles.
+    */
+  private def deltaDir(kind: String): String =
+    s"data/$kind-${UUID.randomUUID().toString.take(18)}"
+
+  /** Optimistic validate-and-retry commit (the Iceberg commit loop over
+    * the [[LakeFs]] CAS). `epochId = Some(e)`: an ingest commit — on
+    * conflict, rebase onto the winner; if the refreshed table shows epoch
+    * `e` already applied (a replicated/replayed driver won the race), the
+    * delta is a DUPLICATE delivery: its files are deleted and None is
+    * returned, the same exactly-once contract as the pre-write check.
+    * `epochId = None`: a maintenance rewrite — the committed epoch is
+    * re-read on every attempt (a maintenance snapshot must never rewind
+    * the table's epoch), and the retry aborts loudly if any file this
+    * commit removes is no longer live (a concurrent rewrite took it —
+    * rebasing would double-remove).
+    */
+  private def commitWithRetry(epochId: Option[Long], added: Seq[FileEntry],
+      removed: Set[String], summary: Map[String, String],
+      maxRetries: Int = 10): Option[Snapshot] = {
+    def dropDelta(): Unit =
+      added.map(f => LakeFs.parent(s"$root/${f.path}")).distinct
+        .foreach(fs.deleteRecursively)
+    var attempt = 0
+    while (true) {
+      val snapId = currentSnapshotId + 1
+      val snap = Snapshot(snapId, snapId - 1,
+        epochId.getOrElse(lastCommittedEpoch), added, removed, summary)
+      try { commit(snap); return Some(snap) }
+      catch {
+        case _: CommitConflictException =>
+          attempt += 1
+          refresh() // fold the winner's commits, then validate the rebase
+          epochId.foreach { e =>
+            if (e <= lastCommittedEpoch) { dropDelta(); return None }
+          }
+          if (removed.nonEmpty) {
+            ensureState()
+            if (!removed.subsetOf(stateLive.keySet.toSet)) {
+              dropDelta()
+              throw new IllegalStateException(
+                "concurrent commit already removed files this rewrite replaces " +
+                  "— re-run the maintenance operation against fresh state")
+            }
+          }
+          if (attempt > maxRetries) {
+            dropDelta()
+            throw new IllegalStateException(
+              s"commit lost the CAS $maxRetries times in a row — giving up")
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Predicate delete — the recast of grafter's delete-by-statement /
@@ -731,7 +796,6 @@ class LakeTable private (
     val target = newNumBuckets.getOrElse(numBuckets)
     require(target > 0, s"bucket count must be positive: $target")
     val oldFiles = liveFiles()
-    val snapId = currentSnapshotId + 1
     val merged = mergedWinners()
       .filter(!col(TombCol) || col(LsnCol) >= purgeTombstonesBelowLsn)
       .repartition(target, col(keyCol))
@@ -740,17 +804,37 @@ class LakeTable private (
     // maintenance rewrite merely moved
     val entries = writeDelta(merged.select(
         (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
-      s"data/compact-$snapId", currentSchema.schemaId, target)
-    val snap = Snapshot(snapId, snapId - 1, lastCommittedEpoch, entries,
+      deltaDir("compact"), currentSchema.schemaId, target)
+    val snap = commitWithRetry(None, entries,
       oldFiles.map(_.path).toSet,
       summary + ("operation" -> "compact") + ("numBuckets" -> target.toString) ++
-        newNumBuckets.map(n => "rebucket" -> s"${numBuckets}->$n"))
-    commit(snap)
+        newNumBuckets.map(n => "rebucket" -> s"${numBuckets}->$n")).get
     if (target != _numBuckets) {
       _numBuckets = target
       writeTableProps(fs, metaDir, keyCol, target)
     }
     snap
+  }
+
+  /** Delete data directories referenced by NO surviving snapshot — the
+    * garbage left by crashed write attempts and by commit-retry losers
+    * (delta dirs are writer-unique, so nothing ever overwrites them in
+    * place; Iceberg's remove_orphan_files analog). Protected: every path
+    * added by a surviving snapshot, plus the live set (which covers files
+    * whose adding snapshot was expired). Maintenance-only — must not run
+    * while a writer has a delta staged-but-uncommitted; in-flight
+    * `.stage-*` dirs are skipped unless `includeStaging`. Returns the
+    * deleted directories.
+    */
+  def gcOrphanData(includeStaging: Boolean = false): Seq[String] = {
+    val referenced: Set[String] =
+      (snapshots.flatMap(_.addedData.map(_.path)) ++ liveFiles().map(_.path))
+        .map(p => p.split('/').take(2).mkString("/")).toSet
+    fs.list(s"$root/data").filter { d =>
+      val name = LakeFs.fileName(d)
+      val staging = name.startsWith(".stage-")
+      (includeStaging || !staging) && !referenced.contains(s"data/$name")
+    }.map { d => fs.deleteRecursively(d); d }
   }
 
   /** Evolve the table schema: new columns get fresh field ids; same-name
@@ -896,11 +980,11 @@ class LakeTable private (
       }
       val target = s"$root/$relDir"
       fs.createDirectories(LakeFs.parent(target))
-      // an existing target dir is always an ORPHAN: had its snapshot
-      // committed, snapId would have advanced past it. A crash between the
-      // dir move and the commit must not wedge crash-replay, so the orphan
-      // is replaced (the old overwrite-mode write had the same semantics).
-      fs.deleteRecursively(target)
+      // delta dirs are writer-unique (uuid-suffixed): an existing target
+      // is a name collision, never a replaceable orphan — deleting it
+      // could destroy a rival writer's committed data, so fail loudly.
+      // True orphans (crashed attempts) are collected by gcOrphanData.
+      require(!fs.exists(target), s"delta dir collision: $target")
       fs.rename(stage, target)
       entries
     } catch {
@@ -1013,8 +1097,7 @@ class LakeTable private (
     // (LakeFs contract — local hard-link, object-store conditional PUT)
     val target = f"$metaDir/snap-${s.snapshotId}%012d.json"
     if (!fs.putStringAtomic(target, snapshotJson(s), createOnly = true))
-      throw new IllegalStateException(
-        s"commit conflict: snapshot ${s.snapshotId} already exists (concurrent writer?)")
+      throw new CommitConflictException(s.snapshotId)
     applyToState(s)
     if (allSnapsCache != null) allSnapsCache = allSnapsCache :+ s
     // roll the log up every CheckpointInterval commits: the checkpoint is
@@ -1083,6 +1166,12 @@ class LakeTable private (
       o.toPrettyString, createOnly = false)
   }
 }
+
+/** A racing writer already published this snapshot id — the losing side
+  * of the commit CAS; [[LakeTable]] validates and retries on it.
+  */
+final class CommitConflictException(snapshotId: Long) extends RuntimeException(
+  s"commit conflict: snapshot $snapshotId already exists (concurrent writer)")
 
 /** One live data file with the snapshot that committed it and that
   * snapshot's bucket layout — the unit of the rolled-up metadata fold.
@@ -1236,20 +1325,21 @@ object LakeTable {
 
   def create(spark: SparkSession, root: String, schema: StructType,
              keyCol: String = "doc_id", numBuckets: Int = 16,
-             fs: LakeFs = LocalFs): LakeTable = {
+             fs: LakeFs = null): LakeTable = {
+    val theFs = Option(fs).getOrElse(LakeFs.forRoot(root))
     val meta = s"$root/meta"
-    require(!fs.exists(meta) || listFiles(fs, meta, "schema-").isEmpty,
+    require(!theFs.exists(meta) || listFiles(theFs, meta, "schema-").isEmpty,
       s"table already exists at $root")
-    fs.createDirectories(meta)
+    theFs.createDirectories(meta)
     val fields = schema.fields.toSeq.zipWithIndex.map { case (sf, i) =>
       LakeField(i + 1, sf.name, sf.dataType, sf.nullable)
     }
-    writeSchemaFile(fs, meta, LakeSchema(0, fields))
+    writeSchemaFile(theFs, meta, LakeSchema(0, fields))
     // table properties are persistent layout facts, not caller options —
     // the bucket count is grafter's native-store index-config analog
     // (repository.clj:131-136)
-    writeTableProps(fs, meta, keyCol, numBuckets)
-    new LakeTable(spark, root, keyCol, numBuckets, fs)
+    writeTableProps(theFs, meta, keyCol, numBuckets)
+    new LakeTable(spark, root, keyCol, numBuckets, theFs)
   }
 
   /** Load an existing table; layout properties come from its metadata.
@@ -1259,19 +1349,20 @@ object LakeTable {
     * winner resolution would duplicate keys).
     */
   def load(spark: SparkSession, root: String,
-           fs: LakeFs = LocalFs): LakeTable = {
+           fs: LakeFs = null): LakeTable = {
+    val theFs = Option(fs).getOrElse(LakeFs.forRoot(root))
     val meta = s"$root/meta"
-    require(fs.exists(meta), s"no table at $root")
-    val n = mapper.readTree(fs.readString(s"$meta/table.json"))
+    require(theFs.exists(meta), s"no table at $root")
+    val n = mapper.readTree(theFs.readString(s"$meta/table.json"))
     val fromProps = n.get("numBuckets").asInt()
-    val t = new LakeTable(spark, root, n.get("keyCol").asText(), fromProps, fs)
+    val t = new LakeTable(spark, root, n.get("keyCol").asText(), fromProps, theFs)
     // the incremental state fold (checkpoint + tail — O(interval) parses,
     // never the whole log) already carries the commit-recorded layout; a
     // crash between a re-bucketing compaction's commit and its table.json
     // update must not resurrect the old layout
     t.ensureState()
     if (t.numBuckets != fromProps)
-      writeTableProps(fs, meta, t.keyCol, t.numBuckets) // heal table.json
+      writeTableProps(theFs, meta, t.keyCol, t.numBuckets) // heal table.json
     t
   }
 

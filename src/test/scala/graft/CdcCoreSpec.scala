@@ -262,21 +262,30 @@ class CdcCoreSpec extends SparkSpec {
     assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
-  test("crash-replay over an orphan delta dir succeeds (uncommitted dir replaced)") {
+  test("crash-replay over an orphan delta dir succeeds; gcOrphanData collects the garbage") {
     val dir = tmpDir("lake")
     val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
     CdcIngest.applyBatch(table,
       Seq(("U", "a", 1L, Seq(1), 1)).toDF("op", "doc_id", "lsn", "tokens", "n_tok"), 0L)
-    // simulate a crash AFTER the delta dir landed but BEFORE the snapshot
-    // committed: the next attempt recomputes the same snapId and must
-    // replace the orphan, not wedge on it
-    val orphan = java.nio.file.Paths.get(s"$dir/t/data/snap-1")
+    // simulate a crash AFTER a delta dir landed but BEFORE its snapshot
+    // committed: delta dirs are writer-unique, so the replay never
+    // collides with the orphan — it simply leaks until maintenance GC
+    val orphan = java.nio.file.Paths.get(s"$dir/t/data/snap-deadbeef-crashed")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
     CdcIngest.applyBatch(table,
       Seq(("U", "b", 2L, Seq(2), 1)).toDF("op", "doc_id", "lsn", "tokens", "n_tok"), 1L)
     assert(table.read().count() == 2)
-    assert(!java.nio.file.Files.exists(orphan.resolve("junk.parquet")))
+    // the orphan is untouched by the write path (never silently replaced —
+    // under concurrency it could be a rival's committed data) …
+    assert(java.nio.file.Files.exists(orphan.resolve("junk.parquet")))
+    // … and maintenance GC removes exactly it, keeping every referenced dir
+    val deleted = table.gcOrphanData()
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      Seq("snap-deadbeef-crashed"))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(table.read().count() == 2)
+    assert(table.readAt(0L).count() == 1, "GC must keep time-travel-referenced dirs")
   }
 
   test("batch delivering a narrower key type than the schema places consistently") {

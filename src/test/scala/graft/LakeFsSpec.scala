@@ -88,6 +88,16 @@ class LakeFsSpec extends SparkSpec {
     assert(LocalFs.list(dir).map(LakeFs.fileName) == Seq("snap-0.json"))
   }
 
+  test("forRoot resolves schemeless to LocalFs; registered schemes to their impl; unknown throws") {
+    assert(LakeFs.forRoot("/tmp/x") eq LocalFs)
+    val e = intercept[IllegalArgumentException](LakeFs.forRoot("mockstore://b/t"))
+    assert(e.getMessage.contains("no LakeFs registered"))
+    val fake = new RecordingFs
+    LakeFs.register("mockstore", _ => fake)
+    assert(LakeFs.forRoot("mockstore://b/t") eq fake)
+    assert(LakeFs.forRoot("MOCKSTORE://b/t") eq fake) // scheme is case-insensitive
+  }
+
   test("concurrent create-only puts: one winner under contention") {
     val dir = tmpDir("lakefs-race")
     val p = s"$dir/commit.json"

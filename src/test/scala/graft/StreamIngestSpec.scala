@@ -118,8 +118,9 @@ class StreamIngestSpec extends SparkSpec {
     // phantom immunity: a staged-but-never-committed delta dir (crash
     // between the dir move and the snapshot commit) must emit NOTHING —
     // visibility follows the commit, not the filesystem
-    val orphanSrc = java.nio.file.Paths.get(s"$dir/t/data/snap-0")
-    val orphanDst = java.nio.file.Paths.get(s"$dir/t/data/snap-99")
+    val orphanSrc = java.nio.file.Paths.get(
+      s"$dir/t/${table.liveFiles().head.path}").getParent // a real delta dir
+    val orphanDst = java.nio.file.Paths.get(s"$dir/t/data/snap-99-phantom")
     val sub = java.nio.file.Files.list(orphanSrc).iterator().next()
     java.nio.file.Files.createDirectories(orphanDst)
     java.nio.file.Files.copy(sub, orphanDst.resolve(sub.getFileName))
