@@ -816,6 +816,55 @@ class LakeTable private (
     snap
   }
 
+  /** INCREMENTAL compaction: rewrite only the given buckets' live files,
+    * leaving every other bucket's files untouched. The winner merge is
+    * bucket-local by construction (a key's versions only ever live in its
+    * hash bucket), so a bucket subset is a closed rewrite unit — this is
+    * how compaction debt is paid at the 10^10-event target: a maintenance
+    * job compacts the K worst buckets per run at O(selected data) cost,
+    * instead of [[compact]]'s full-table rewrite (impractical at 100 TB).
+    * Layout evolution (`newNumBuckets`) deliberately stays full-rewrite
+    * only: a partial re-bucket would leave readers a mixed layout.
+    *
+    * Pick victims with [[compactionCandidates]]. Same CDC-out contract as
+    * [[compact]] (operation=compact snapshots are never re-emitted); same
+    * tombstone-purge rule; safe against concurrent upserts via the
+    * validate-and-retry commit (aborts loudly only if a concurrent rewrite
+    * took one of OUR victim files).
+    */
+  def compactBuckets(buckets: Seq[Int],
+                     purgeTombstonesBelowLsn: Long = Long.MinValue,
+                     summary: Map[String, String] = Map.empty): Option[Snapshot] = {
+    require(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < numBuckets),
+      s"bucket selection $buckets outside layout [0, $numBuckets)")
+    val sel = buckets.toSet
+    val victims = liveEntries(None).filter(e => sel(e.file.bucket))
+    if (victims.isEmpty) return None
+    val merged = winnersOver(victims, currentSchema)
+      .filter(!col(TombCol) || col(LsnCol) >= purgeTombstonesBelowLsn)
+      .repartition(numBuckets, col(keyCol)) // non-selected partitions are
+    // empty and their part files are dropped at track time — the delta
+    // holds exactly the selected buckets, in layout position
+    val entries = writeDelta(merged.select(
+        (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
+      deltaDir("compact"), currentSchema.schemaId, numBuckets)
+    commitWithRetry(None, entries,
+      victims.map(_.file.path).toSet,
+      summary + ("operation" -> "compact") + ("numBuckets" -> numBuckets.toString) +
+        ("buckets" -> buckets.sorted.mkString(",")))
+  }
+
+  /** Buckets whose live file count exceeds `maxFilesPerBucket` — the
+    * read-amplification policy feed for [[compactBuckets]]; driver-side
+    * over the manifest, zero file IO.
+    */
+  def compactionCandidates(maxFilesPerBucket: Int): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "a bucket always holds >= 1 live file")
+    liveFiles().groupBy(_.bucket).collect {
+      case (b, fs) if fs.size > maxFilesPerBucket => b
+    }.toSeq.sorted
+  }
+
   /** Delete data directories referenced by NO surviving snapshot — the
     * garbage left by crashed write attempts and by commit-retry losers
     * (delta dirs are writer-unique, so nothing ever overwrites them in

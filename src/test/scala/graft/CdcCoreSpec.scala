@@ -164,6 +164,42 @@ class CdcCoreSpec extends SparkSpec {
     assert(FoldOracle.diff(table.readAt(prevSnap), expected).isEmpty)
   }
 
+  test("incremental compaction: only the selected buckets rewritten, state exact") {
+    val c1 = cfg.copy(numEvents = 6000L)
+    val dir = tmpDir("lake")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    (0 until 3).foreach { c =>
+      val lo = c * 2000L
+      val batch = spark.range(lo, lo + 2000L)
+        .mapPartitions(_.map(i => EventGen.event(c1, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val expected = FoldOracle.finalState(c1)
+    // the policy feed: every bucket carries 3 delta files > 1
+    assert(table.compactionCandidates(maxFilesPerBucket = 1) == Seq(0, 1, 2, 3))
+    assert(table.compactionCandidates(maxFilesPerBucket = 3).isEmpty)
+    val untouched = table.liveFiles().filter(f => f.bucket >= 2).map(_.path).toSet
+    val snap = table.compactBuckets(Seq(0, 1))
+    assert(snap.isDefined && snap.get.summary("operation") == "compact")
+    // selected buckets collapsed to one file each; others byte-identical
+    val after = table.liveFiles()
+    assert(after.count(_.bucket == 0) == 1 && after.count(_.bucket == 1) == 1)
+    assert(after.filter(_.bucket >= 2).map(_.path).toSet == untouched,
+      "non-selected buckets must not be rewritten")
+    assert(table.compactionCandidates(maxFilesPerBucket = 1) == Seq(2, 3))
+    // state is exactly the fold — merge across a part-compacted layout works
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+    // CDC-out never re-emits a maintenance rewrite: the changelog of the
+    // compaction snapshot is empty
+    assert(table.changesBetween(snap.get.snapshotId - 1, snap.get.snapshotId).isEmpty)
+    // compacting an already-single-file bucket is legal and stays single
+    table.compactBuckets(Seq(0))
+    assert(table.liveFiles().count(_.bucket == 0) == 1)
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+    // out-of-layout selection refuses loudly
+    intercept[IllegalArgumentException](table.compactBuckets(Seq(7)))
+  }
+
   test("bucket-count evolution: compact(newNumBuckets) re-buckets in one rewrite") {
     val c1 = cfg.copy(numEvents = 6000L)
     val dir = tmpDir("lake")
