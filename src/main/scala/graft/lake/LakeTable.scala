@@ -613,23 +613,47 @@ class LakeTable private (
     val needed = (Seq(keyCol, "lsn", "op") ++
       schema.fields.map(_.name).filter(keyed.columns.contains)).distinct
     val slim = keyed.select(needed.filter(keyed.columns.contains).map(col): _*)
-    val winners =
-      if (reduce) Lww.reduceBucketed(slim, keyCol, numBuckets)
-      else keyed.repartition(numBuckets, col(keyCol))
-    // project to the current schema AFTER the reduce — selections preserve
-    // the bucket partitioning, so no further exchange is planned
-    val srcMin = if (winners.columns.contains("_src_min")) col("_src_min") else col("lsn")
-    val srcMax = if (winners.columns.contains("_src_max")) col("_src_max") else col("lsn")
-    val outCols: Seq[Column] = schema.fields.map { f =>
-      if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    } ++ Seq(col("lsn").as(LsnCol), (col("op") === "D").as(TombCol),
-        srcMin.as(SrcMinCol), srcMax.as(SrcMaxCol))
-    val delta = winners.select(outCols: _*)
+    // the delta is a FUNCTION of the bucket layout: the reduce/placement
+    // shuffle count and the per-row _bucket tag must both come from the
+    // same layout, so a layout-change retry rebuilds it from scratch
+    def deltaFor(layout: Int): DataFrame = {
+      val winners =
+        if (reduce) Lww.reduceBucketed(slim, keyCol, layout)
+        else keyed.repartition(layout, col(keyCol))
+      // project to the current schema AFTER the reduce — selections
+      // preserve the bucket partitioning, so no further exchange is planned
+      val srcMin = if (winners.columns.contains("_src_min")) col("_src_min") else col("lsn")
+      val srcMax = if (winners.columns.contains("_src_max")) col("_src_max") else col("lsn")
+      val outCols: Seq[Column] = schema.fields.map { f =>
+        if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col("lsn").as(LsnCol), (col("op") === "D").as(TombCol),
+          srcMin.as(SrcMinCol), srcMax.as(SrcMaxCol))
+      winners.select(outCols: _*)
+    }
 
-    val entries = writeDelta(delta, deltaDir("snap"), schema.schemaId, numBuckets)
-    commitWithRetry(Some(epochId), entries, removed = Set.empty,
-      summary + ("operation" -> "upsert") + ("numBuckets" -> numBuckets.toString))
+    // the write-and-commit loop re-runs IN FULL if a concurrent
+    // re-bucketing compaction changed the layout under us: a delta staged
+    // under the old bucket count must never join a re-bucketed live set
+    // (mixed layouts would split a key across buckets and break the
+    // bucket-local winner merge). Rare — one extra write per layout
+    // change caught mid-flight — and loudly bounded.
+    var attempt = 0
+    while (true) {
+      val layout = numBuckets
+      val entries = writeDelta(deltaFor(layout), deltaDir("snap"), schema.schemaId, layout)
+      try {
+        return commitWithRetry(Some(epochId), entries, removed = Set.empty,
+          summary + ("operation" -> "upsert") + ("numBuckets" -> layout.toString),
+          writtenLayout = layout)
+      } catch {
+        case _: LayoutChangedException =>
+          attempt += 1
+          if (attempt > 3) throw new IllegalStateException(
+            "table layout changed under this upsert 3 times in a row — giving up")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Writer-unique delta directory: the uuid suffix means two concurrent
@@ -651,11 +675,16 @@ class LakeTable private (
     * re-read on every attempt (a maintenance snapshot must never rewind
     * the table's epoch), and the retry aborts loudly if any file this
     * commit removes is no longer live (a concurrent rewrite took it —
-    * rebasing would double-remove).
+    * rebasing would double-remove). In BOTH modes, if the winner changed
+    * the table's bucket layout (re-bucketing compaction), the staged
+    * delta's placement is invalid for the new layout: the files are
+    * dropped and [[LayoutChangedException]] sent up — upsert re-writes
+    * under the new layout; a maintenance rewrite would already have
+    * aborted on its removal set (a re-bucket replaces every live file).
     */
   private def commitWithRetry(epochId: Option[Long], added: Seq[FileEntry],
       removed: Set[String], summary: Map[String, String],
-      maxRetries: Int = 10): Option[Snapshot] = {
+      writtenLayout: Int = -1, maxRetries: Int = 10): Option[Snapshot] = {
     def dropDelta(): Unit =
       added.map(f => LakeFs.parent(s"$root/${f.path}")).distinct
         .foreach(fs.deleteRecursively)
@@ -671,6 +700,10 @@ class LakeTable private (
           refresh() // fold the winner's commits, then validate the rebase
           epochId.foreach { e =>
             if (e <= lastCommittedEpoch) { dropDelta(); return None }
+          }
+          if (writtenLayout > 0 && numBuckets != writtenLayout) {
+            dropDelta()
+            throw new LayoutChangedException(writtenLayout, numBuckets)
           }
           if (removed.nonEmpty) {
             ensureState()
@@ -1221,6 +1254,13 @@ class LakeTable private (
   */
 final class CommitConflictException(snapshotId: Long) extends RuntimeException(
   s"commit conflict: snapshot $snapshotId already exists (concurrent writer)")
+
+/** A concurrent re-bucketing compaction changed the table layout while a
+  * delta staged under the old bucket count was waiting to commit — the
+  * delta was dropped; the writer re-stages under the new layout.
+  */
+private[lake] final class LayoutChangedException(was: Int, now: Int)
+    extends RuntimeException(s"bucket layout changed $was -> $now under a staged delta")
 
 /** One live data file with the snapshot that committed it and that
   * snapshot's bucket layout — the unit of the rolled-up metadata fold.

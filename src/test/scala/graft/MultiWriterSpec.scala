@@ -84,6 +84,28 @@ class MultiWriterSpec extends SparkSpec {
     assert(fresh.gcOrphanData().isEmpty)
   }
 
+  test("re-bucketing compaction under a staged delta: upsert re-writes for the new layout") {
+    val dir = tmpDir("mw-rebucket")
+    val a = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    a.upsert(oneRow("k1", 1L), epochId = 0L)
+    // writer B re-buckets 2 → 8 behind A's back — every live file replaced
+    val b = LakeTable.load(spark, s"$dir/t")
+    b.compact(newNumBuckets = Some(8))
+    // A's upsert stages under layout 2, loses the CAS, detects the layout
+    // change, drops its old-layout files, and re-stages under layout 8 —
+    // never committing a mixed layout (which would split keys across
+    // buckets and duplicate them at read)
+    val snap = a.upsert(oneRow("k2", 2L), epochId = 1L)
+    assert(snap.isDefined)
+    assert(a.numBuckets == 8, "loser instance must adopt the new layout")
+    val fresh = LakeTable.load(spark, s"$dir/t")
+    assert(fresh.liveFiles().map(_.bucket).forall(_ < 8))
+    assert(fresh.read().count() == 2, "mixed-layout merge would duplicate keys")
+    assert(fresh.lookup("k2").count() == 1, "bucket pruning must find the re-staged row")
+    // the dropped old-layout delta left no garbage behind
+    assert(fresh.gcOrphanData().isEmpty)
+  }
+
   test("upserts racing from many threads: all epochs land, state equals sequential fold") {
     val dir = tmpDir("mw-threads")
     LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
