@@ -1153,7 +1153,7 @@ class LakeTable private (
               // for this file — an unknown range must not prune
               if (st.hasNonNullValue) {
                 def lt(a: String, b: String): Boolean =
-                  if (isString) a < b else a.toLong < b.toLong
+                  if (isString) LakeTable.cpCompare(a, b) < 0 else a.toLong < b.toLong
                 val lo = statString(st.genericGetMin)
                 val hi = statString(st.genericGetMax)
                 cmin.updateWith(path)(o => Some(o.filter(lt(_, lo)).getOrElse(lo)))
@@ -1164,12 +1164,28 @@ class LakeTable private (
         }
       }
       noStat.foreach { p => cmin.remove(p); cmax.remove(p) }
+      // bound string stats in the MANIFEST (Iceberg's truncate(16) analog
+      // at 64 chars): a long-text column would otherwise put two document
+      // bodies into every file entry — at 10^10 events that bloats the
+      // metadata plane the checkpoint roll-up exists to keep small. The
+      // truncation stays conservative: lower bounds truncate to a prefix
+      // (prefix <= original), upper bounds truncate-and-INCREMENT the last
+      // code point (strictly > any string with that prefix); an upper
+      // bound at the increment ceiling drops the column's stats entirely
+      // (no pruning rather than wrong pruning).
+      val bounded = cmin.keySet.intersect(cmax.keySet).flatMap { k =>
+        val (lo, hi) = (cmin(k), cmax(k))
+        if (lo.length <= StatTruncateChars && hi.length <= StatTruncateChars)
+          Some(k -> (lo, hi))
+        else LakeTable.truncateUpper(hi, StatTruncateChars)
+          .map(h => k -> (LakeTable.truncateLower(lo, StatTruncateChars), h))
+      }.toMap
       FooterStats(rows,
         if (mn == Long.MaxValue) -1L else mn,
         if (mx == Long.MinValue) -1L else mx,
         if (bmn == Int.MaxValue) -1 else bmn,
         if (bmx == Int.MinValue) -1 else bmx,
-        cmin.keySet.intersect(cmax.keySet).map(k => k -> (cmin(k), cmax(k))).toMap)
+        bounded)
     } finally reader.close()
   }
 
@@ -1318,7 +1334,7 @@ private[lake] class ManifestFileIndex(root: String, files: Seq[FileEntry])
   }
 
   private def le(isString: Boolean, a: String, b: String): Boolean =
-    if (isString) a <= b else a.toLong <= b.toLong
+    if (isString) LakeTable.cpCompare(a, b) <= 0 else a.toLong <= b.toLong
 
   /** Literal's value as a stat-comparable string, None when incomparable. */
   private def litStr(v: Any): Option[String] = v match {
@@ -1389,6 +1405,62 @@ object LakeTable {
   val SrcMinCol = "_src_min"
   val SrcMaxCol = "_src_max"
   val BucketCol = "_bucket"
+
+  /** Manifest string-stat length cap (Iceberg `write.metadata.metrics`
+    * truncate analog — 64 chars keeps short keys/sources exact while a
+    * long-text column can never bloat file entries).
+    */
+  val StatTruncateChars = 64
+
+  /** First `len` CODE POINTS of `s` (never splits a surrogate pair — a
+    * lone surrogate is not encodable as JSON/UTF-8 and would corrupt the
+    * manifest). A prefix compares ≤ the original in code-point order, so
+    * it is always a sound LOWER bound.
+    */
+  private[graft] def truncateLower(s: String, len: Int): String = {
+    val cps = s.codePoints().limit(len).toArray
+    new String(cps, 0, cps.length)
+  }
+
+  /** Conservative UPPER bound for a truncated string: the `len`-code-point
+    * prefix with its last code point incremented, so it compares strictly
+    * greater than every string sharing the prefix. Code points at the
+    * increment ceiling are dropped right-to-left (a shorter incremented
+    * prefix still bounds every longer string); an all-ceiling prefix
+    * yields None — the caller must then drop the stat (prune nothing)
+    * rather than publish a wrong bound.
+    */
+  private[graft] def truncateUpper(s: String, len: Int): Option[String] = {
+    var cps = s.codePoints().limit(len).toArray
+    if (new String(cps, 0, cps.length) == s) return Some(s) // nothing cut
+    while (cps.nonEmpty && cps.last >= Character.MAX_CODE_POINT) cps = cps.init
+    if (cps.isEmpty) None
+    else {
+      cps(cps.length - 1) += 1
+      // the surrogate block is not assignable as a lone code point — step
+      // past it (still > the original, which was below the block)
+      if (cps.last >= Character.MIN_SURROGATE.toInt &&
+          cps.last <= Character.MAX_SURROGATE.toInt)
+        cps(cps.length - 1) = Character.MAX_SURROGATE.toInt + 1
+      Some(new String(cps, 0, cps.length))
+    }
+  }
+
+  /** Code-point order — the order parquet's unsigned UTF-8 byte
+    * comparator induces on strings. `String.compareTo` (UTF-16 code
+    * units) disagrees for supplementary characters vs U+E000..U+FFFF, and
+    * a pruning comparison in the wrong order is a WRONG-RESULTS bug, not
+    * a missed optimisation.
+    */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   private val mapper = new ObjectMapper()
 

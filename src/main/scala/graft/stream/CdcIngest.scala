@@ -94,11 +94,20 @@ object CdcIngest {
     *   segments forever (the ingest-side mirror of the manifest-driven
     *   CDC-out tail).
     */
+  /** @param maxFilesPerBucket incremental-compaction policy: after each
+    *   committed batch, buckets whose live file count exceeds this are
+    *   rewritten via [[graft.lake.LakeTable.compactBuckets]] — bounded
+    *   maintenance (O(selected data), never the whole table) that keeps
+    *   read amplification flat on unbounded replays; the policy read is
+    *   manifest-only. 0 disables. `compactEverySnapshots` remains the
+    *   FULL-rewrite cadence (layout evolution, tombstone purge).
+    */
   def run(spark: SparkSession, feedDir: String, table: LakeTable,
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
           watermark: String = "1 hour", saltBuckets: Int = 0,
           format: Option[String] = None,
           compactEverySnapshots: Int = 0,
+          maxFilesPerBucket: Int = 0,
           quarantine: Boolean = false,
           feedOptions: Map[String, String] = Map.empty): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
@@ -127,6 +136,10 @@ object CdcIngest {
         if (committed.isDefined && compactEverySnapshots > 0 &&
             (table.currentSnapshotId + 1) % compactEverySnapshots == 0) {
           table.compact()
+        }
+        if (committed.isDefined && maxFilesPerBucket > 0) {
+          val victims = table.compactionCandidates(maxFilesPerBucket)
+          if (victims.nonEmpty) table.compactBuckets(victims)
         }
         ()
       }

@@ -175,6 +175,80 @@ class PlanSpec extends SparkSpec {
     assert(table.lookup("no_such_key").isEmpty)
   }
 
+  test("stat-string truncation: bounds stay conservative, comparator matches UTF-8 byte order") {
+    import graft.lake.LakeTable.{cpCompare, truncateLower, truncateUpper}
+    def utf8Cmp(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return Integer.signum(d)
+        i += 1
+      }
+      Integer.signum(x.length - y.length)
+    }
+    // adversarial set: the exact region where UTF-16 order and byte order
+    // diverge (supplementary vs U+E000..U+FFFF), plus plain cases
+    val adversarial = Seq("", "a", "ab", "b", "", "�",
+      new String(Character.toChars(0x10000)), new String(Character.toChars(0x10FFFF)),
+      "a", "a" + new String(Character.toChars(0x10400)), "aa", "aÿ")
+    for (a <- adversarial; b <- adversarial)
+      assert(Integer.signum(cpCompare(a, b)) == utf8Cmp(a, b),
+        s"cpCompare diverged from UTF-8 byte order on ${a.codePoints().toArray.toSeq} vs ${b.codePoints().toArray.toSeq}")
+    // truncation properties on long strings (cap = 64 code points)
+    val cap = graft.lake.LakeTable.StatTruncateChars
+    val longs = Seq(
+      "x" * 200,
+      ("y" * 63) + new String(Character.toChars(0x10400)) + ("z" * 50),
+      ("q" * 64) + "" + ("r" * 10),
+      new String(Character.toChars(0x10FFFF)) * 80)
+    longs.foreach { s =>
+      assert(cpCompare(truncateLower(s, cap), s) <= 0, "lower bound must be <=")
+      truncateUpper(s, cap) match {
+        case Some(hi) =>
+          assert(cpCompare(hi, s) > 0, s"upper bound must exceed the original")
+          assert(hi.codePoints().count() <= cap)
+        case None => // all-ceiling prefix: dropping the stat is the contract
+          assert(s.codePoints().toArray.take(cap).forall(_ == 0x10FFFF))
+      }
+    }
+    // short strings pass through exact
+    assert(truncateUpper("short", cap).contains("short"))
+    assert(truncateLower("short", cap) == "short")
+  }
+
+  test("long-string stats: manifest stays bounded, pruning still correct") {
+    import spark.implicits._
+    val dir = tmpDir("lake-longstat")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    // three batches whose source values share a 100-char prefix — longer
+    // than the stat cap, so truncated ranges OVERLAP and must not prune
+    val prefix = "p" * 100
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (sfx, c) =>
+      val batch = spark.range(c * 10L, (c + 1) * 10L).map { i =>
+        (s"d$i", i, Seq(i.toInt), 1, prefix + sfx)
+      }.toDF("doc_id", "lsn", "tokens", "n_tok", "source")
+        .withColumn("op", lit("U"))
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    // manifest entries bounded: no stat string longer than the cap
+    val cap = LakeTable.StatTruncateChars
+    table.liveFiles().foreach { f =>
+      (f.colMin.values ++ f.colMax.values).foreach(v =>
+        assert(v.codePoints().count() <= cap, s"unbounded stat: ${v.length} chars"))
+    }
+    // equality on a full long value: truncated ranges of ALL batches
+    // admit the shared prefix — nothing prunes, results stay IDENTICAL
+    val full = table.changesBetween(-1L, table.currentSnapshotId)
+      .filter(col("source") === (prefix + "beta"))
+    assert(full.count() == 10)
+    // and a DISJOINT long value (different first char) still prunes all
+    val none = table.changesBetween(-1L, table.currentSnapshotId)
+      .filter(col("source") === ("z" * 100))
+    assert(none.count() == 0)
+  }
+
   test("manifest column stats skip files: source-restricted reads open only matching files") {
     import spark.implicits._
     val dir = tmpDir("lake-skip")

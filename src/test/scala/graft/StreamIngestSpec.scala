@@ -255,6 +255,28 @@ class StreamIngestSpec extends SparkSpec {
       s"epochs not strictly increasing: $epochs")
   }
 
+  test("incremental auto-compaction keeps per-bucket file count bounded; state exact") {
+    val c = cfg.copy(numEvents = 8000L)
+    val dir = tmpDir("stream-autocompact")
+    ChangeFeed.writeFeed(spark, c, s"$dir/feed", chunks = 8)
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val q = CdcIngest.run(spark, s"$dir/feed", table, s"$dir/ckpt",
+      maxFilesPerTrigger = 1, maxFilesPerBucket = 2)
+    q.awaitTermination()
+    // 8 micro-batches; without maintenance every bucket would carry 8
+    // files — the policy must hold each at <= 2 (bound checked AFTER the
+    // final batch, whose own maintenance pass ran before stop)
+    val perBucket = table.liveFiles().groupBy(_.bucket).map(_._2.size)
+    assert(perBucket.max <= 2,
+      s"bucket file counts ${perBucket.mkString(",")} exceed the policy bound")
+    // only upserts reach the changelog; maintenance rewrites never re-emit
+    val emitted = table.changesBetween(-1L, table.currentSnapshotId).count()
+    assert(emitted < table.snapshots.map(_.addedData.map(_.rows).sum).sum)
+    // and the replayed state is still bit-exact against the fold oracle
+    val errs = FoldOracle.diff(table.read(), FoldOracle.finalState(c))
+    assert(errs.isEmpty, errs.take(10).mkString("; "))
+  }
+
   test("AutoSalt ingest: sketch-routed skew handling end-to-end, state matches fold") {
     // half the events on 2 hot keys — the per-batch Misra–Gries probe
     // must engage the salted reduce (plan-level engagement pinned in
