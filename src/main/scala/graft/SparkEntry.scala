@@ -304,6 +304,17 @@ object SparkEntry {
     // LSH-bucketed near-dup pairs: approximate candidates (bucket
     // equi-join) + exact cosine verify — precision exact, recall floor
     // asserted in OperatorSpec; oracle mirrors buckets via plane literals
+    // near-dup CLUSTERING: the pairs are closed into connected
+    // components (min-label propagation) and the min id of each component
+    // is the canonical keep — near-duplicate is not transitive, the
+    // keep-list must be. Oracle: DuckDB recursive CTE (min reachable id).
+    "qd60_neardup_components" -> ((s, dir) => { implicit val sp = s
+      val pairs = Similarity.lshNearDupPairs(t(dir, "embeddings"), dim = 64,
+        bits = 2, seed = 42L, threshold = 0.35)
+      DedupOps.connectedComponents(pairs, "id1", "id2")
+        .select(col("v").as("vec_id"), col("comp"),
+          (col("v") === col("comp")).as("keep"))
+    }),
     "qd57_neardup_lsh" -> ((s, dir) => { implicit val sp = s
       Similarity.lshNearDupPairs(t(dir, "embeddings"), dim = 64, bits = 2,
         seed = 42L, threshold = 0.35)
@@ -878,6 +889,25 @@ object SparkEntry {
            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
          sims AS (SELECT id1, id2, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs)
          SELECT id1, id2, sim FROM sims WHERE sim >= 0.35""",
+    // same deterministic pair graph closed into components: min reachable
+    // id via a recursive CTE == the engine's min-label fixpoint
+    "qd60_neardup_components" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+             ${duckLshBucket("embedding", 64, 2, 42L)} AS bucket FROM embeddings),
+         cand AS (SELECT a.vec_id AS id1, b2.vec_id AS id2,
+             ${duckCosDots("a.embedding", "b2.embedding")}
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         sims AS (SELECT id1, id2, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM cand),
+         e0 AS (SELECT id1, id2 FROM sims WHERE sim >= 0.35),
+         verts AS (SELECT id1 AS v FROM e0 UNION SELECT id2 FROM e0),
+         edges AS (SELECT id1 AS a, id2 AS b FROM e0 UNION ALL SELECT id2, id1 FROM e0),
+         r(v, m) AS (
+           SELECT v, v FROM verts
+           UNION
+           SELECT e.b, r.m FROM edges e JOIN r ON e.a = r.v
+         )
+         SELECT v AS vec_id, min(m) AS comp, (v = min(m)) AS keep
+         FROM r GROUP BY v""",
     // qd40: the full IVF pipeline — quantize → md5-ranked sample → one
     // exact-integer Lloyd round → full assignment → nprobe=2 probe →
     // exact score. Every stage deterministic (integer or IEEE-on-integer

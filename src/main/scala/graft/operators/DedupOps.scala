@@ -252,4 +252,53 @@ object DedupOps {
         graft.functions.VectorExprs.hammingHex(col("sh1"), col("sh2")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Connected components over an undirected pair graph — the CLUSTERING
+    * step a dedup pipeline runs after pair generation: near-duplicate is
+    * not transitive, but keep-one-per-cluster must be, so the pairs are
+    * closed into components and one canonical doc (the min id) represents
+    * each. Returns `(v, comp)` for every vertex that appears in a pair;
+    * `comp` = min id reachable, so `v === comp` is the keep-list test.
+    *
+    * Algorithm: min-label propagation — per round, every vertex takes the
+    * min of its own and its neighbors' labels; fixpoint when no label
+    * changes. Each round is ONE join + ONE aggregate on the edge list
+    * (both shuffles hash on the vertex id, so AQE reuses the exchange),
+    * with `localCheckpoint` cutting lineage like the path-closure loops
+    * ([[GraphOps]]). Rounds = graph diameter; near-dup graphs are
+    * short-diameter (docs chain only through shared near-dups), so this
+    * is the right cost shape — a corpus with pathological long chains
+    * would upgrade to the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public), which this API deliberately leaves room for.
+    * The round cap fails LOUDLY: a truncated fixpoint is silently-wrong
+    * clustering.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("comp")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbr = edges.join(labels, edges("dst") === labels("v"))
+        .select(edges("src").as("v"), col("comp"))
+      val next = labels.union(nbr)
+        .groupBy("v").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxIters rounds — " +
+        "graph diameter exceeds the cap; raise maxIters or switch to the " +
+        "alternating algorithm")
+    labels
+  }
 }

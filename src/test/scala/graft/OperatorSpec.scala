@@ -275,6 +275,27 @@ class OperatorSpec extends SparkSpec {
     assert(auto.subsetOf(exact) && auto.nonEmpty)
   }
 
+  test("connected components: exact clusters on crafted graphs, edge-order invariant") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      DedupOps.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3-4 (diameter > 1: propagation must iterate), pair 10-11,
+    // and 20-21-22 via a hub — three components, min id canonical
+    val g = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L), (21L, 22L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(cc(g) == want)
+    // edge direction/order never matters (undirected closure)
+    assert(cc(g.reverse.map(_.swap)) == want)
+    // self-pairs and duplicate edges are harmless
+    assert(cc(g ++ Seq((1L, 1L), (2L, 3L))) == want)
+    // a long chain still converges (diameter 19 < default cap)
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.values.toSet == Set(0L) && got.size == 20)
+  }
+
   test("lake-resident IVF: probes open only probed cells' files, rows equal in-memory IVF") {
     val dir = tmpDir("ivf-lake")
     val table = Similarity.writeIvfLake(emb, s"$dir/t", nCells = 4, numBuckets = 4)
