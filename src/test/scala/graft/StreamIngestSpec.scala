@@ -287,10 +287,22 @@ class StreamIngestSpec extends SparkSpec {
     ChangeFeed.writeFeed(spark, hotCfg, s"$dir/feed", chunks = 4)
     val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
     val q = CdcIngest.run(spark, s"$dir/feed", table, s"$dir/ckpt",
-      maxFilesPerTrigger = 2, saltBuckets = graft.cdc.Lww.AutoSalt)
+      maxFilesPerTrigger = 2, saltBuckets = graft.cdc.Lww.AutoSalt,
+      probeEvery = 2)
     q.awaitTermination()
     val errs = FoldOracle.diff(table.read(), FoldOracle.finalState(hotCfg))
     assert(errs.isEmpty, errs.take(10).mkString("; "))
+    // sticky routing: probe batches record their decision in the snapshot
+    // summary (durable lineage); this hot feed must probe salted, and
+    // with probeEvery=2 every second committed batch is a probe
+    // (an empty final AvailableNow trigger legitimately probes "false" —
+    // only non-empty batches carry the skew signal)
+    val probes = table.snapshots.filter(_.addedData.nonEmpty)
+      .flatMap(_.summary.get("autoSalt"))
+    assert(probes.nonEmpty && probes.forall(_ == "true"),
+      s"hot feed probes must route salted, got $probes")
+    assert(probes.size < table.snapshots.count(_.addedData.nonEmpty),
+      "between probes the route must be sticky (no summary key)")
   }
 
   test("CDC start floors: earliest survives expiry, latest skips history; AvailableNow empty-table ceiling") {
