@@ -304,6 +304,17 @@ object SparkEntry {
     // LSH-bucketed near-dup pairs: approximate candidates (bucket
     // equi-join) + exact cosine verify — precision exact, recall floor
     // asserted in OperatorSpec; oracle mirrors buckets via plane literals
+    // sequence PACKING (north-rule input shape): docs tokenized
+    // deterministically (word lengths), concatenated with EOS=-1 per
+    // source group in doc_id order, cut into 512-token sequences; scalar
+    // per-sequence stats keep the oracle hash exact
+    "qd61_seqpack" -> ((s, dir) => { implicit val sp = s
+      val docs = t(dir, "documents").select(col("doc_id"), col("source"),
+        transform(split(col("text"), " "), w => length(w).cast("int")).as("tokens"))
+      graft.operators.TokenPack.packStats(docs, "source", seqLen = 512)
+        .select(col("source"), col("seq_id"), col("n_tok"),
+          col("first_tok"), col("last_tok"), col("tok_sum"))
+    }),
     // near-dup CLUSTERING: the pairs are closed into connected
     // components (min-label propagation) and the min id of each component
     // is the canonical keep — near-duplicate is not transitive, the
@@ -889,6 +900,22 @@ object SparkEntry {
            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
          sims AS (SELECT id1, id2, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim FROM pairs)
          SELECT id1, id2, sim FROM sims WHERE sim >= 0.35""",
+    "qd61_seqpack" ->
+      """WITH d AS (SELECT doc_id, source,
+             list_transform(string_split(text, ' '), w -> CAST(length(w) AS INT)) AS toks
+           FROM documents),
+         offs AS (SELECT source, doc_id, toks,
+             COALESCE(SUM(len(toks) + 1) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d),
+         tk AS (SELECT source, off + g.p - 1 AS gpos,
+             CASE WHEN g.p <= len(toks) THEN toks[g.p] ELSE -1 END AS tok
+           FROM offs, LATERAL (SELECT unnest(generate_series(1, len(toks) + 1)) AS p) g)
+         SELECT source, CAST(floor(gpos / 512.0) AS BIGINT) AS seq_id,
+           CAST(count(*) AS INT) AS n_tok,
+           arg_min(tok, gpos) AS first_tok, arg_max(tok, gpos) AS last_tok,
+           CAST(sum(tok) AS BIGINT) AS tok_sum
+         FROM tk GROUP BY source, seq_id""",
     // same deterministic pair graph closed into components: min reachable
     // id via a recursive CTE == the engine's min-label fixpoint
     "qd60_neardup_components" ->

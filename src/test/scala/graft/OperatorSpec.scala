@@ -275,6 +275,34 @@ class OperatorSpec extends SparkSpec {
     assert(auto.subsetOf(exact) && auto.nonEmpty)
   }
 
+  test("sequence packing: exact chunk boundaries, trailing partial, group isolation") {
+    import spark.implicits._
+    import graft.operators.TokenPack
+    // group "a": docs of 3+1 and 4+1 tokens = stream of 9 → seqLen 4 gives
+    // chunks [4,4,1]; group "b": one 2+1-token doc → [3]. Sequences never
+    // cross groups.
+    val docs = Seq(
+      ("a", 1L, Seq(10, 11, 12)), ("a", 2L, Seq(20, 21, 22, 23)),
+      ("b", 9L, Seq(30, 31))
+    ).toDF("source", "doc_id", "tokens")
+    val got = TokenPack.packStats(docs, "source", seqLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))).toSet
+    // stream a: 10 11 12 -1 | 20 21 22 23 | -1 ; stream b: 30 31 -1
+    val want = Set(
+      ("a", 0L, 4, 10, -1, 10 + 11 + 12 - 1L),
+      ("a", 1L, 4, 20, 23, 20 + 21 + 22 + 23L),
+      ("a", 2L, 1, -1, -1, -1L),
+      ("b", 0L, 3, 30, -1, 30 + 31 - 1L))
+    assert(got == want)
+    // doc order is doc_id, not input order: permuting input changes nothing
+    val got2 = TokenPack.packStats(
+      docs.orderBy(col("doc_id").desc), "source", seqLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))).toSet
+    assert(got2 == want)
+  }
+
   test("connected components: exact clusters on crafted graphs, edge-order invariant") {
     import spark.implicits._
     def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
