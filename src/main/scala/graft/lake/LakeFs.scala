@@ -126,24 +126,26 @@ object LocalFs extends LakeFs {
                                createOnly: Boolean): Boolean = {
     val target = path(dst)
     val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, content)
-    if (createOnly) {
-      // link(2) fails atomically when the target exists — a true CAS,
-      // unlike exists-check-then-rename (rename(2) silently replaces)
-      try { Files.createLink(target, tmp); Files.delete(tmp); true }
-      catch {
-        case _: FileAlreadyExistsException => Files.delete(tmp); false
-        case _: UnsupportedOperationException =>
-          // no hard links (some mounts): degrade to check+move — the
-          // pre-seam behavior, still single-writer-safe
-          if (Files.exists(target)) { Files.delete(tmp); false }
-          else { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true }
+    try {
+      Files.writeString(tmp, content)
+      if (createOnly) {
+        // link(2) fails atomically when the target exists — a true CAS,
+        // unlike exists-check-then-rename (rename(2) silently replaces)
+        try { Files.createLink(target, tmp); true }
+        catch {
+          case _: FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no hard links (some mounts): degrade to check+move — the
+            // pre-seam behavior, still single-writer-safe
+            if (Files.exists(target)) false
+            else { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true }
+        }
+      } else {
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        true
       }
-    } else {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      true
-    }
+    } finally Files.deleteIfExists(tmp) // loser/crash paths never litter
   }
 
   override def list(dir: String): Seq[String] = {
