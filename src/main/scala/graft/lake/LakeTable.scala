@@ -1555,8 +1555,14 @@ object LakeTable {
       fo.put("id", f.id); fo.put("name", f.name)
       fo.put("type", f.dataType.sql); fo.put("nullable", f.nullable)
     }
-    fs.putStringAtomic(f"$meta/schema-${s.schemaId}%04d.json",
-      o.toPrettyString, createOnly = false)
+    // create-only: schema ids are dense, so two concurrent evolutions
+    // both target id N+1 — the loser must fail loudly, not silently
+    // replace the winner's schema (which files may already reference)
+    if (!fs.putStringAtomic(f"$meta/schema-${s.schemaId}%04d.json",
+        o.toPrettyString, createOnly = true))
+      throw new IllegalStateException(
+        s"schema ${s.schemaId} already exists — concurrent schema evolution; " +
+          "refresh and re-evolve against the winner's schema")
   }
 
   private def readSchema(json: String): LakeSchema = {

@@ -106,6 +106,25 @@ class MultiWriterSpec extends SparkSpec {
     assert(fresh.gcOrphanData().isEmpty)
   }
 
+  test("concurrent schema evolutions: loser fails loudly instead of clobbering the winner") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("mw-evolve")
+    val a = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    a.upsert(oneRow("k1", 1L), epochId = 0L)
+    val b = LakeTable.load(spark, s"$dir/t")
+    assert(b.currentSchema.schemaId == 0) // warm B's schema view pre-race
+    val withA = StructType(Schemas.docRow.fields :+ StructField("added_a", IntegerType, true))
+    val withB = StructType(Schemas.docRow.fields :+ StructField("added_b", LongType, true))
+    a.evolveSchema(withA) // A wins schema 1
+    // B, still on schema 0, targets the same dense id — must fail loudly
+    val e = intercept[IllegalStateException](b.evolveSchema(withB))
+    assert(e.getMessage.contains("concurrent schema evolution"))
+    // the winner's schema is intact on disk (no silent replace)
+    val fresh = LakeTable.load(spark, s"$dir/t")
+    assert(fresh.currentSchema.fields.map(_.name).contains("added_a"))
+    assert(!fresh.currentSchema.fields.map(_.name).contains("added_b"))
+  }
+
   test("upserts racing from many threads: all epochs land, state equals sequential fold") {
     val dir = tmpDir("mw-threads")
     LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
