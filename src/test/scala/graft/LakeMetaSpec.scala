@@ -89,6 +89,44 @@ class LakeMetaSpec extends SparkSpec {
     assert(gap.getMessage.contains("expired"))
   }
 
+  test("disk-reclaim lifecycle: compact + expire + gc leaves only live data, state exact") {
+    val dir = tmpDir("lake-reclaim")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    val cfg = FeedConfig(seed = 5L, numEvents = 4000L, numDocs = 300L,
+      deletePct = 6, maxTokens = 16)
+    // 16 upserts put the compaction at snapshot 16 = a checkpoint
+    // boundary, so the whole pre-compaction history is expirable (expiry
+    // floors at the newest checkpoint — the rolled-up fold must survive)
+    val chunks = 16; val per = (cfg.numEvents + chunks - 1) / chunks
+    val c0 = cfg
+    (0 until chunks).foreach { c =>
+      import graft.feed.EventGen
+      val lo = c * per; val hi = math.min(cfg.numEvents, lo + per)
+      import spark.implicits._
+      val batch = spark.range(lo, hi)
+        .mapPartitions(_.map(i => EventGen.event(c0, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    val expected = FoldOracle.finalState(cfg)
+    assert(FoldOracle.diff(table.read(), expected).isEmpty)
+    val dirsBefore = table.fs.list(s"$dir/t/data").size
+    assert(dirsBefore >= chunks, "each epoch should have its own delta dir")
+    // the reclaim sequence a maintenance job runs: fold the history into
+    // one live set, drop the below-horizon snapshots, collect the now
+    // unreferenced delta dirs
+    table.compact()
+    table.expireSnapshots(table.currentSnapshotId)
+    val deleted = table.gcOrphanData()
+    assert(deleted.nonEmpty, "expired pre-compaction deltas must be reclaimable")
+    // disk now holds exactly the dirs the live set references
+    val liveDirs = table.liveFiles().map(_.path.split('/')(1)).distinct.size
+    assert(table.fs.list(s"$dir/t/data").size == liveDirs,
+      "gc must reclaim every unreferenced delta dir and keep every live one")
+    // and the table is still bit-exact — cold-loaded, post-reclaim
+    assert(FoldOracle.diff(
+      LakeTable.load(spark, s"$dir/t").read(), expected).isEmpty)
+  }
+
   test("expiry keeps ABOVE-horizon time travel: asOf folds checkpoint + surviving tail") {
     val dir = tmpDir("lake-expire-tt")
     val writer = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 1)
