@@ -278,8 +278,11 @@ object DedupOps {
                           maxIters: Int = 50): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+    // no distinct: min-aggregation is duplicate-insensitive, so duplicate
+    // edges only pad the per-round join input — a full dedup shuffle of
+    // the edge list costs more than they ever will
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("comp")).localCheckpoint()
     var prevSum = Option.empty[java.math.BigDecimal]
