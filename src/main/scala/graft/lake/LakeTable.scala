@@ -416,6 +416,49 @@ class LakeTable private (
       .drop(LsnCol, TombCol)
   }
 
+  /** Batched point lookup: many keys in one plan, files pruned
+    * driver-side to the UNION of the keys' buckets — a K-key probe over a
+    * B-bucket table opens at most min(K, B) buckets' files regardless of
+    * table size. The multi-key form of [[lookup]] (the reference's
+    * repeated `getStatements` calls batched into one scan).
+    */
+  def lookupAll(keyValues: Seq[Any], asOf: Option[Long] = None): DataFrame = {
+    require(keyValues.nonEmpty, "empty key set")
+    val entries = liveEntries(asOf)
+    val schema = schemaFor(entries.map(_.file), asOf)
+    val subset = layoutOf(entries) match {
+      case Some(layout) =>
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
+        val dt = schema.fields.find(_.name == keyCol)
+          .map(_.dataType).getOrElse(StringType)
+        val attr = AttributeReference(keyCol, dt, nullable = false)()
+        val buckets = keyValues.map { kv =>
+          org.apache.spark.sql.execution.datasources.BucketingUtils
+            .getBucketIdFromValue(attr, layout, Cast(Literal(kv), dt, Some("UTC")).eval())
+        }.toSet
+        entries.filter(e => buckets(e.file.bucket))
+      case None => entries
+    }
+    winnersOver(subset, schema)
+      .filter(col(keyCol).isin(keyValues: _*) && !col(TombCol))
+      .drop(LsnCol, TombCol)
+  }
+
+  /** Time travel addressed by EPOCH (the input stream's coordinate)
+    * instead of snapshot id: the state as of the newest snapshot whose
+    * epoch is ≤ `epochId` — "what did the table say after batch N", the
+    * question a replay audit actually asks. Maintenance snapshots carry
+    * their predecessor's epoch, so they resolve transparently. Parses the
+    * snapshot history (audit path, not the hot path).
+    */
+  def readAtEpoch(epochId: Long): DataFrame = {
+    val snap = snapshots.filter(_.epochId <= epochId).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or below epoch $epochId " +
+          "(history may have been expired — see expireSnapshots)"))
+    readAt(snap.snapshotId)
+  }
+
   /** Single bucket layout of a live-entry set, None when mixed/unknown. */
   private def layoutOf(entries: Seq[LiveEntry]): Option[Int] =
     entries.flatMap(_.layout).distinct match {

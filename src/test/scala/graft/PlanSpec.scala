@@ -175,6 +175,35 @@ class PlanSpec extends SparkSpec {
     assert(table.lookup("no_such_key").isEmpty)
   }
 
+  test("lookupAll prunes to the union of key buckets; readAtEpoch resolves batch coordinates") {
+    import spark.implicits._
+    val dir = tmpDir("lake-multikey")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 8)
+    (0 until 3).foreach { c =>
+      val batch = spark.range(c * 100L, (c + 1) * 100L).map { i =>
+        (s"d${i % 60}", i, Seq(i.toInt), 1, "s")
+      }.toDF("doc_id", "lsn", "tokens", "n_tok", "source").withColumn("op", lit("U"))
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+    // two keys → at most two buckets' files in the plan
+    val keys = Seq("d3", "d7")
+    val df = table.lookupAll(keys)
+    assert(df.count() == 2)
+    val planned = df.inputFiles.length
+    val perBucket = table.liveFiles().groupBy(_.bucket)
+    val maxTwoBuckets = perBucket.values.toSeq.map(_.size).sorted.reverse.take(2).sum
+    assert(planned <= maxTwoBuckets && planned < table.liveFiles().size,
+      s"lookupAll planned $planned files of ${table.liveFiles().size}")
+    // same rows as individual lookups
+    val single = keys.flatMap(k => table.lookup(k).collect()).toSet
+    assert(df.collect().toSet == single)
+    // epoch-addressed time travel: after batch 0, keys 0..59 with lsn <= 99
+    val at0 = table.readAtEpoch(0L)
+    assert(at0.count() == 60)
+    assert(table.readAtEpoch(2L).agg(max(length(col("doc_id")))).head() != null)
+    intercept[IllegalArgumentException](table.readAtEpoch(-5L))
+  }
+
   test("stat-string truncation: bounds stay conservative, comparator matches UTF-8 byte order") {
     import graft.lake.LakeTable.{cpCompare, truncateLower, truncateUpper}
     def utf8Cmp(a: String, b: String): Int = {
