@@ -315,6 +315,43 @@ object SparkEntry {
         .select(col("source"), col("seq_id"), col("n_tok"),
           col("first_tok"), col("last_tok"), col("tok_sum"))
     }),
+    // --- deterministic seeded sampling (corpus curation; Sampling.scala) ---
+    // Bernoulli keep-25%: md5-threshold filter — replay-deterministic,
+    // narrow (no shuffle), exact oracle via the same md5 prefix compare
+    "qs62_sample_bernoulli" -> ((s, dir) => { implicit val sp = s
+      Sampling.bernoulli(t(dir, "documents"), col("doc_id"), p = 0.25, seed = "s62")
+        .select(col("doc_id"), col("source"))
+    }),
+    // per-stratum rates: the corpus-mixing knob (up/down-weight sources)
+    "qs63_sample_stratified" -> ((s, dir) => { implicit val sp = s
+      Sampling.stratified(t(dir, "documents"), col("doc_id"), col("source"),
+        rates = Map("src0" -> 0.9, "src1" -> 0.3), defaultRate = 0.1, seed = "s63")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+    // stable train/val/test assignment, aggregated per (split, source)
+    "qs64_splits" -> ((s, dir) => { implicit val sp = s
+      Sampling.assignSplits(t(dir, "documents"), col("doc_id"),
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s64")
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+    }),
+    // exact-size uniform draw: global top-k by the hash (per-partition
+    // heaps + driver merge of k — never a full sort)
+    "qs67_sample_exactk" -> ((s, dir) => { implicit val sp = s
+      Sampling.exactK(t(dir, "documents"), col("doc_id"), k = 100, seed = "s67")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // --- corpus term statistics (TermStats.scala) ---
+    "qt65_docfreq" -> ((s, dir) => { implicit val sp = s
+      TermStats.docFreq(t(dir, "documents"))
+    }),
+    // top-3 rarity-weighted terms per doc (rational idf = n_docs/df:
+    // correctly-rounded IEEE ops only, so the oracle hash is exact)
+    "qt66_topterms" -> ((s, dir) => { implicit val sp = s
+      TermStats.topTerms(t(dir, "documents"), k = 3)
+    }),
+
     // near-dup CLUSTERING: the pairs are closed into connected
     // components (min-label propagation) and the min id of each component
     // is the canonical keep — near-duplicate is not transitive, the
@@ -916,6 +953,54 @@ object SparkEntry {
            arg_min(tok, gpos) AS first_tok, arg_max(tok, gpos) AS last_tok,
            CAST(sum(tok) AS BIGINT) AS tok_sum
          FROM tk GROUP BY source, seq_id""",
+    "qs62_sample_bernoulli" ->
+      s"""SELECT doc_id, source FROM documents
+         WHERE substr(md5('s62:' || CAST(doc_id AS VARCHAR)), 1, 12)
+           < '${operators.Sampling.hexThreshold(0.25)}'""",
+    "qs63_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5('s63:' || CAST(doc_id AS VARCHAR)), 1, 12) <
+           CASE source WHEN 'src0' THEN '${operators.Sampling.hexThreshold(0.9)}'
+                       WHEN 'src1' THEN '${operators.Sampling.hexThreshold(0.3)}'
+                       ELSE '${operators.Sampling.hexThreshold(0.1)}' END""",
+    "qs64_splits" -> {
+      val cuts = operators.Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH a AS (SELECT source, n_chars,
+           CASE WHEN substr(md5('s64:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  < '${cuts(0)}' THEN 'train'
+                WHEN substr(md5('s64:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  < '${cuts(1)}' THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, source, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM a GROUP BY split, source"""
+    },
+    "qs67_sample_exactk" ->
+      """SELECT doc_id, source FROM documents
+         ORDER BY substr(md5('s67:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id
+         LIMIT 100""",
+    "qt65_docfreq" ->
+      """WITH w AS (SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word
+             FROM documents) WHERE length(word) > 0)
+         SELECT word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+         FROM w GROUP BY word""",
+    "qt66_topterms" ->
+      """WITH w AS (SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word
+             FROM documents) WHERE length(word) > 0),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+         dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+         n AS (SELECT count(*) AS n_corpus FROM documents),
+         s AS (SELECT tf.doc_id, tf.word,
+             floor((CAST(tf.tf AS DOUBLE) * CAST(n.n_corpus AS DOUBLE)
+               / CAST(dfq.df AS DOUBLE))*10000 + 0.5)/10000 AS score
+           FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, word) AS rank FROM s)
+         SELECT doc_id, word, score, rank FROM r WHERE rank <= 3""",
     // same deterministic pair graph closed into components: min reachable
     // id via a recursive CTE == the engine's min-label fixpoint
     "qd60_neardup_components" ->

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic seeded sampling for corpus curation — the selection ops a
+  * training-data pipeline runs before anything else touches 100 TB:
+  * Bernoulli subsampling, per-stratum rates, exact-size uniform draws, and
+  * stable train/val/test splits.
+  *
+  * Everything keys off `u(seed, key)`: the first 12 hex chars of
+  * `md5(seed ∥ ':' ∥ key)`, a uniform draw in [0, 16^12) that is a pure
+  * function of (seed, key). That buys, by construction:
+  *  - replay determinism — the same row is kept on every run, every
+  *    engine, every partitioning (the reference pins the same property for
+  *    its skolem ids, make-graph md5 templating, SURVEY.md §1.4);
+  *  - exact oracle twins — DuckDB computes the identical md5 prefix, so
+  *    sampling queries hash-match instead of "row count roughly right";
+  *  - consistent companion tables — sampling two tables by the same key
+  *    and seed keeps them aligned (both sides of a join survive or
+  *    neither), which fraction-of-partition sampling cannot do.
+  *
+  * Scale shape: every op except [[exactK]] is a narrow per-row filter (no
+  * shuffle, no state, survives any partitioning); [[exactK]] is a global
+  * top-k (TakeOrderedAndProject — per-partition heaps + driver merge of k,
+  * never a full sort).
+  */
+object Sampling {
+
+  private val Digits = 12 // 48 bits of the md5 — ample for rate precision
+
+  /** Lexicographic hex threshold for rate `p`: u < threshold keeps a
+    * fraction p of keys. p ≥ 1 returns "g" (sorts above every hex string —
+    * keep all); p ≤ 0 returns all-zeros (keep none).
+    */
+  def hexThreshold(p: Double): String = {
+    require(!p.isNaN, "sampling rate must be a number")
+    if (p >= 1.0) "g"
+    else if (p <= 0.0) "0" * Digits
+    else {
+      val buckets = math.floor(p * math.pow(16.0, Digits.toDouble)).toLong
+      ("%0" + Digits + "x").format(buckets)
+    }
+  }
+
+  /** The uniform draw: first 12 hex chars of md5(seed ∥ ':' ∥ key). */
+  def draw(seed: String, key: Column): Column =
+    substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, Digits)
+
+  /** Keep each row independently with probability `p` (deterministic in
+    * (seed, key) — a key kept once is kept always).
+    */
+  def bernoulli(df: DataFrame, key: Column, p: Double, seed: String): DataFrame =
+    df.filter(draw(seed, key) < lit(hexThreshold(p)))
+
+  /** Per-stratum Bernoulli rates (the corpus-mixing knob: up-/down-weight
+    * sources into a target mixture). Strata absent from `rates` fall back
+    * to `defaultRate`. One chained-when threshold column — still a narrow
+    * filter, no join.
+    */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+                 rates: Map[String, Double], defaultRate: Double,
+                 seed: String): DataFrame = {
+    val thr = rates.foldLeft(null: Column) { case (acc, (s, p)) =>
+      if (acc == null) when(stratum === lit(s), lit(hexThreshold(p)))
+      else acc.when(stratum === lit(s), lit(hexThreshold(p)))
+    }
+    val thrCol = if (thr == null) lit(hexThreshold(defaultRate))
+                 else thr.otherwise(lit(hexThreshold(defaultRate)))
+    df.filter(draw(seed, key) < thrCol)
+  }
+
+  /** Exactly min(k, N) rows drawn uniformly without replacement: global
+    * top-k by the draw (ties — md5 collisions — broken by the key itself,
+    * so the result set is total-order deterministic). The ranking column
+    * is not kept.
+    */
+  def exactK(df: DataFrame, key: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 0, "sample size must be non-negative")
+    val r = "_samp_rank"
+    df.withColumn(r, draw(seed, key))
+      .orderBy(col(r), key)
+      .limit(k)
+      .drop(r)
+  }
+
+  /** Stable split assignment: adds `splitCol` labelling each row by hash
+    * range — `splits` are (name, weight) in declared order, weights
+    * normalised to 1, the last split absorbing the remainder (so the
+    * labels partition the input exactly). A doc's split never changes as
+    * the corpus grows — the property that keeps eval sets uncontaminated
+    * across corpus versions.
+    */
+  def assignSplits(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                   seed: String, splitCol: String = "split"): DataFrame = {
+    val u = draw(seed, key)
+    // thresholds for all but the last split; the last is the otherwise-arm
+    val labelled = splits.init.zip(splitThresholds(splits)).foldLeft(null: Column) {
+      case (acc, ((name, _), cut)) =>
+        if (acc == null) when(u < lit(cut), lit(name))
+        else acc.when(u < lit(cut), lit(name))
+    }
+    val splitExpr = if (labelled == null) lit(splits.last._1)
+                    else labelled.otherwise(lit(splits.last._1))
+    df.withColumn(splitCol, splitExpr)
+  }
+
+  /** The hex cut points [[assignSplits]] compares against — one per split
+    * except the last (the otherwise-arm). Public so an oracle can inline
+    * the IDENTICAL literals: the cumulative weights accumulate in IEEE
+    * order here, and re-deriving them elsewhere (0.8 + 0.1 ≠ 0.9 exactly)
+    * would land a different 48-bit threshold.
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[String] = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0,
+      "split weights must be non-negative with a positive sum")
+    val total = splits.map(_._2).sum
+    splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail.init.map(hexThreshold)
+  }
+}

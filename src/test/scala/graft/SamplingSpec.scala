@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, TermStats}
+
+/** Behavioral pins for the seeded-sampling and term-statistics layer —
+  * the invariants the DuckDB oracle can't see (nesting, stability across
+  * runs and k, partition of the input).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("hexThreshold edge cases and monotonicity") {
+    assert(Sampling.hexThreshold(0.0) == "000000000000")
+    assert(Sampling.hexThreshold(-1.0) == "000000000000")
+    assert(Sampling.hexThreshold(1.0) == "g")
+    assert(Sampling.hexThreshold(2.0) == "g")
+    assert(Sampling.hexThreshold(0.25) == "400000000000")
+    val ps = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val ts = ps.map(Sampling.hexThreshold)
+    assert(ts == ts.sorted, "threshold must be monotone in p")
+  }
+
+  test("bernoulli: p=1 keeps all, p=0 keeps none, deterministic, nested in p") {
+    val n = docs.count()
+    assert(Sampling.bernoulli(docs, $"doc_id", 1.0, "s").count() == n)
+    assert(Sampling.bernoulli(docs, $"doc_id", 0.0, "s").count() == 0)
+    val a = Sampling.bernoulli(docs, $"doc_id", 0.25, "s").select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.bernoulli(docs, $"doc_id", 0.25, "s").select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b, "same (seed, p) must select the same rows")
+    // threshold sampling gives NESTED samples: raising p only adds rows —
+    // the property that lets a pipeline grow a sample without resampling
+    val wider = Sampling.bernoulli(docs, $"doc_id", 0.5, "s").select("doc_id")
+      .as[Long].collect().toSet
+    assert(a.subsetOf(wider))
+    // and a different seed draws a genuinely different set
+    val other = Sampling.bernoulli(docs, $"doc_id", 0.25, "t").select("doc_id")
+      .as[Long].collect().toSet
+    assert(a != other)
+  }
+
+  test("bernoulli: rate is approximately honored") {
+    val n = docs.count().toDouble
+    val kept = Sampling.bernoulli(docs, $"doc_id", 0.25, "rate").count().toDouble
+    // 500 draws at p=0.25: ±5 sigma ≈ ±0.097
+    assert(math.abs(kept / n - 0.25) < 0.1, s"kept ${kept / n}")
+  }
+
+  test("stratified equals per-stratum bernoulli") {
+    val rates = Map("src0" -> 0.9, "src1" -> 0.3)
+    val strat = Sampling.stratified(docs, $"doc_id", $"source", rates, 0.1, "s63")
+      .select("doc_id").as[Long].collect().toSet
+    val manual = (rates.toSeq :+ ("", 0.1)).flatMap { case (s, p) =>
+      val part = if (s.isEmpty) docs.filter(!$"source".isin(rates.keys.toSeq: _*))
+                 else docs.filter($"source" === s)
+      Sampling.bernoulli(part, $"doc_id", p, "s63").select("doc_id").as[Long].collect()
+    }.toSet
+    assert(strat == manual)
+  }
+
+  test("exactK: exact size, deterministic, nested in k, ceiling at N") {
+    val k50 = Sampling.exactK(docs, $"doc_id", 50, "k").select("doc_id")
+      .as[Long].collect().toSet
+    assert(k50.size == 50)
+    val k100 = Sampling.exactK(docs, $"doc_id", 100, "k").select("doc_id")
+      .as[Long].collect().toSet
+    assert(k100.size == 100)
+    assert(k50.subsetOf(k100), "growing k must only add rows")
+    val n = docs.count().toInt
+    assert(Sampling.exactK(docs, $"doc_id", n + 10, "k").count() == n)
+    assert(Sampling.exactK(docs, $"doc_id", 0, "k").count() == 0)
+  }
+
+  test("assignSplits: labels partition the input; assignment is stable under corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labelled = Sampling.assignSplits(docs, $"doc_id", splits, "s64").cache()
+    assert(labelled.count() == docs.count())
+    val counts = labelled.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == docs.count())
+    // rough proportions at n=500 (±5 sigma on p=0.8 is ±0.09)
+    assert(math.abs(counts("train").toDouble / docs.count() - 0.8) < 0.1)
+    // STABILITY: a doc's split must not change when the corpus shrinks or
+    // grows — label the first half alone and compare
+    val half = docs.filter($"doc_id" < 250)
+    val sub = Sampling.assignSplits(half, $"doc_id", splits, "s64")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = labelled.filter($"doc_id" < 250)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub == full)
+    labelled.unpersist()
+  }
+
+  test("splitThresholds: one cut per split except the last, monotone") {
+    val cuts = Sampling.splitThresholds(Seq("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+    assert(cuts.length == 2)
+    assert(cuts == cuts.sorted)
+    assertThrows[IllegalArgumentException](Sampling.splitThresholds(Nil))
+    assertThrows[IllegalArgumentException](
+      Sampling.splitThresholds(Seq("a" -> 0.0)))
+  }
+
+  test("docFreq: hand-computed on a 3-doc corpus") {
+    val tiny = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val df = TermStats.docFreq(tiny).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(df == Map("a" -> (2L, 3L), "b" -> (1L, 1L), "c" -> (2L, 4L)))
+  }
+
+  test("topTerms: at most k per doc, rare terms outrank common ones") {
+    val tiny = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common common")).toDF("doc_id", "text")
+    val top = TermStats.topTerms(tiny, k = 1)
+      .select("doc_id", "word").as[(Long, String)].collect().toMap
+    // every doc contains 'common' (df=3); its rarer companion must win
+    assert(top == Map(1L -> "rare", 2L -> "other", 3L -> "common"))
+    val k2 = TermStats.topTerms(docs.limit(50), k = 2)
+    val perDoc = k2.groupBy("doc_id").count().agg(max("count")).head.getLong(0)
+    assert(perDoc <= 2)
+    // rank column is 1-based and dense within a doc
+    assert(k2.filter($"rank" < 1 || $"rank" > 2).count() == 0)
+  }
+}
