@@ -342,6 +342,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // balanced draw: exactly 20 docs per source (window top-k per stratum)
+    "qs68_sample_per_stratum" -> ((s, dir) => { implicit val sp = s
+      Sampling.exactKPerStratum(t(dir, "documents"), col("doc_id"),
+          col("source"), k = 20, seed = "s68")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // --- corpus term statistics (TermStats.scala) ---
     "qt65_docfreq" -> ((s, dir) => { implicit val sp = s
       TermStats.docFreq(t(dir, "documents"))
@@ -981,6 +988,12 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
          ORDER BY substr(md5('s67:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id
          LIMIT 100""",
+    "qs68_sample_per_stratum" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             ORDER BY substr(md5('s68:' || CAST(doc_id AS VARCHAR)), 1, 12),
+                      doc_id) AS rn
+           FROM documents) WHERE rn <= 20""",
     "qt65_docfreq" ->
       """WITH w AS (SELECT doc_id, word FROM (
              SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word

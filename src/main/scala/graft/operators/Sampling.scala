@@ -84,6 +84,21 @@ object Sampling {
       .drop(r)
   }
 
+  /** Exactly min(k, stratum size) rows per stratum — the balanced-corpus
+    * draw ("k docs from every source"). One hash aggregate worth of
+    * shuffle (window partitioned by the stratum), no global sort.
+    */
+  def exactKPerStratum(df: DataFrame, key: Column, stratum: Column, k: Int,
+                       seed: String): DataFrame = {
+    require(k >= 0, "sample size must be non-negative")
+    val r = "_samp_rank"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(draw(seed, key), key)
+    df.withColumn(r, row_number().over(w))
+      .filter(col(r) <= k)
+      .drop(r)
+  }
+
   /** Stable split assignment: adds `splitCol` labelling each row by hash
     * range — `splits` are (name, weight) in declared order, weights
     * normalised to 1, the last split absorbing the remainder (so the

@@ -106,6 +106,43 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitThresholds(Seq("a" -> 0.0)))
   }
 
+  test("exactKPerStratum: exactly k per stratum, nested in k") {
+    val per = Sampling.exactKPerStratum(docs, $"doc_id", $"source", 20, "ks")
+    val counts = per.groupBy("source").count().as[(String, Long)].collect().toMap
+    val nSources = docs.select("source").distinct().count()
+    assert(counts.size == nSources && counts.values.forall(_ == 20L))
+    val k10 = Sampling.exactKPerStratum(docs, $"doc_id", $"source", 10, "ks")
+      .select("doc_id").as[Long].collect().toSet
+    val k20 = per.select("doc_id").as[Long].collect().toSet
+    assert(k10.subsetOf(k20))
+    // k above the stratum size returns the whole stratum
+    val all = Sampling.exactKPerStratum(docs, $"doc_id", $"source", 10000, "ks")
+    assert(all.count() == docs.count())
+  }
+
+  test("sampling ops are streaming-safe: stateless narrow filters, stream == batch") {
+    val dir = tmpDir("sampstream")
+    docs.limit(200).repartition(4).write.parquet(s"$dir/feed")
+    val splits = Seq("train" -> 0.8, "val" -> 0.2)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplits(
+        Sampling.bernoulli(df, col("doc_id"), 0.5, "ss"),
+        col("doc_id"), splits, "ss")
+        .select(col("doc_id"), col("split"))
+    val q = curate(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/feed"))
+      .writeStream.format("memory").queryName("samp_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("samp_out").as[(Long, String)].collect().toMap
+    val batch = curate(spark.read.parquet(s"$dir/feed")).as[(Long, String)]
+      .collect().toMap
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("docFreq: hand-computed on a 3-doc corpus") {
     val tiny = Seq(
       (1L, "a b a"),
