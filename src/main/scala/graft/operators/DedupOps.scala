@@ -305,8 +305,10 @@ object DedupOps {
         .localCheckpoint()
       // sum as exact decimal: ids are longs, a 10^10-vertex sum overflows
       // a long and a wrapped sum could fake convergence
-      val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+      // null on an EMPTY vertex set (no pairs at all) → zero, so the
+      // empty graph converges in two rounds instead of NPE-ing
+      val sumNow = Option(next.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       converged = prevSum.exists(_.compareTo(sumNow) == 0)
       prevSum = Some(sumNow)
       labels = next

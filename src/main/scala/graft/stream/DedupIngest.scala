@@ -1,0 +1,143 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.lake.{LakeFs, LakeTable}
+import graft.operators.DedupOps
+
+/** Streaming near-dup ADMISSION CONTROL: a continuously-ingested corpus is
+  * filtered against everything admitted so far — the dedup shape of a
+  * live training-data pipeline (crawl batches arrive forever; a near-copy
+  * of any previously-kept doc must not enter the corpus).
+  *
+  * The admitted set lives in a lake-resident SimHash index: a
+  * [[graft.lake.LakeTable]] keyed by doc_id holding `(doc_id, simhash)` —
+  * 16 hex chars per admitted doc, the column-pruned probe side. Per
+  * micro-batch:
+  *
+  *  1. batch docs are SimHashed (one aggregation over the BATCH only);
+  *  2. vs-index rejection: the index scan is banded (4 substrings — a
+  *     narrow projection of the 16-char hash, no recompute) and joined
+  *     against the BROADCAST banded batch — the pigeonhole candidate join
+  *     of `DedupOps.simhashNearDups`, with the corpus-sized side never
+  *     shuffled — then candidates are verified with the exact codegen'd
+  *     Hamming distance;
+  *  3. within-batch near-dups among the remaining docs are closed into
+  *     connected components; the min-id doc of each component survives.
+  *     Set semantics, deliberately: sequential admit-in-arrival-order
+  *     would make results depend on row order inside a partition-parallel
+  *     batch — component-canonical keep is deterministic under any
+  *     partitioning (same argument as the reference's set-based
+  *     `triple=` matching, protocols.cljc:457-469);
+  *  4. survivors' hashes are upserted with the batch epoch — the lake's
+  *     epoch check makes a crash-replayed batch a no-op (exactly-once),
+  *     and the commit's visibility rule means a reader never sees a
+  *     half-admitted batch.
+  *
+  * Scale: per-batch cost is one column-pruned scan of the index (16
+  * bytes/doc) + a broadcast hash join — no corpus shuffle, no state-store
+  * growth; the index table is a full CDC citizen (compaction, expiry,
+  * time travel, CDC-out all apply).
+  */
+object DedupIngest {
+
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("simhash", StringType, nullable = true)))
+
+  /** Load the index table at `root`, creating it on first use. */
+  def indexTable(spark: SparkSession, root: String, numBuckets: Int = 8): LakeTable = {
+    val fs = LakeFs.forRoot(root)
+    if (fs.exists(s"$root/meta")) LakeTable.load(spark, root)
+    else LakeTable.create(spark, root, IndexSchema, keyCol = "doc_id",
+      numBuckets = numBuckets)
+  }
+
+  /** (doc_id, simhash) → one row per 16-bit band: (doc_id, simhash, blk,
+    * bval). Pigeonhole: Hamming distance ≤ 3 ⇒ at least one band equal.
+    */
+  private def banded(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk"),
+        col("simhash").substr(col("blk") * 4 + 1, lit(4)).as("bval"))
+
+  /** Admit one batch: reject docs within Hamming `maxDist` of the index,
+    * then keep one canonical doc per within-batch near-dup component;
+    * upsert survivors' hashes under `epochId` and return the surviving
+    * rows of `batch` (all original columns). A replayed epoch re-derives
+    * the same survivors and skips the commit.
+    */
+  def admitBatch(table: LakeTable, batch: DataFrame, epochId: Long,
+                 maxLen: Int = 64, maxDist: Int = 3): DataFrame = {
+    graft.functions.VectorExprs.register(batch.sparkSession)
+    // batch-side hashes: small (one row per batch doc) — checkpointed so
+    // the banded join, the in-batch pair join, and the upsert all reuse
+    // one computation instead of re-running the simhash aggregation
+    val sh = DedupOps.simhash64(batch.select(col("doc_id"), col("text")), maxLen)
+      .localCheckpoint()
+
+    // 2. vs-index: banded equi-join, batch side broadcast — the index
+    // scan reads exactly two columns and is never shuffled
+    val idxBands = banded(table.read().select(col("doc_id"), col("simhash")))
+      .select(col("doc_id").as("iid"), col("simhash").as("ish"),
+        col("blk"), col("bval"))
+    val newBands = banded(sh)
+    val vsIndex = idxBands.join(broadcast(newBands),
+        idxBands("blk") === newBands("blk") && idxBands("bval") === newBands("bval"))
+      .select(col("doc_id"), col("simhash"), col("ish"))
+      .distinct()
+      .filter(graft.functions.VectorExprs.hammingHex(
+        col("simhash"), col("ish")) <= maxDist)
+      .select(col("doc_id")).distinct()
+    val fresh = sh.join(vsIndex, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // 3. within-batch components among the remaining docs: min id per
+    // component survives (batch-scale frames — pairs via the same banded
+    // pigeonhole join, exact verify)
+    val pairs = {
+      val b = banded(fresh)
+      b.as("a").join(b.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+        .distinct()
+        .filter(graft.functions.VectorExprs.hammingHex(
+          col("sh1"), col("sh2")) <= maxDist)
+    }
+    val losers = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_id"))
+    val admitted = fresh.join(losers, Seq("doc_id"), "left_anti")
+
+    // 4. survivors into the index under this epoch (no-op on replay)
+    table.upsert(admitted.select(lit("I").as("op"), col("doc_id"),
+        lit(epochId).as("lsn"), col("simhash")),
+      epochId = epochId,
+      summary = Map("admission" -> "simhash"))
+    batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
+  /** The streaming runner: every micro-batch flows through
+    * [[admitBatch]]; the index's epoch check plus the streaming
+    * checkpoint give end-to-end exactly-once admission across crashes.
+    */
+  def run(docs: DataFrame, indexRoot: String, checkpointDir: String,
+          numBuckets: Int = 8, maxLen: Int = 64, maxDist: Int = 3,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        admitBatch(indexTable(spark, indexRoot, numBuckets), batch, epochId,
+          maxLen, maxDist)
+        () // survivors live in the index; downstream reads it or its CDC tail
+      }
+      .start()
+  }
+}

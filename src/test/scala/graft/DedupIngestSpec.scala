@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+import graft.stream.DedupIngest
+
+/** Streaming near-dup admission control: lake-resident SimHash index,
+  * per-batch banded probe + exact verify, exactly-once via the epoch
+  * check. Pins the batch semantics (vs-index rejection, within-batch
+  * component-canonical keep) and the stream == batch-sequence equivalence.
+  */
+class DedupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Mutate text enough to stay a near-dup (tiny Hamming shift) — append
+    * one word: most simhash bits keep their majority.
+    */
+  private def nearCopy(of: DataFrame, shift: Long): DataFrame =
+    of.select(($"doc_id" + shift).as("doc_id"),
+      concat($"text", lit(" x")).as("text"))
+
+  test("admitBatch: fresh docs admitted, near-copies of the index rejected") {
+    val root = tmpDir("admit1")
+    val table = DedupIngest.indexTable(spark, s"$root/idx")
+    val b1 = docs.filter($"doc_id" < 40).select($"doc_id", $"text")
+    val s1 = DedupIngest.admitBatch(table, b1, epochId = 0L)
+    // sf0.001 docs 0..39 contain near-dup text pairs already; survivors
+    // must at least be nonempty and no larger than the batch
+    val kept1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(kept1.nonEmpty && kept1.size <= 40)
+    assert(table.read().count() == kept1.size)
+
+    // batch 2: exact copies (distance 0) of batch-1 docs + genuinely
+    // fresh docs
+    val copies = docs.filter($"doc_id" < 20).select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val freshDocs = docs.filter($"doc_id" >= 200 && $"doc_id" < 220)
+      .select($"doc_id", $"text")
+    val s2 = DedupIngest.admitBatch(table, copies.union(freshDocs), epochId = 1L)
+    val kept2 = s2.select("doc_id").as[Long].collect().toSet
+    // every exact copy of an ADMITTED doc must be rejected (simhash is a
+    // pure function of text → distance 0 → banded candidate guaranteed)
+    val admittedUnder20 = kept1.filter(_ < 20)
+    assert(admittedUnder20.forall(id => !kept2.contains(id + 10000)),
+      s"copies of admitted docs slipped through: ${kept2.filter(_ >= 10000)}")
+    // index grew by exactly the survivors
+    assert(table.read().count() == kept1.size + kept2.size)
+  }
+
+  test("admitBatch: within-batch near-dups keep the min-id canonical only") {
+    val root = tmpDir("admit2")
+    val table = DedupIngest.indexTable(spark, s"$root/idx")
+    val base = docs.filter($"doc_id" === 7).select($"doc_id", $"text")
+    // one doc + an exact copy + a near copy, all in ONE batch
+    val batch = base
+      .union(base.select(($"doc_id" + 100).as("doc_id"), $"text"))
+      .union(nearCopy(base, 200))
+    val kept = DedupIngest.admitBatch(table, batch, epochId = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(7L), "canonical (min id) must survive")
+    assert(!kept.contains(107L), "exact in-batch copy must be dropped")
+    // the near copy may or may not be within maxDist — but if dropped it
+    // must be because it is near doc 7 (component canonical rule)
+    val dist = {
+      graft.functions.VectorExprs.register(spark)
+      val sh = DedupOps.simhash64(batch, 64)
+      sh.as("a").join(sh.as("b"),
+          col("a.doc_id") === 7 && col("b.doc_id") === 207)
+        .select(graft.functions.VectorExprs.hammingHex(
+          col("a.simhash"), col("b.simhash")).as("d"))
+        .as[Int].head()
+    }
+    assert(kept.contains(207L) == (dist > 3),
+      s"near-copy at distance $dist: kept=${kept.contains(207L)}")
+  }
+
+  test("admitBatch: replayed epoch is a no-op (exactly-once)") {
+    val root = tmpDir("admit3")
+    val table = DedupIngest.indexTable(spark, s"$root/idx")
+    val b1 = docs.filter($"doc_id" < 30).select($"doc_id", $"text")
+    DedupIngest.admitBatch(table, b1, epochId = 0L)
+    val before = table.read().select("doc_id").as[Long].collect().toSet
+    val snapBefore = table.currentSnapshotId
+    // crash-replay: same batch, same epoch
+    DedupIngest.admitBatch(table, b1, epochId = 0L)
+    assert(table.currentSnapshotId == snapBefore, "replay must not commit")
+    assert(table.read().select("doc_id").as[Long].collect().toSet == before)
+  }
+
+  test("streaming admission == sequential batch admission; restart-safe") {
+    val root = tmpDir("admit4")
+    // 4 chunk files → 4 micro-batches in arrival order
+    val all = docs.filter($"doc_id" < 120).select($"doc_id", $"text")
+    (0 until 4).foreach { i =>
+      all.filter($"doc_id" % 4 === i)
+        .write.parquet(s"$root/feed/chunk=$i")
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    val q = DedupIngest.run(stream, s"$root/idx", s"$root/ckpt")
+    q.awaitTermination()
+    val streamed = graft.lake.LakeTable.load(spark, s"$root/idx")
+      .read().select("doc_id").as[Long].collect().toSet
+
+    // reference: the same chunks admitted sequentially in batch mode
+    val refTable = DedupIngest.indexTable(spark, s"$root/idx_ref")
+    // the file stream delivers one FILE per trigger in modification-time
+    // order == chunk order here
+    (0 until 4).foreach { i =>
+      DedupIngest.admitBatch(refTable,
+        spark.read.parquet(s"$root/feed/chunk=$i"), epochId = i.toLong)
+    }
+    val sequential = refTable.read().select("doc_id").as[Long].collect().toSet
+    assert(streamed == sequential,
+      s"stream-only=${(streamed -- sequential).toSeq.sorted.take(5)} " +
+        s"seq-only=${(sequential -- streamed).toSeq.sorted.take(5)}")
+
+    // restart on the same checkpoint: nothing new → no new commits
+    val before = graft.lake.LakeTable.load(spark, s"$root/idx").currentSnapshotId
+    val q2 = DedupIngest.run(stream, s"$root/idx", s"$root/ckpt")
+    q2.awaitTermination()
+    assert(graft.lake.LakeTable.load(spark, s"$root/idx").currentSnapshotId == before)
+  }
+}

@@ -314,6 +314,9 @@ class OperatorSpec extends SparkSpec {
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
     assert(cc(g) == want)
+    // the empty pair graph converges to the empty labelling (a batch with
+    // no near-dups must not wedge the admission pipeline)
+    assert(cc(Seq.empty) == Map.empty)
     // edge direction/order never matters (undirected closure)
     assert(cc(g.reverse.map(_.swap)) == want)
     // self-pairs and duplicate edges are harmless
