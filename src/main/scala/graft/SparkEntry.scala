@@ -349,6 +349,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // the composed CURATION pipeline: quality gate → predicted-language
+    // gate → seeded 50% sample → split assignment — the end-to-end
+    // pretraining-curation chain, every stage individually oracled
+    // (qt25/qt26/qs62/qs64) and the composition oracled here
+    "qc69_curate" -> ((s, dir) => { implicit val sp = s
+      val scored = t(dir, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+      Sampling.assignSplits(
+          Sampling.bernoulli(scored, col("doc_id"), p = 0.5, seed = "c69"),
+          col("doc_id"), Seq("train" -> 0.9, "val" -> 0.1), seed = "c69")
+        .select(col("doc_id"), col("source"), col("quality"), col("split"))
+    }),
+
     // --- corpus term statistics (TermStats.scala) ---
     "qt65_docfreq" -> ((s, dir) => { implicit val sp = s
       TermStats.docFreq(t(dir, "documents"))
@@ -988,6 +1003,42 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
          ORDER BY substr(md5('s67:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id
          LIMIT 100""",
+    "qc69_curate" -> {
+      val cut = operators.Sampling.splitThresholds(
+        Seq("train" -> 0.9, "val" -> 0.1)).head
+      s"""WITH f AS (SELECT doc_id, source, text, length(text) AS len,
+           (length(text) - length(replace(text, ' ', ''))) + 1 AS nw,
+           CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+             + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS INT)
+             + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS INT)
+             + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS INT) AS stops
+           FROM documents),
+         q AS (SELECT doc_id, source, text,
+           floor((least(1.0, CAST(len AS DOUBLE) / 400.0) * 0.5
+             + least(1.0, round(CAST(stops AS DOUBLE) / CAST(nw AS DOUBLE), 4) * 10.0) * 0.3
+             + CASE WHEN round(CAST(len - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE), 4)
+                 BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END)*10000 + 0.5)/10000 AS quality
+           FROM f),
+         l AS (SELECT doc_id, source, quality,
+           CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de' ELSE 'unk' END AS lang_pred
+           FROM (SELECT doc_id, source, quality,
+             CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+               + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS INT) AS en,
+             CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS INT)
+               + CAST((length(text) - length(replace(text, ' de ', ''))) / 4 AS INT) AS es,
+             CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS INT)
+               + CAST((length(text) - length(replace(text, ' und ', ''))) / 5 AS INT) AS de
+             FROM q))
+         SELECT doc_id, source, quality,
+           CASE WHEN substr(md5('c69:' || CAST(doc_id AS VARCHAR)), 1, 12)
+             < '$cut' THEN 'train' ELSE 'val' END AS split
+         FROM l
+         WHERE quality >= 0.5 AND lang_pred = 'en'
+           AND substr(md5('c69:' || CAST(doc_id AS VARCHAR)), 1, 12)
+             < '${operators.Sampling.hexThreshold(0.5)}'"""
+    },
     "qs68_sample_per_stratum" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source, row_number() OVER (PARTITION BY source
