@@ -1020,19 +1020,33 @@ class LakeTable private (
     //     AQE's DisableUnnecessaryBucketedScan would then silently turn
     //     the scan into arbitrary file splits, breaking task-index ==
     //     bucket and MISPLACING rows (real bug, caught by a review probe).
+    //  1b. AQE partition coalescing and skew-splitting are pinned OFF for
+    //     the same reason: when the caller's plan already ends in an
+    //     ENSURE_REQUIREMENTS exchange on (key, layout) — e.g. a
+    //     groupBy/join on the key under shuffle.partitions == numBuckets —
+    //     Catalyst elides the explicit REPARTITION_BY_NUM as redundant,
+    //     and the surviving requirement exchange IS runtime-coalescable:
+    //     AQE then merges adjacent partitions and one task writes several
+    //     buckets (real bug: AdmissionProbe at local[8] over an 8-bucket
+    //     index, pinned by BucketElisionSpec). With coalescing off, the
+    //     surviving exchange keeps exactly `layout` partitions under the
+    //     same hash, so elision is placement-preserving.
     //  2. every row carries its computed `_bucket`; after writing, the
     //     parquet footer must show min == max == the part-number bucket,
     //     or the write REFUSES to commit — layout corruption can only ever
     //     be loud, never silent.
     val tagged = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(buckets)))
     val stage = s"$root/data/.stage-${UUID.randomUUID()}"
-    val autoBucketKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prevAuto = spark.conf.getOption(autoBucketKey)
-    spark.conf.set(autoBucketKey, "false")
+    val pinnedOff = Seq(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled")
+    val prev = pinnedOff.map(k => k -> spark.conf.getOption(k))
+    pinnedOff.foreach(spark.conf.set(_, "false"))
     try tagged.write.mode("overwrite").parquet(stage)
-    finally prevAuto match {
-      case Some(v) => spark.conf.set(autoBucketKey, v)
-      case None    => spark.conf.unset(autoBucketKey)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
     if (!fs.exists(stage)) return Seq.empty
     try {

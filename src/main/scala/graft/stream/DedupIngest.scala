@@ -76,8 +76,16 @@ object DedupIngest {
     graft.functions.VectorExprs.register(batch.sparkSession)
     // batch-side hashes: small (one row per batch doc) — checkpointed so
     // the banded join, the in-batch pair join, and the upsert all reuse
-    // one computation instead of re-running the simhash aggregation
-    val sh = DedupOps.simhash64(batch.select(col("doc_id"), col("text")), maxLen)
+    // one computation instead of re-running the simhash aggregation.
+    // simhash64 emits nothing for a TOKENLESS doc (empty/whitespace
+    // text) — those must not silently vanish from the corpus: they hash
+    // to the zero simhash, i.e. all empty docs are exact dupes of each
+    // other and the first one admitted represents them.
+    val sh = batch.select(col("doc_id"))
+      .join(DedupOps.simhash64(batch.select(col("doc_id"), col("text")), maxLen),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("simhash"), lit("0" * 16)).as("simhash"))
       .localCheckpoint()
 
     // 2. vs-index: banded equi-join, batch side broadcast — the index

@@ -1,0 +1,82 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.stream.DedupIngest
+
+/** Throughput probe for streaming near-dup admission: synthesize
+  * SPARK_GRAFT_DOCS (default 400k) deterministic docs — a controlled
+  * fraction of them near-copies of earlier docs — replay them through
+  * [[DedupIngest.admitBatch]] in SPARK_GRAFT_CHUNKS batches against a
+  * growing lake-resident index, and report docs/sec per core count in
+  * SPARK_GRAFT_CPUS_LIST (interleave repeats like CdcBench when listing
+  * two sizes). Sanity: admitted count must be exactly the number of
+  * distinct originals (copies are Hamming-0 → guaranteed banded
+  * candidates → always rejected).
+  *
+  * Doc text is a pure function of the original id (splitmix64-seeded
+  * word picks), so the run is replay-deterministic at any scale.
+  */
+object AdmissionProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "400000").toLong
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "4").toInt
+    val dupPct = sys.env.getOrElse("SPARK_GRAFT_DUP_PCT", "20").toInt
+    val cpusList = sys.env.getOrElse("SPARK_GRAFT_CPUS_LIST", "32")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_DIR", "/dev/shm")
+
+    val results = scala.collection.mutable.Map.empty[String, Double]
+    for (rep <- 1 to repeats; cpus <- cpusList) {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", s"$baseDir/graft-admit-local")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val root = Files.createTempDirectory(
+          java.nio.file.Paths.get(baseDir), "graft-admit-").toString
+        // doc i < originals: text = 24 words picked by splitmix64(i);
+        // doc i >= originals: byte-identical copy of original i % originals
+        val originals = nDocs * (100 - dupPct) / 100
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 24).map { w =>
+            // same mix-constant trick as EventGen: word w of doc i
+            val h = xxhash64(
+              when(col("id") < originals, col("id"))
+                .otherwise(pmod(col("id"), lit(originals))) * 31 + w)
+            concat(lit("w"), pmod(h, lit(997)))
+          }: _*).as("text"))
+        val perChunk = (nDocs + chunks - 1) / chunks
+        val table = DedupIngest.indexTable(spark, s"$root/idx", numBuckets = 8)
+        val t0 = System.nanoTime()
+        var admitted = 0L
+        (0 until chunks).foreach { c =>
+          val batch = docs.filter(
+            col("doc_id") >= c * perChunk && col("doc_id") < (c + 1) * perChunk)
+          admitted += DedupIngest.admitBatch(table, batch, epochId = c.toLong).count()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val indexed = table.read().count()
+        require(indexed == admitted, s"index $indexed != admitted $admitted")
+        val rate = nDocs / sec
+        val key = s"cpus=$cpus"
+        results(key) = math.max(results.getOrElse(key, 0.0), rate)
+        println(f"[admission] rep=$rep cpus=$cpus docs=$nDocs " +
+          f"admitted=$admitted (${100.0 * admitted / nDocs}%.1f%%) " +
+          f"sec=$sec%.1f rate=${rate}%.0f docs/s")
+        graft.lake.LakeFs.forRoot(root).deleteRecursively(root)
+      } finally spark.stop()
+    }
+    println("admission_summary " + results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"$k:${v}%.0f" }.mkString(" "))
+  }
+}

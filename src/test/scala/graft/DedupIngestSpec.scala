@@ -77,6 +77,21 @@ class DedupIngestSpec extends SparkSpec {
       s"near-copy at distance $dist: kept=${kept.contains(207L)}")
   }
 
+  test("admitBatch: tokenless docs are not lost — zero-simhash exact-dupe class") {
+    val root = tmpDir("admit5")
+    val table = DedupIngest.indexTable(spark, s"$root/idx")
+    val batch = Seq((1L, ""), (2L, "   "), (3L, "real words here")).toDF("doc_id", "text")
+    val kept = DedupIngest.admitBatch(table, batch, epochId = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    // both tokenless docs collapse to the zero hash: min id survives
+    assert(kept == Set(1L, 3L), s"got $kept")
+    // a later empty doc is rejected against the admitted zero-hash rep
+    val kept2 = DedupIngest.admitBatch(table,
+      Seq((9L, "")).toDF("doc_id", "text"), epochId = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2.isEmpty)
+  }
+
   test("admitBatch: replayed epoch is a no-op (exactly-once)") {
     val root = tmpDir("admit3")
     val table = DedupIngest.indexTable(spark, s"$root/idx")
