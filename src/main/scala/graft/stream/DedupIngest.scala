@@ -70,9 +70,21 @@ object DedupIngest {
     * upsert survivors' hashes under `epochId` and return the surviving
     * rows of `batch` (all original columns). A replayed epoch re-derives
     * the same survivors and skips the commit.
+    *
+    * `docsTable`, when given, receives the survivors' FULL rows under the
+    * same epoch — and is written BEFORE the index, which is what makes
+    * the two-table update exactly-once without a cross-table transaction:
+    * admission is a deterministic function of (batch, index state), so a
+    * crash between the two commits replays into an UNCHANGED index,
+    * re-derives identical survivors, no-ops the already-committed docs
+    * epoch, and completes the index commit. The reverse order would
+    * replay against an index that already contains the batch, reject
+    * everything as self-duplicates, and lose the batch from the docs
+    * table. DedupIngestSpec pins the interleaving.
     */
   def admitBatch(table: LakeTable, batch: DataFrame, epochId: Long,
-                 maxLen: Int = 64, maxDist: Int = 3): DataFrame = {
+                 maxLen: Int = 64, maxDist: Int = 3,
+                 docsTable: Option[LakeTable] = None): DataFrame = {
     graft.functions.VectorExprs.register(batch.sparkSession)
     // batch-side hashes: small (one row per batch doc) — checkpointed so
     // the banded join, the in-batch pair join, and the upsert all reuse
@@ -122,12 +134,20 @@ object DedupIngest {
       .select(col("v").as("doc_id"))
     val admitted = fresh.join(losers, Seq("doc_id"), "left_anti")
 
-    // 4. survivors into the index under this epoch (no-op on replay)
+    // 4. survivors out — docs sink FIRST (see scaladoc: the replay-safe
+    // order), then the index under the same epoch (no-op on replay)
+    val survivors = batch
+      .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    docsTable.foreach { dt =>
+      dt.upsert(survivors.select(Seq(lit("I").as("op"),
+          lit(epochId).as("lsn")) ++ survivors.columns.map(col): _*),
+        epochId = epochId, summary = Map("admission" -> "simhash"))
+    }
     table.upsert(admitted.select(lit("I").as("op"), col("doc_id"),
         lit(epochId).as("lsn"), col("simhash")),
       epochId = epochId,
       summary = Map("admission" -> "simhash"))
-    batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    survivors
   }
 
   /** The streaming runner: every micro-batch flows through
@@ -136,16 +156,33 @@ object DedupIngest {
     */
   def run(docs: DataFrame, indexRoot: String, checkpointDir: String,
           numBuckets: Int = 8, maxLen: Int = 64, maxDist: Int = 3,
+          docsRoot: Option[String] = None,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
+    // create the sinks once, up front — a first-batch race between the
+    // two creates inside foreachBatch would be the only non-idempotent
+    // step in the pipeline
+    val docsSchema = StructType(docs.schema.fields.toSeq)
+    docsRoot.foreach(r => docsLakeTable(spark, r, docsSchema, numBuckets))
+    indexTable(spark, indexRoot, numBuckets)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         admitBatch(indexTable(spark, indexRoot, numBuckets), batch, epochId,
-          maxLen, maxDist)
-        () // survivors live in the index; downstream reads it or its CDC tail
+          maxLen, maxDist,
+          docsTable = docsRoot.map(r => docsLakeTable(spark, r, docsSchema, numBuckets)))
+        () // survivors live in the sinks; downstream reads them or the CDC tail
       }
       .start()
+  }
+
+  /** Load-or-create the admitted-docs sink with the stream's own schema. */
+  private def docsLakeTable(spark: SparkSession, root: String,
+                            schema: StructType, numBuckets: Int): LakeTable = {
+    val fs = LakeFs.forRoot(root)
+    if (fs.exists(s"$root/meta")) LakeTable.load(spark, root)
+    else LakeTable.create(spark, root, schema, keyCol = "doc_id",
+      numBuckets = numBuckets)
   }
 }

@@ -105,6 +105,45 @@ class DedupIngestSpec extends SparkSpec {
     assert(table.read().select("doc_id").as[Long].collect().toSet == before)
   }
 
+  test("two-table admission: docs-before-index commit order survives a mid-crash") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("admit6")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    def newDocsTable(p: String) =
+      graft.lake.LakeTable.create(spark, p, schema, keyCol = "doc_id", numBuckets = 4)
+    val b0 = docs.filter($"doc_id" < 40).select($"doc_id", $"text")
+    val b1 = docs.filter($"doc_id" < 10).select(($"doc_id" + 5000).as("doc_id"), $"text")
+      .union(docs.filter($"doc_id" >= 300 && $"doc_id" < 320).select($"doc_id", $"text"))
+
+    val idx = DedupIngest.indexTable(spark, s"$root/idx")
+    val out = newDocsTable(s"$root/out")
+    DedupIngest.admitBatch(idx, b0, 0L, docsTable = Some(out))
+
+    // derive batch 1's survivors against the SAME index state via a
+    // deterministic replay on a scratch root (admission is a pure
+    // function of (batch, index state))
+    val scratch = DedupIngest.indexTable(spark, s"$root/scratch")
+    DedupIngest.admitBatch(scratch, b0, 0L)
+    val survivors1 = DedupIngest.admitBatch(scratch, b1, 1L)
+
+    // CRASH SIMULATION: the docs table committed epoch 1, the index did
+    // not — exactly the state admitBatch's docs-first order can leave
+    out.upsert(survivors1.select(lit("I").as("op"), lit(1L).as("lsn"),
+      $"doc_id", $"text"), epochId = 1L)
+    // replay of micro-batch 1 after the crash
+    val replayed = DedupIngest.admitBatch(idx, b1, 1L, docsTable = Some(out))
+
+    val outIds = out.read().select("doc_id").as[Long].collect().toSet
+    val idxIds = idx.read().select("doc_id").as[Long].collect().toSet
+    assert(outIds == idxIds, "docs sink and index must agree after replay")
+    assert(replayed.select("doc_id").as[Long].collect().toSet ==
+      survivors1.select("doc_id").as[Long].collect().toSet)
+    // no duplicate rows in the docs sink (one row per admitted doc)
+    assert(out.read().count() == outIds.size)
+  }
+
   test("streaming admission == sequential batch admission; restart-safe") {
     val root = tmpDir("admit4")
     // 4 chunk files → 4 micro-batches in arrival order
@@ -115,10 +154,14 @@ class DedupIngestSpec extends SparkSpec {
     }
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
-    val q = DedupIngest.run(stream, s"$root/idx", s"$root/ckpt")
+    val q = DedupIngest.run(stream, s"$root/idx", s"$root/ckpt",
+      docsRoot = Some(s"$root/docs"))
     q.awaitTermination()
     val streamed = graft.lake.LakeTable.load(spark, s"$root/idx")
       .read().select("doc_id").as[Long].collect().toSet
+    // the admitted-docs sink tracks the index exactly
+    assert(graft.lake.LakeTable.load(spark, s"$root/docs")
+      .read().select("doc_id").as[Long].collect().toSet == streamed)
 
     // reference: the same chunks admitted sequentially in batch mode
     val refTable = DedupIngest.indexTable(spark, s"$root/idx_ref")
@@ -135,7 +178,8 @@ class DedupIngestSpec extends SparkSpec {
 
     // restart on the same checkpoint: nothing new → no new commits
     val before = graft.lake.LakeTable.load(spark, s"$root/idx").currentSnapshotId
-    val q2 = DedupIngest.run(stream, s"$root/idx", s"$root/ckpt")
+    val q2 = DedupIngest.run(stream, s"$root/idx", s"$root/ckpt",
+      docsRoot = Some(s"$root/docs"))
     q2.awaitTermination()
     assert(graft.lake.LakeTable.load(spark, s"$root/idx").currentSnapshotId == before)
   }
