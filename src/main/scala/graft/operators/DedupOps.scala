@@ -276,15 +276,26 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50): DataFrame = {
+    // checkpoint the DIRECTED pair frame, not the symmetrized union: the
+    // two union branches don't share their subplan (no CSE across union
+    // in Catalyst), so checkpointing after the union would compute the
+    // caller's pair pipeline — often an LSH join + verify — twice. The
+    // symmetrize itself is a cheap projection over the cached RDD.
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+      col(bCol).cast("long").as("dst")).localCheckpoint()
     // no distinct: min-aggregation is duplicate-insensitive, so duplicate
     // edges only pad the per-round join input — a full dedup shuffle of
     // the edge list costs more than they ever will
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // round 0 for free: over the SYMMETRIZED edge list, one aggregate
+    // yields min(v, min(neighbors)) — exactly what the first
+    // propagate-round's join+union+aggregate would produce, one shuffle
+    // cheaper (and it subsumes the vertex-set distinct)
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("comp"))
+      .select(col("src").as("v"), col("comp"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("comp")).localCheckpoint()
     var prevSum = Option.empty[java.math.BigDecimal]
     var it = 0
     var converged = false
