@@ -358,9 +358,13 @@ object SparkEntry {
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .withColumn("lang_pred", TextOps.langId(col("text")))
         .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+      // DISTINCT seeds for the two stages: a shared seed correlates the
+      // draws perfectly — every bernoulli(0.5) survivor has u < 0x8000…,
+      // which is below any train cut ≥ 0.5, so 'val' would be provably
+      // empty. Independent seeds make every split branch reachable.
       Sampling.assignSplits(
           Sampling.bernoulli(scored, col("doc_id"), p = 0.5, seed = "c69"),
-          col("doc_id"), Seq("train" -> 0.9, "val" -> 0.1), seed = "c69")
+          col("doc_id"), Seq("train" -> 0.9, "val" -> 0.1), seed = "c69split")
         .select(col("doc_id"), col("source"), col("quality"), col("split"))
     }),
 
@@ -1032,7 +1036,7 @@ object SparkEntry {
                + CAST((length(text) - length(replace(text, ' und ', ''))) / 5 AS INT) AS de
              FROM q))
          SELECT doc_id, source, quality,
-           CASE WHEN substr(md5('c69:' || CAST(doc_id AS VARCHAR)), 1, 12)
+           CASE WHEN substr(md5('c69split:' || CAST(doc_id AS VARCHAR)), 1, 12)
              < '$cut' THEN 'train' ELSE 'val' END AS split
          FROM l
          WHERE quality >= 0.5 AND lang_pred = 'en'

@@ -1037,16 +1037,8 @@ class LakeTable private (
     //     be loud, never silent.
     val tagged = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(buckets)))
     val stage = s"$root/data/.stage-${UUID.randomUUID()}"
-    val pinnedOff = Seq(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.adaptive.skewJoin.enabled")
-    val prev = pinnedOff.map(k => k -> spark.conf.getOption(k))
-    pinnedOff.foreach(spark.conf.set(_, "false"))
-    try tagged.write.mode("overwrite").parquet(stage)
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    LakeTable.pinnedPlacementConfs(spark) {
+      tagged.write.mode("overwrite").parquet(stage)
     }
     if (!fs.exists(stage)) return Seq.empty
     try {
@@ -1539,6 +1531,50 @@ object LakeTable {
         x.name == y.name && sameType(x.dataType, y.dataType)
       }
     case _ => a == b
+  }
+
+  /** Session confs that must be OFF while a bucket-placed delta plans and
+    * writes (see writeDelta defenses 1/1b): anything that lets the
+    * runtime change the partition↔task mapping of the final stage —
+    * bucketed-scan splitting, AQE partition coalescing, skew-splitting,
+    * and the local shuffle reader (a runtime broadcast demotion would
+    * otherwise replace the surviving placement exchange with map-local
+    * reads).
+    *
+    * REFERENCE-COUNTED: concurrent writers in one session overlap their
+    * staged writes, and a naive save/restore races — writer B captures
+    * writer A's pinned "false" as the previous value and restores it
+    * after A already restored the original, leaving the conf disabled
+    * session-wide forever. First entrant saves, last exiter restores.
+    * While any write is staging, OTHER queries on the session also plan
+    * without these optimizations — accepted: transiently conservative
+    * plans beat silently misplaced buckets.
+    */
+  private val PlacementPins = Seq(
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.localShuffleReader.enabled")
+  private val pinLock = new Object
+  private var pinDepth = 0
+  private var pinSaved: Seq[(String, Option[String])] = Nil
+
+  private[lake] def pinnedPlacementConfs[T](spark: SparkSession)(body: => T): T = {
+    pinLock.synchronized {
+      if (pinDepth == 0) {
+        pinSaved = PlacementPins.map(k => k -> spark.conf.getOption(k))
+        PlacementPins.foreach(spark.conf.set(_, "false"))
+      }
+      pinDepth += 1
+    }
+    try body
+    finally pinLock.synchronized {
+      pinDepth -= 1
+      if (pinDepth == 0) pinSaved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
   }
 
   def create(spark: SparkSession, root: String, schema: StructType,

@@ -202,12 +202,21 @@ object DedupOps {
     * ReusedExchange), and at corpus scale computing the full simhash
     * aggregation twice doubles the most expensive stage.
     */
-  private def simhashCandidatePairs(sh0: DataFrame): DataFrame = {
-    val sh = sh0.localCheckpoint()
-    val banded = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("blk"), col("simhash"))
+  /** One row per 16-bit Hamming band of a (doc_id, simhash) frame:
+    * (doc_id, blk, bval, simhash). THE band definition — every banded
+    * consumer (batch candidate self-join here, the streaming admission
+    * probe in [[graft.stream.DedupIngest]]) derives from this one place,
+    * so the pigeonhole arithmetic (4 blocks × 4 hex chars ⇒ recall
+    * guaranteed within Hamming distance 3) cannot drift between sites.
+    */
+  private[graft] def bandFrame(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("blk"), col("simhash"))
       .select(col("doc_id"), col("blk"),
         col("simhash").substr(col("blk") * 4 + 1, lit(4)).as("bval"), col("simhash"))
+
+  private[graft] def simhashCandidatePairs(sh0: DataFrame): DataFrame = {
+    val sh = sh0.localCheckpoint()
+    val banded = bandFrame(sh)
     banded.as("a").join(banded.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))

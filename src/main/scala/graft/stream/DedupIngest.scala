@@ -56,14 +56,11 @@ object DedupIngest {
       numBuckets = numBuckets)
   }
 
-  /** (doc_id, simhash) → one row per 16-bit band: (doc_id, simhash, blk,
-    * bval). Pigeonhole: Hamming distance ≤ 3 ⇒ at least one band equal.
+  /** (doc_id, simhash) → one row per 16-bit band. Pigeonhole: Hamming
+    * distance ≤ 3 ⇒ at least one band equal. Delegates to the single
+    * band definition in [[DedupOps.bandFrame]].
     */
-  private def banded(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("blk"))
-      .select(col("doc_id"), col("simhash"), col("blk"),
-        col("simhash").substr(col("blk") * 4 + 1, lit(4)).as("bval"))
+  private def banded(sh: DataFrame): DataFrame = DedupOps.bandFrame(sh)
 
   /** Admit one batch: reject docs within Hamming `maxDist` of the index,
     * then keep one canonical doc per within-batch near-dup component;
@@ -82,10 +79,25 @@ object DedupIngest {
     * everything as self-duplicates, and lose the batch from the docs
     * table. DedupIngestSpec pins the interleaving.
     */
-  def admitBatch(table: LakeTable, batch: DataFrame, epochId: Long,
+  def admitBatch(table: LakeTable, batch0: DataFrame, epochId: Long,
                  maxLen: Int = 64, maxDist: Int = 3,
                  docsTable: Option[LakeTable] = None): DataFrame = {
-    graft.functions.VectorExprs.register(batch.sparkSession)
+    // the 4×16-bit pigeonhole only guarantees candidate recall within
+    // Hamming distance 3 — a larger bound would silently under-reject
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist $maxDist outside the banding guarantee [0, 3]")
+    graft.functions.VectorExprs.register(batch0.sparkSession)
+    // one row per doc_id, content-addressed tie-break: real feeds re-emit
+    // ids, and duplicate ids would otherwise (a) blend both rows' words
+    // into one simhash and (b) leave the docs-sink winner partition-order
+    // dependent — breaking the deterministic-replay argument the
+    // two-table exactly-once rests on
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(md5(coalesce(col("text").cast("string"), lit(""))))
+    val batch = batch0
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
     // batch-side hashes: small (one row per batch doc) — checkpointed so
     // the banded join, the in-batch pair join, and the upsert all reuse
     // one computation instead of re-running the simhash aggregation.
@@ -116,19 +128,11 @@ object DedupIngest {
     val fresh = sh.join(vsIndex, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // 3. within-batch components among the remaining docs: min id per
-    // component survives (batch-scale frames — pairs via the same banded
-    // pigeonhole join, exact verify)
-    val pairs = {
-      val b = banded(fresh)
-      b.as("a").join(b.as("b"),
-          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
-        .distinct()
-        .filter(graft.functions.VectorExprs.hammingHex(
-          col("sh1"), col("sh2")) <= maxDist)
-    }
+    // component survives (batch-scale frames — the SAME banded pigeonhole
+    // candidate join the batch dedup operator uses, exact verify)
+    val pairs = DedupOps.simhashCandidatePairs(fresh)
+      .filter(graft.functions.VectorExprs.hammingHex(
+        col("sh1"), col("sh2")) <= maxDist)
     val losers = DedupOps.connectedComponents(pairs, "id1", "id2")
       .filter(col("v") =!= col("comp"))
       .select(col("v").as("doc_id"))
@@ -163,15 +167,17 @@ object DedupIngest {
     // two creates inside foreachBatch would be the only non-idempotent
     // step in the pipeline
     val docsSchema = StructType(docs.schema.fields.toSeq)
-    docsRoot.foreach(r => docsLakeTable(spark, r, docsSchema, numBuckets))
-    indexTable(spark, indexRoot, numBuckets)
+    // ONE LakeTable instance per sink for the stream's lifetime: an
+    // instance self-updates on every commit, and reloading per batch
+    // would re-parse the metadata fold each trigger (fixed cost that
+    // dominates small micro-batches)
+    val out = docsRoot.map(r => docsLakeTable(spark, r, docsSchema, numBuckets))
+    val idx = indexTable(spark, indexRoot, numBuckets)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        admitBatch(indexTable(spark, indexRoot, numBuckets), batch, epochId,
-          maxLen, maxDist,
-          docsTable = docsRoot.map(r => docsLakeTable(spark, r, docsSchema, numBuckets)))
+        admitBatch(idx, batch, epochId, maxLen, maxDist, docsTable = out)
         () // survivors live in the sinks; downstream reads them or the CDC tail
       }
       .start()

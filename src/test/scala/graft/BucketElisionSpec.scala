@@ -48,11 +48,15 @@ class BucketElisionSpec extends SparkSpec {
         (col("doc_id") + 1).as("payload"))
     table.upsert(batch, epochId = 0L) // must not throw the layout violation
     assert(table.read().count() == 200)
-    // every live file must be bucket-pure (the defense would have thrown;
-    // this asserts the positive contract too)
-    val byBucket = table.read()
+    // positive contract, independently of the footer defense: every
+    // on-disk data file's rows hash to exactly the bucket number its
+    // Spark bucket suffix (`_0000N`) claims
+    val perFile = table.read()
       .select(col("doc_id"),
-        org.apache.spark.sql.functions.spark_partition_id().as("p"))
-    assert(byBucket.count() == 200)
+        regexp_extract(input_file_name(), "_(\\d{5})\\.", 1).cast("int").as("claimed"),
+        pmod(hash(col("doc_id")), lit(4)).as("actual"))
+    assert(perFile.filter(col("claimed") =!= col("actual")).count() == 0)
+    assert(perFile.select("claimed").distinct().count() > 1,
+      "repro degenerated: all rows in one bucket proves nothing")
   }
 }

@@ -44,6 +44,17 @@ class SamplingSpec extends SparkSpec {
     assert(a != other)
   }
 
+  test("bernoulli: null keys draw deterministically instead of vanishing") {
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("k")
+    assert(Sampling.bernoulli(withNull, $"k", 1.0, "n").count() == 3,
+      "p=1 must keep ALL rows, null keys included")
+    assert(Sampling.bernoulli(withNull, $"k", 0.0, "n").count() == 0)
+    // the null class is stable across runs
+    val a = Sampling.bernoulli(withNull, $"k", 0.5, "n").count()
+    val b = Sampling.bernoulli(withNull, $"k", 0.5, "n").count()
+    assert(a == b)
+  }
+
   test("bernoulli: rate is approximately honored") {
     val n = docs.count().toDouble
     val kept = Sampling.bernoulli(docs, $"doc_id", 0.25, "rate").count().toDouble
@@ -124,10 +135,13 @@ class SamplingSpec extends SparkSpec {
     val dir = tmpDir("sampstream")
     docs.limit(200).repartition(4).write.parquet(s"$dir/feed")
     val splits = Seq("train" -> 0.8, "val" -> 0.2)
+    // distinct seeds: a shared seed correlates the draws and leaves the
+    // 'val' branch unreachable (all bernoulli(0.5) survivors sit below
+    // the 0.8 cut) — the equality below must compare BOTH branches
     def curate(df: org.apache.spark.sql.DataFrame) =
       Sampling.assignSplits(
         Sampling.bernoulli(df, col("doc_id"), 0.5, "ss"),
-        col("doc_id"), splits, "ss")
+        col("doc_id"), splits, "ss2")
         .select(col("doc_id"), col("split"))
     val q = curate(spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/feed"))
