@@ -405,6 +405,20 @@ object SparkEntry {
         Similarity.writeIvfLake(emb, root, nCells = 4)
       Similarity.ivfTopKLake(s, root, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
     }),
+    // --- embedding vector utilities (VectorOps.scala) ---
+    // norms + first normalized element per vector (native dot fold)
+    "qv70_vecnorm" -> ((s, dir) => { implicit val sp = s
+      graft.functions.VectorExprs.register(s)
+      t(dir, "embeddings").select(col("vec_id"),
+        TextOps.round4(VectorOps.l2Norm(col("embedding"))).as("norm"),
+        TextOps.round4(element_at(VectorOps.l2Normalize(col("embedding")), 1))
+          .as("n0"))
+    }),
+    // per-label mean pooling (decimal-summed — deterministic under any
+    // partitioning, exact vs the oracle)
+    "qv71_meanpool" -> ((s, dir) => { implicit val sp = s
+      VectorOps.meanPool(t(dir, "embeddings"), "label")
+    }),
     "qm41_resize" -> ((s, dir) => { implicit val sp = s
       // resize stub: binary-in/binary-out; SQL-verifiable metadata
       Multimodal.resizeStub(t(dir, "documents"), factor = 4)
@@ -1095,6 +1109,24 @@ object SparkEntry {
     "qd40_ann_ivf" -> ivfOracle,
     // identical deterministic pipeline over the lake-resident index
     "qd59_ann_ivf_lake" -> ivfOracle,
+    "qv70_vecnorm" ->
+      """SELECT vec_id,
+         floor(sqrt(daa)*10000 + 0.5)/10000 AS norm,
+         floor((CASE WHEN sqrt(daa) > 0
+           THEN CAST(embedding[1] AS DOUBLE)/sqrt(daa) ELSE NULL END)*10000 + 0.5)/10000 AS n0
+         FROM (SELECT vec_id, embedding,
+           (SELECT sum(CAST(x.a AS DOUBLE)*CAST(x.a AS DOUBLE))
+            FROM (SELECT unnest(embedding) AS a) x) AS daa
+           FROM embeddings)""",
+    "qv71_meanpool" ->
+      """WITH e AS (SELECT label, embedding, len(embedding) AS n FROM embeddings),
+         x AS (SELECT label, CAST(gs.i - 1 AS INT) AS pos,
+             CAST(floor(CAST(embedding[gs.i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS v
+           FROM e, (SELECT unnest(generate_series(1, 64)) AS i) gs
+           WHERE gs.i <= n)
+         SELECT label, pos,
+           floor((CAST(sum(v) AS DOUBLE) / (1000000.0 * CAST(count(*) AS DOUBLE)))*10000 + 0.5)/10000 AS mean
+         FROM x GROUP BY label, pos""",
     "qm34_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          CAST(octet_length(encode(text)) % 640 AS INT) AS width,

@@ -21,14 +21,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // per-side element accessor: float and double arrays both accepted
+  // (a normalized copy is array<double>; raw embeddings array<float>)
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def get(arr: ArrayData, i: Int, dbl: Boolean): Double =
+    if (dbl) arr.getDouble(i) else arr.getFloat(i).toDouble
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDoubleArray(left), isDoubleArray(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += get(x, i, xd) * get(y, i, yd)
       i += 1
     }
     acc
@@ -38,11 +49,13 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      def acc(v: String, e: Expression) =
+        if (isDoubleArray(e)) s"$v.getDouble($i)" else s"(double) $v.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double acc_${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc_${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  acc_${ev.value} += ${acc(a, left)} * ${acc(b, right)};
          |}
          |${ev.value} = acc_${ev.value};
        """.stripMargin

@@ -157,6 +157,26 @@ class SamplingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("VectorOps: normalized vectors have unit norm; zero vector nulls out") {
+    import graft.operators.VectorOps
+    graft.functions.VectorExprs.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val norms = emb.select(
+      VectorOps.l2Norm(VectorOps.l2Normalize(col("embedding"))).as("n"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+    val zero = Seq(Seq(0f, 0f, 0f)).toDF("embedding")
+    val z = zero.select(VectorOps.l2Normalize(col("embedding")).as("v"))
+      .as[Seq[Option[Double]]].head()
+    assert(z.forall(_.isEmpty), "zero vector must normalize to nulls, not NaN")
+    // meanPool of a single-group corpus of identical vectors is the vector
+    val same = Seq((1, Seq(0.5f, -0.25f)), (1, Seq(0.5f, -0.25f)))
+      .toDF("label", "embedding")
+    val pooled = VectorOps.meanPool(same, "label")
+      .orderBy("pos").select("mean").as[Double].collect()
+    assert(pooled.toSeq == Seq(0.5, -0.25))
+  }
+
   test("docFreq: hand-computed on a 3-doc corpus") {
     val tiny = Seq(
       (1L, "a b a"),
