@@ -35,7 +35,8 @@ final case class LakeSchema(schemaId: Int, fields: Seq[LakeField]) {
 final case class FileEntry(path: String, bucket: Int, bytes: Long, schemaId: Int,
     rows: Long, minLsn: Long, maxLsn: Long,
     colMin: Map[String, String] = Map.empty,
-    colMax: Map[String, String] = Map.empty)
+    colMax: Map[String, String] = Map.empty,
+    keyBloom: Option[String] = None)
 
 /** An atomic table version. The log of snapshots IS the table state:
   * live files = fold of added − removed over snapshots 0..N.
@@ -114,7 +115,8 @@ class LakeTable private (
     val root: String,
     val keyCol: String,
     private var _numBuckets: Int,
-    val fs: LakeFs) {
+    val fs: LakeFs,
+    val keyBloomBits: Int = 0) {
 
   import LakeTable._
 
@@ -243,7 +245,8 @@ class LakeTable private (
       val f = FileEntry(e.get("path").asText(), e.get("bucket").asInt(),
         e.get("bytes").asLong(), e.get("schemaId").asInt(),
         e.get("rows").asLong(), e.get("minLsn").asLong(), e.get("maxLsn").asLong(),
-        LakeTable.readColStats(e, "colMin"), LakeTable.readColStats(e, "colMax"))
+        LakeTable.readColStats(e, "colMin"), LakeTable.readColStats(e, "colMax"),
+        Option(e.get("bloom")).map(_.asText()))
       val layout = Option(e.get("layout")).map(_.asInt()).filter(_ >= 0)
       f.path -> LiveEntry(f, e.get("snapId").asLong(), layout)
     }.toSeq
@@ -408,7 +411,15 @@ class LakeTable private (
         val attr = AttributeReference(keyCol, dt, nullable = false)()
         val b = org.apache.spark.sql.execution.datasources.BucketingUtils
           .getBucketIdFromValue(attr, layout, internal)
-        entries.filter(_.file.bucket == b)
+        val inBucket = entries.filter(_.file.bucket == b)
+        // bloom skip within the bucket: a file whose manifest bloom
+        // excludes the probe key cannot contain it (bloom-less files —
+        // older manifests, bloom-off tables — are always kept)
+        if (keyBloomBits > 0) {
+          val ps = LakeTable.bloomPositionsFor(internal, dt, keyBloomBits)
+          inBucket.filter(_.file.keyBloom
+            .forall(LakeTable.bloomMightContain(_, ps)))
+        } else inBucket
       case None => entries
     }
     winnersOver(subset, schema)
@@ -432,11 +443,18 @@ class LakeTable private (
         val dt = schema.fields.find(_.name == keyCol)
           .map(_.dataType).getOrElse(StringType)
         val attr = AttributeReference(keyCol, dt, nullable = false)()
-        val buckets = keyValues.map { kv =>
+        val internals = keyValues.map(kv =>
+          Cast(Literal(kv), dt, Some("UTC")).eval())
+        val buckets = internals.map(
           org.apache.spark.sql.execution.datasources.BucketingUtils
-            .getBucketIdFromValue(attr, layout, Cast(Literal(kv), dt, Some("UTC")).eval())
-        }.toSet
-        entries.filter(e => buckets(e.file.bucket))
+            .getBucketIdFromValue(attr, layout, _)).toSet
+        val inBuckets = entries.filter(e => buckets(e.file.bucket))
+        // bloom skip: keep a file iff it might contain ANY probed key
+        if (keyBloomBits > 0) {
+          val probes = internals.map(LakeTable.bloomPositionsFor(_, dt, keyBloomBits))
+          inBuckets.filter(_.file.keyBloom.forall(b =>
+            probes.exists(LakeTable.bloomMightContain(b, _))))
+        } else inBuckets
       case None => entries
     }
     winnersOver(subset, schema)
@@ -887,7 +905,7 @@ class LakeTable private (
         newNumBuckets.map(n => "rebucket" -> s"${numBuckets}->$n")).get
     if (target != _numBuckets) {
       _numBuckets = target
-      writeTableProps(fs, metaDir, keyCol, target)
+      writeTableProps(fs, metaDir, keyCol, target, keyBloomBits)
     }
     snap
   }
@@ -1117,13 +1135,41 @@ class LakeTable private (
       // True orphans (crashed attempts) are collected by gcOrphanData.
       require(!fs.exists(target), s"delta dir collision: $target")
       fs.rename(stage, target)
-      entries
+      attachKeyBlooms(entries)
     } catch {
       case t: Throwable =>
         // never leak a full-size staging dir on a failing feed
         fs.deleteRecursively(stage)
         throw t
     }
+  }
+
+  /** Per-file key bloom filters (opt-in via `keyBloomBits` at create):
+    * one extra key-column pass over the just-written delta sets
+    * `BloomHashes` bit positions per key into a `keyBloomBits`-bit array,
+    * stored base64 in the manifest — Iceberg's puffin-blob analog, and
+    * the access-path counterpart of the reference's index-config
+    * (repository.clj:131-136): [[lookup]]/[[lookupAll]] then skip every
+    * file of the key's bucket whose bloom excludes the probe, so a point
+    * read under compaction debt opens ~1 file instead of all of the
+    * bucket's. Hash = `pmod(xxhash64(i, key), bits)` — the PROBE
+    * evaluates the same Catalyst expression driver-side, so build and
+    * probe can never disagree. False positives only cost an extra file
+    * read; absent blooms (older manifests, bloom-off tables) are never
+    * pruned — conservative both ways.
+    */
+  private def attachKeyBlooms(entries: Seq[FileEntry]): Seq[FileEntry] = {
+    if (keyBloomBits <= 0 || entries.isEmpty) return entries
+    val posCol = LakeTable.bloomPositionCols(col(keyCol), keyBloomBits)
+    val perFile = spark.read.parquet(entries.map(e => s"$root/${e.path}"): _*)
+      .select(input_file_name().as("_f"), explode(posCol).as("_p"))
+      .groupBy("_f").agg(collect_set(col("_p")).as("_ps"))
+      .collect()
+      .map(r => LakeFs.fileName(r.getString(0)) ->
+        r.getSeq[Int](1))
+      .toMap
+    entries.map(e => e.copy(keyBloom = perFile.get(LakeFs.fileName(e.path))
+      .map(ps => LakeTable.bloomEncode(ps, keyBloomBits))))
   }
 
   private final case class FooterStats(rows: Long, minLsn: Long, maxLsn: Long,
@@ -1579,7 +1625,10 @@ object LakeTable {
 
   def create(spark: SparkSession, root: String, schema: StructType,
              keyCol: String = "doc_id", numBuckets: Int = 16,
-             fs: LakeFs = null): LakeTable = {
+             fs: LakeFs = null, keyBloomBits: Int = 0): LakeTable = {
+    require(keyBloomBits == 0 || (keyBloomBits >= 64 &&
+      (keyBloomBits & (keyBloomBits - 1)) == 0 && keyBloomBits <= (1 << 20)),
+      s"keyBloomBits must be 0 (off) or a power of two in [64, 2^20]: $keyBloomBits")
     val theFs = Option(fs).getOrElse(LakeFs.forRoot(root))
     val meta = s"$root/meta"
     require(!theFs.exists(meta) || listFiles(theFs, meta, "schema-").isEmpty,
@@ -1592,8 +1641,8 @@ object LakeTable {
     // table properties are persistent layout facts, not caller options —
     // the bucket count is grafter's native-store index-config analog
     // (repository.clj:131-136)
-    writeTableProps(theFs, meta, keyCol, numBuckets)
-    new LakeTable(spark, root, keyCol, numBuckets, theFs)
+    writeTableProps(theFs, meta, keyCol, numBuckets, keyBloomBits)
+    new LakeTable(spark, root, keyCol, numBuckets, theFs, keyBloomBits)
   }
 
   /** Load an existing table; layout properties come from its metadata.
@@ -1609,22 +1658,26 @@ object LakeTable {
     require(theFs.exists(meta), s"no table at $root")
     val n = mapper.readTree(theFs.readString(s"$meta/table.json"))
     val fromProps = n.get("numBuckets").asInt()
-    val t = new LakeTable(spark, root, n.get("keyCol").asText(), fromProps, theFs)
+    val bloomBits = Option(n.get("keyBloomBits")).map(_.asInt()).getOrElse(0)
+    val t = new LakeTable(spark, root, n.get("keyCol").asText(), fromProps, theFs,
+      bloomBits)
     // the incremental state fold (checkpoint + tail — O(interval) parses,
     // never the whole log) already carries the commit-recorded layout; a
     // crash between a re-bucketing compaction's commit and its table.json
     // update must not resurrect the old layout
     t.ensureState()
     if (t.numBuckets != fromProps)
-      writeTableProps(theFs, meta, t.keyCol, t.numBuckets) // heal table.json
+      writeTableProps(theFs, meta, t.keyCol, t.numBuckets, t.keyBloomBits) // heal table.json
     t
   }
 
   private[lake] def writeTableProps(fs: LakeFs, meta: String, keyCol: String,
-                                    numBuckets: Int): Unit = {
+                                    numBuckets: Int,
+                                    keyBloomBits: Int = 0): Unit = {
     val props = mapper.createObjectNode()
     props.put("keyCol", keyCol)
     props.put("numBuckets", numBuckets)
+    if (keyBloomBits > 0) props.put("keyBloomBits", keyBloomBits)
     fs.putStringAtomic(s"$meta/table.json", props.toPrettyString,
       createOnly = false)
   }
@@ -1700,6 +1753,46 @@ object LakeTable {
       val xo = fo.putObject("colMax")
       f.colMax.toSeq.sortBy(_._1).foreach { case (k, v) => xo.put(k, v) }
     }
+    f.keyBloom.foreach(b => fo.put("bloom", b))
+  }
+
+  /** Number of bloom hash functions (bit positions per key). */
+  private[lake] val BloomHashes = 4
+
+  /** Executor-side bit positions for one key: `pmod(xxhash64(i, key),
+    * bits)` per hash index — plain codegen'd functions.
+    */
+  private[lake] def bloomPositionCols(key: Column, bits: Int): Column =
+    array((0 until BloomHashes).map { i =>
+      pmod(xxhash64(lit(i), key), lit(bits.toLong)).cast("int")
+    }: _*)
+
+  /** Driver-side twin of [[bloomPositionCols]] for a probe value already
+    * cast to the key column's type (internal representation): evaluates
+    * the SAME XxHash64 expression, so the two sides agree by
+    * construction.
+    */
+  private[lake] def bloomPositionsFor(keyInternal: Any,
+                                      dt: org.apache.spark.sql.types.DataType,
+                                      bits: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until BloomHashes).map { i =>
+      // seed 42 = the sql xxhash64() function's fixed seed
+      val h = XxHash64(Seq(Literal(i), Literal(keyInternal, dt)), 42L)
+        .eval(null).asInstanceOf[Long]
+      java.lang.Math.floorMod(h, bits.toLong).toInt
+    }
+  }
+
+  private[lake] def bloomEncode(positions: Seq[Int], bits: Int): String = {
+    val arr = new Array[Byte](bits / 8)
+    positions.foreach(p => arr(p >> 3) = (arr(p >> 3) | (1 << (p & 7))).toByte)
+    java.util.Base64.getEncoder.encodeToString(arr)
+  }
+
+  private[lake] def bloomMightContain(b64: String, positions: Seq[Int]): Boolean = {
+    val arr = java.util.Base64.getDecoder.decode(b64)
+    positions.forall(p => (p >> 3) < arr.length && ((arr(p >> 3) >> (p & 7)) & 1) == 1)
   }
 
   private[lake] def readColStats(
@@ -1714,7 +1807,8 @@ object LakeTable {
       FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
         f.get("bytes").asLong(), f.get("schemaId").asInt(),
         f.get("rows").asLong(), f.get("minLsn").asLong(), f.get("maxLsn").asLong(),
-        readColStats(f, "colMin"), readColStats(f, "colMax"))
+        readColStats(f, "colMin"), readColStats(f, "colMax"),
+        Option(f.get("bloom")).map(_.asText()))
     }.toSeq
     val removed = n.get("removedData").elements().asScala.map(_.asText()).toSet
     val summary = n.get("summary").properties().asScala
