@@ -409,10 +409,14 @@ object SparkEntry {
     // norms + first normalized element per vector (native dot fold)
     "qv70_vecnorm" -> ((s, dir) => { implicit val sp = s
       graft.functions.VectorExprs.register(s)
-      t(dir, "embeddings").select(col("vec_id"),
-        TextOps.round4(VectorOps.l2Norm(col("embedding"))).as("norm"),
-        TextOps.round4(element_at(VectorOps.l2Normalize(col("embedding")), 1))
-          .as("n0"))
+      // two-step normalize: the norm is a materialized column, so the
+      // transform lambda divides by an O(1) attribute, not an O(d) fold
+      t(dir, "embeddings")
+        .withColumn("_n", VectorOps.l2Norm(col("embedding")))
+        .select(col("vec_id"),
+          TextOps.round4(col("_n")).as("norm"),
+          TextOps.round4(element_at(
+            VectorOps.l2NormalizeBy(col("embedding"), col("_n")), 1)).as("n0"))
     }),
     // per-label mean pooling (decimal-summed — deterministic under any
     // partitioning, exact vs the oracle)
@@ -1122,7 +1126,8 @@ object SparkEntry {
       """WITH e AS (SELECT label, embedding, len(embedding) AS n FROM embeddings),
          x AS (SELECT label, CAST(gs.i - 1 AS INT) AS pos,
              CAST(floor(CAST(embedding[gs.i] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS v
-           FROM e, (SELECT unnest(generate_series(1, 64)) AS i) gs
+           FROM e, (SELECT unnest(generate_series(1,
+             (SELECT max(len(embedding)) FROM embeddings))) AS i) gs
            WHERE gs.i <= n)
          SELECT label, pos,
            floor((CAST(sum(v) AS DOUBLE) / (1000000.0 * CAST(count(*) AS DOUBLE)))*10000 + 0.5)/10000 AS mean

@@ -445,15 +445,21 @@ class LakeTable private (
         val attr = AttributeReference(keyCol, dt, nullable = false)()
         val internals = keyValues.map(kv =>
           Cast(Literal(kv), dt, Some("UTC")).eval())
-        val buckets = internals.map(
+        val byBucket = internals.groupBy(
           org.apache.spark.sql.execution.datasources.BucketingUtils
-            .getBucketIdFromValue(attr, layout, _)).toSet
-        val inBuckets = entries.filter(e => buckets(e.file.bucket))
-        // bloom skip: keep a file iff it might contain ANY probed key
+            .getBucketIdFromValue(attr, layout, _))
+        val inBuckets = entries.filter(e => byBucket.contains(e.file.bucket))
+        // bloom skip, BUCKET-SCOPED: files are bucket-pure, so a file is
+        // tested only against its own bucket's probe keys — probing it
+        // with other buckets' keys would just multiply the false-positive
+        // rate without ever being a true match
         if (keyBloomBits > 0) {
-          val probes = internals.map(LakeTable.bloomPositionsFor(_, dt, keyBloomBits))
-          inBuckets.filter(_.file.keyBloom.forall(b =>
-            probes.exists(LakeTable.bloomMightContain(b, _))))
+          val probesByBucket = byBucket.map { case (b, ks) =>
+            b -> ks.map(LakeTable.bloomPositionsFor(_, dt, keyBloomBits))
+          }
+          inBuckets.filter(e => e.file.keyBloom.forall(blm =>
+            probesByBucket(e.file.bucket)
+              .exists(LakeTable.bloomMightContain(blm, _))))
         } else inBuckets
       case None => entries
     }
@@ -1602,24 +1608,33 @@ object LakeTable {
     "spark.sql.adaptive.skewJoin.enabled",
     "spark.sql.adaptive.localShuffleReader.enabled")
   private val pinLock = new Object
-  private var pinDepth = 0
-  private var pinSaved: Seq[(String, Option[String])] = Nil
+  // refcount + saved values PER SparkSession: the confs are session-scoped,
+  // so one global counter would leave a second session's write unpinned
+  // and restore the first session's values onto the wrong session
+  private val pinState =
+    new java.util.IdentityHashMap[SparkSession, (Int, Seq[(String, Option[String])])]
 
   private[lake] def pinnedPlacementConfs[T](spark: SparkSession)(body: => T): T = {
     pinLock.synchronized {
-      if (pinDepth == 0) {
-        pinSaved = PlacementPins.map(k => k -> spark.conf.getOption(k))
-        PlacementPins.foreach(spark.conf.set(_, "false"))
+      Option(pinState.get(spark)) match {
+        case None =>
+          val saved = PlacementPins.map(k => k -> spark.conf.getOption(k))
+          PlacementPins.foreach(spark.conf.set(_, "false"))
+          pinState.put(spark, (1, saved))
+        case Some((depth, saved)) =>
+          pinState.put(spark, (depth + 1, saved))
       }
-      pinDepth += 1
     }
     try body
     finally pinLock.synchronized {
-      pinDepth -= 1
-      if (pinDepth == 0) pinSaved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
+      val (depth, saved) = pinState.get(spark)
+      if (depth == 1) {
+        pinState.remove(spark)
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      } else pinState.put(spark, (depth - 1, saved))
     }
   }
 

@@ -214,8 +214,11 @@ object DedupOps {
       .select(col("doc_id"), col("blk"),
         col("simhash").substr(col("blk") * 4 + 1, lit(4)).as("bval"), col("simhash"))
 
-  private[graft] def simhashCandidatePairs(sh0: DataFrame): DataFrame = {
-    val sh = sh0.localCheckpoint()
+  private[graft] def simhashCandidatePairs(sh0: DataFrame,
+                                           materialized: Boolean = false): DataFrame = {
+    // the hash frame feeds BOTH sides of the self-join — materialise it
+    // once, unless the caller already holds a checkpointed frame
+    val sh = if (materialized) sh0 else sh0.localCheckpoint()
     val banded = bandFrame(sh)
     banded.as("a").join(banded.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&

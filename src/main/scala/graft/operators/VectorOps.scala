@@ -13,24 +13,33 @@ import graft.functions.{TextOps, VectorExprs}
   *
   * Scale/portability notes: norms ride the native [[VectorExprs.dot]]
   * fold (codegen'd, per-row — no shuffle); mean pooling is one
-  * posexplode + hash aggregate, with the per-position sum in DECIMAL —
-  * float addition order across a group is partition-dependent, decimal
-  * addition is exact, so results are deterministic AND oracle-exact (the
-  * repo-wide convention from SparkEntry's header).
+  * posexplode + hash aggregate over INTEGER-QUANTIZED components (1e-6
+  * units) — float addition order across a group is partition-dependent,
+  * integer addition is exact, so results are deterministic AND
+  * oracle-exact.
   */
 object VectorOps {
 
   /** L2 norm of a float-array column, as double. */
   def l2Norm(v: Column): Column = sqrt(VectorExprs.dot(v, v))
 
-  /** Unit-normalized copy of the vector (null-safe: a zero vector
-    * normalizes to nulls rather than dividing by zero loudly).
+  /** Unit-normalized copy of the vector given a PRE-COMPUTED norm column
+    * (null-safe: a zero norm yields nulls rather than dividing by zero
+    * loudly). Pass a materialized column (`withColumn("n", l2Norm(v))`),
+    * not an inline `l2Norm(v)` expression: higher-order-function lambdas
+    * re-evaluate their captured expressions per ELEMENT (no subexpression
+    * elimination in the HOF path), so an inline norm turns O(d)
+    * normalization into O(d²).
     */
-  def l2Normalize(v: Column): Column = {
-    val n = l2Norm(v)
+  def l2NormalizeBy(v: Column, norm: Column): Column =
     transform(v, x =>
-      when(n > 0.0, x.cast("double") / n).otherwise(lit(null).cast("double")))
-  }
+      when(norm > 0.0, x.cast("double") / norm).otherwise(lit(null).cast("double")))
+
+  /** Convenience one-expression form of [[l2NormalizeBy]] — O(d²) per row
+    * for the reason documented there; fine for small d or one-off use,
+    * use the two-step form on wide embeddings at scale.
+    */
+  def l2Normalize(v: Column): Column = l2NormalizeBy(v, l2Norm(v))
 
   /** Element-wise mean of the group's vectors, one output row per
     * (group, position): the pooling shape that feeds centroid builds and

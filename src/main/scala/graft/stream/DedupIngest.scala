@@ -92,9 +92,13 @@ object DedupIngest {
     // into one simhash and (b) leave the docs-sink winner partition-order
     // dependent — breaking the deterministic-replay argument the
     // two-table exactly-once rests on
+    // tie-break over a digest of the FULL row, not just text: two rows
+    // with the same id and text but different other columns must still
+    // resolve to the same winner on every replay (the docs sink writes
+    // whole rows)
+    val rowDigest = md5(to_json(struct(batch0.columns.map(col): _*)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(md5(coalesce(col("text").cast("string"), lit(""))))
+      .partitionBy(col("doc_id")).orderBy(rowDigest)
     val batch = batch0
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
@@ -130,7 +134,7 @@ object DedupIngest {
     // 3. within-batch components among the remaining docs: min id per
     // component survives (batch-scale frames — the SAME banded pigeonhole
     // candidate join the batch dedup operator uses, exact verify)
-    val pairs = DedupOps.simhashCandidatePairs(fresh)
+    val pairs = DedupOps.simhashCandidatePairs(fresh, materialized = true)
       .filter(graft.functions.VectorExprs.hammingHex(
         col("sh1"), col("sh2")) <= maxDist)
     val losers = DedupOps.connectedComponents(pairs, "id1", "id2")
