@@ -368,6 +368,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"), col("split"))
     }),
 
+    // budget-bounded draw: ≤3000 chars of docs per source, hash-ordered
+    "qs72_sample_token_budget" -> ((s, dir) => { implicit val sp = s
+      Sampling.weightBudgetPerStratum(t(dir, "documents"), col("doc_id"),
+          col("source"), col("n_chars"), budget = 3000L, seed = "s72")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // --- corpus term statistics (TermStats.scala) ---
     "qt65_docfreq" -> ((s, dir) => { implicit val sp = s
       TermStats.docFreq(t(dir, "documents"))
@@ -1067,6 +1074,13 @@ object SparkEntry {
              ORDER BY substr(md5('s68:' || CAST(doc_id AS VARCHAR)), 1, 12),
                       doc_id) AS rn
            FROM documents) WHERE rn <= 20""",
+    "qs72_sample_token_budget" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+               ORDER BY substr(md5('s72:' || CAST(doc_id AS VARCHAR)), 1, 12), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents) WHERE cum <= 3000""",
     "qt65_docfreq" ->
       """WITH w AS (SELECT doc_id, word FROM (
              SELECT doc_id, unnest(string_split(substr(text, 1, 64), ' ')) AS word

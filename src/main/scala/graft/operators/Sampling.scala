@@ -107,6 +107,28 @@ object Sampling {
       .drop(r)
   }
 
+  /** Budget-bounded per-stratum draw: walk each stratum's rows in hash
+    * order accumulating `weight` (token count, bytes, …) and keep rows
+    * while the running total stays ≤ `budget` — "take one billion tokens
+    * per source, uniformly at random, deterministically". Same shuffle
+    * shape as [[exactKPerStratum]] (one window over the stratum); the
+    * kept set is nested in the budget (raising it only adds rows) because
+    * the walk order is budget-independent.
+    */
+  def weightBudgetPerStratum(df: DataFrame, key: Column, stratum: Column,
+                             weight: Column, budget: Long,
+                             seed: String): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val c = "_samp_cum"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(draw(seed, key), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn(c, sum(weight).over(w))
+      .filter(col(c) <= budget)
+      .drop(c)
+  }
+
   /** Stable split assignment: adds `splitCol` labelling each row by hash
     * range — `splits` are (name, weight) in declared order, weights
     * normalised to 1, the last split absorbing the remainder (so the

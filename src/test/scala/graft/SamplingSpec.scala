@@ -87,6 +87,24 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.exactK(docs, $"doc_id", 0, "k").count() == 0)
   }
 
+  test("weightBudgetPerStratum: per-stratum weight stays within budget, nested in budget") {
+    val b3k = Sampling.weightBudgetPerStratum(docs, $"doc_id", $"source",
+      $"n_chars", 3000L, "wb")
+    val perSource = b3k.groupBy("source").agg(sum("n_chars").as("w"))
+      .as[(String, Long)].collect().toMap
+    assert(perSource.nonEmpty && perSource.values.forall(_ <= 3000L))
+    // nested: a larger budget keeps a superset
+    val ids3k = b3k.select("doc_id").as[Long].collect().toSet
+    val ids6k = Sampling.weightBudgetPerStratum(docs, $"doc_id", $"source",
+      $"n_chars", 6000L, "wb").select("doc_id").as[Long].collect().toSet
+    assert(ids3k.subsetOf(ids6k) && ids6k.size > ids3k.size)
+    // zero budget keeps nothing; a budget above the corpus keeps all
+    assert(Sampling.weightBudgetPerStratum(docs, $"doc_id", $"source",
+      $"n_chars", 0L, "wb").count() == 0)
+    assert(Sampling.weightBudgetPerStratum(docs, $"doc_id", $"source",
+      $"n_chars", Long.MaxValue / 2, "wb").count() == docs.count())
+  }
+
   test("assignSplits: labels partition the input; assignment is stable under corpus growth") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val labelled = Sampling.assignSplits(docs, $"doc_id", splits, "s64").cache()
