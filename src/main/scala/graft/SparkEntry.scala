@@ -412,6 +412,16 @@ object SparkEntry {
         Similarity.writeIvfLake(emb, root, nCells = 4)
       Similarity.ivfTopKLake(s, root, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
     }),
+    // eval-set decontamination: corpus docs sharing any 8-char shingle
+    // with the (deterministic) held-out eval slice; hashed-shingle
+    // equi-join, eval side broadcast — never all-pairs
+    "qd73_contamination" -> ((s, dir) => { implicit val sp = s
+      val docs = t(dir, "documents")
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      DedupOps.contamination(docs.filter(col("doc_id") % 97 =!= 0), eval,
+        w = 8, maxLen = 48)
+    }),
+
     // --- embedding vector utilities (VectorOps.scala) ---
     // norms + first normalized element per vector (native dot fold)
     "qv70_vecnorm" -> ((s, dir) => { implicit val sp = s
@@ -1127,6 +1137,20 @@ object SparkEntry {
     "qd40_ann_ivf" -> ivfOracle,
     // identical deterministic pipeline over the lake-resident index
     "qd59_ann_ivf_lake" -> ivfOracle,
+    "qd73_contamination" ->
+      """WITH c AS (SELECT doc_id, substr(text, 1, 48) AS tx FROM documents
+             WHERE doc_id % 97 <> 0),
+         e AS (SELECT doc_id AS eval_id, substr(text, 1, 48) AS tx FROM documents
+             WHERE doc_id % 97 = 0),
+         cg AS (SELECT DISTINCT c.doc_id, md5(substr(c.tx, gs.i, 8)) AS g
+             FROM c, (SELECT unnest(generate_series(1, 48)) AS i) gs
+             WHERE gs.i <= greatest(1, length(c.tx) - 7)),
+         eg AS (SELECT DISTINCT e.eval_id, md5(substr(e.tx, gs.i, 8)) AS g
+             FROM e, (SELECT unnest(generate_series(1, 48)) AS i) gs
+             WHERE gs.i <= greatest(1, length(e.tx) - 7))
+         SELECT cg.doc_id, eg.eval_id, count(*) AS n_shared
+         FROM cg JOIN eg ON cg.g = eg.g
+         GROUP BY cg.doc_id, eg.eval_id""",
     "qv70_vecnorm" ->
       """SELECT vec_id,
          floor(sqrt(daa)*10000 + 0.5)/10000 AS norm,

@@ -265,6 +265,29 @@ object DedupOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Eval-set contamination check: flag every corpus doc that shares at
+    * least one `w`-char shingle (over the first `maxLen` chars) with any
+    * eval doc — the decontamination step a training pipeline runs before
+    * an eval set can be trusted. Shingles are md5-hashed and equi-joined
+    * (never an all-pairs scan); the eval side is the broadcast side by
+    * construction (eval sets are small). Returns (doc_id, eval_id,
+    * n_shared) per contaminated pair.
+    */
+  def contamination(corpus: DataFrame, eval: DataFrame, w: Int,
+                    maxLen: Int): DataFrame = {
+    def shingles(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("doc_id").as(idCol),
+          substring(col("text"), 1, maxLen).as("tx"))
+        .select(col(idCol), explode(sequence(lit(1),
+          greatest(lit(1), length(col("tx")) - (w - 1)))).as("i"), col("tx"))
+        .select(col(idCol), md5(col("tx").substr(col("i"), lit(w))).as("g"))
+        .distinct()
+    shingles(corpus, "doc_id")
+      .join(broadcast(shingles(eval, "eval_id")), "g")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Connected components over an undirected pair graph — the CLUSTERING
     * step a dedup pipeline runs after pair generation: near-duplicate is
     * not transitive, but keep-one-per-cluster must be, so the pairs are

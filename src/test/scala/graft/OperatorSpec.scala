@@ -303,6 +303,23 @@ class OperatorSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("contamination: eval copies are flagged, disjoint docs are not") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzzz entirely different content qqqq xxxx"),
+      (3L, "quick brown fox somewhere in the middle here")).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val flagged = DedupOps.contamination(corpus, eval, w = 8, maxLen = 48)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.contains(1L), "doc sharing a long prefix must be flagged")
+    assert(!flagged.contains(2L), "disjoint doc must not be flagged")
+    // n_shared counts DISTINCT shared shingles
+    val n = DedupOps.contamination(corpus, eval, 8, 48)
+      .filter($"doc_id" === 1L).select("n_shared").as[Long].head()
+    assert(n >= 10, s"prefix overlap should share many shingles, got $n")
+  }
+
   test("connected components: exact clusters on crafted graphs, edge-order invariant") {
     import spark.implicits._
     def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
