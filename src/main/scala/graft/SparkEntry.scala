@@ -412,6 +412,11 @@ object SparkEntry {
         Similarity.writeIvfLake(emb, root, nCells = 4)
       Similarity.ivfTopKLake(s, root, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
     }),
+    // repetition quality gate: 1 - distinct/total 8-char shingles
+    "qt74_repetition" -> ((s, dir) => { implicit val sp = s
+      TermStats.repetitionRatio(t(dir, "documents"), w = 8, maxLen = 64)
+    }),
+
     // eval-set decontamination: corpus docs sharing any 8-char shingle
     // with the (deterministic) held-out eval slice; hashed-shingle
     // equi-join, eval side broadcast — never all-pairs
@@ -1137,6 +1142,14 @@ object SparkEntry {
     "qd40_ann_ivf" -> ivfOracle,
     // identical deterministic pipeline over the lake-resident index
     "qd59_ann_ivf_lake" -> ivfOracle,
+    "qt74_repetition" ->
+      """WITH g AS (SELECT doc_id, substr(tx, gs.i, 8) AS g
+           FROM (SELECT doc_id, substr(text, 1, 64) AS tx FROM documents) d,
+                (SELECT unnest(generate_series(1, 64)) AS i) gs
+           WHERE gs.i <= greatest(1, length(d.tx) - 7))
+         SELECT doc_id, count(*) AS n_shingles,
+           floor((1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 AS repetition
+         FROM g GROUP BY doc_id""",
     "qd73_contamination" ->
       """WITH c AS (SELECT doc_id, substr(text, 1, 48) AS tx FROM documents
              WHERE doc_id % 97 <> 0),

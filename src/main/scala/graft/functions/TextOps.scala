@@ -87,4 +87,15 @@ object TextOps {
   /** Simple whole-prefix fingerprint. */
   def prefixFingerprint(text: Column, prefixLen: Int): Column =
     md5(substring(text, 1, prefixLen))
+
+  /** Within-doc repetition ratio over `w`-char shingles of the first
+    * `maxLen` chars: 1 − distinct/total, rounded to 4 decimals — the
+    * boilerplate/looping-text signal of a pretraining quality filter
+    * (high ratio ⇒ the doc repeats itself). Column-only arithmetic: the
+    * shingle positions ride a `sequence` explode at the call site
+    * ([[graft.operators.TermStats.repetitionRatio]] packages the
+    * explode+aggregate; this is the per-doc formula).
+    */
+  def repetitionRatioFrom(distinctShingles: Column, totalShingles: Column): Column =
+    round4(lit(1.0) - distinctShingles.cast("double") / totalShingles.cast("double"))
 }

@@ -44,6 +44,21 @@ object TermStats {
       .agg(count_distinct(col("doc_id")).as("n_docs"),
            count(lit(1)).as("n_total"))
 
+  /** Per-doc repetition ratio: 1 − distinct/total over `w`-char shingles
+    * of the first `maxLen` chars — high values flag boilerplate and
+    * degenerate looping text (the standard repetition quality gate). One
+    * explode + one aggregate; output (doc_id, n_shingles, repetition).
+    */
+  def repetitionRatio(docs: DataFrame, w: Int = 8, maxLen: Int = 64): DataFrame =
+    docs.select(col("doc_id"), substring(col("text"), 1, maxLen).as("tx"))
+      .select(col("doc_id"), explode(sequence(lit(1),
+        greatest(lit(1), length(col("tx")) - (w - 1)))).as("i"), col("tx"))
+      .select(col("doc_id"), col("tx").substr(col("i"), lit(w)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        TextOps.repetitionRatioFrom(count_distinct(col("g")), count(lit(1)))
+          .as("repetition"))
+
   /** Top-`k` terms per document by rarity-weighted frequency
     * `score = tf · n_corpus_docs / df`, rounded to 4 decimals; ties broken
     * by word. Returns (doc_id, word, score, rank).

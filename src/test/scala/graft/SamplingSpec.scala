@@ -205,6 +205,16 @@ class SamplingSpec extends SparkSpec {
     assert(df == Map("a" -> (2L, 3L), "b" -> (1L, 1L), "c" -> (2L, 4L)))
   }
 
+  test("repetitionRatio: looping text scores near 1, varied text near 0") {
+    val tiny = Seq(
+      (1L, "ababababababababababababababababababababab"),
+      (2L, "the quick brown fox jumps over one lazy dog now")).toDF("doc_id", "text")
+    val r = TermStats.repetitionRatio(tiny)
+      .select("doc_id", "repetition").as[(Long, Double)].collect().toMap
+    assert(r(1L) > 0.9, s"pure loop scored ${r(1L)}")
+    assert(r(2L) == 0.0, s"all-distinct shingles scored ${r(2L)}")
+  }
+
   test("topTerms: at most k per doc, rare terms outrank common ones") {
     val tiny = Seq(
       (1L, "common rare common"),
