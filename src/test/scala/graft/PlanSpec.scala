@@ -35,6 +35,13 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("contamination joins the eval side broadcast (qd73)") {
+    // the corpus-sized side must never shuffle: the eval shingle frame is
+    // the build side of a broadcast hash join
+    assert(planOf(SparkEntry.queries("qd73_contamination")(spark, sfDir))
+      .contains("BroadcastHashJoin"))
+  }
+
   test("fused bucketed LWW plans exactly one exchange") {
     import spark.implicits._
     val events = ChangeFeed.events(spark, FeedConfig(numEvents = 1000)).toDF()
