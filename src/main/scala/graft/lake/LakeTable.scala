@@ -1061,9 +1061,15 @@ class LakeTable private (
     //     be loud, never silent.
     val tagged = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(buckets)))
     val stage = s"$root/data/.stage-${UUID.randomUUID()}"
-    LakeTable.pinnedPlacementConfs(spark) {
+    // pin the FRAME's session, not the table's: inside foreachBatch the
+    // batch frames belong to a per-stream session clone, and execution
+    // (where AQE reads its conf) runs under the frame's own session —
+    // pins on the table's session would be invisible there
+    LakeTable.pinnedPlacementConfs(tagged.sparkSession) {
       tagged.write.mode("overwrite").parquet(stage)
     }
+    if (sys.env.contains("GRAFT_DEBUG_PLAN"))
+      System.err.println("[writeDelta plan]\n" + tagged.queryExecution.executedPlan)
     if (!fs.exists(stage)) return Seq.empty
     try {
       val conf = spark.sessionState.newHadoopConf()
@@ -1625,7 +1631,12 @@ object LakeTable {
           pinState.put(spark, (depth + 1, saved))
       }
     }
-    try body
+    // session-level pins above cover plans built later from other
+    // threads; the thread-local override below is what actually bites in
+    // conf-propagated contexts (foreachBatch bodies, AQE re-plan threads)
+    // where the session conf is shadowed by a propagated snapshot
+    try org.apache.spark.sql.graftshim.StreamingFrameShim
+      .withConfsOff(PlacementPins)(body)
     finally pinLock.synchronized {
       val (depth, saved) = pinState.get(spark)
       if (depth == 1) {

@@ -86,7 +86,12 @@ object DedupIngest {
     // Hamming distance 3 — a larger bound would silently under-reject
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist $maxDist outside the banding guarantee [0, 3]")
+    // register on BOTH sessions: inside foreachBatch the batch frame
+    // belongs to a per-stream CLONE of the session while the index
+    // table's frames belong to the original — the hamming filter resolves
+    // against whichever session owns the frame it lands on
     graft.functions.VectorExprs.register(batch0.sparkSession)
+    graft.functions.VectorExprs.register(table.spark)
     // one row per doc_id, content-addressed tie-break: real feeds re-emit
     // ids, and duplicate ids would otherwise (a) blend both rows' words
     // into one simhash and (b) leave the docs-sink winner partition-order
@@ -165,6 +170,7 @@ object DedupIngest {
   def run(docs: DataFrame, indexRoot: String, checkpointDir: String,
           numBuckets: Int = 8, maxLen: Int = 64, maxDist: Int = 3,
           docsRoot: Option[String] = None,
+          maxFilesPerBucket: Int = 0,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
     // create the sinks once, up front — a first-batch race between the
@@ -182,6 +188,13 @@ object DedupIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         admitBatch(idx, batch, epochId, maxLen, maxDist, docsTable = out)
+        // bounded maintenance inline with admission (CdcIngest's policy):
+        // without it a long-running stream accrues one delta per batch
+        // and every probe's index scan opens O(batches) files
+        if (maxFilesPerBucket > 0) (Seq(idx) ++ out).foreach { t =>
+          val victims = t.compactionCandidates(maxFilesPerBucket)
+          if (victims.nonEmpty) t.compactBuckets(victims)
+        }
         () // survivors live in the sinks; downstream reads them or the CDC tail
       }
       .start()

@@ -144,6 +144,30 @@ class DedupIngestSpec extends SparkSpec {
     assert(out.read().count() == outIds.size)
   }
 
+  test("auto-compaction keeps the admission index bounded without changing results") {
+    val root = tmpDir("admit7")
+    val all = docs.filter($"doc_id" < 120).select($"doc_id", $"text")
+    (0 until 6).foreach { i =>
+      all.filter($"doc_id" % 6 === i).write.parquet(s"$root/feed/chunk=$i")
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    val q = DedupIngest.run(stream, s"$root/idx", s"$root/ckpt",
+      numBuckets = 4, docsRoot = Some(s"$root/docs"), maxFilesPerBucket = 2)
+    q.awaitTermination()
+    val idx = graft.lake.LakeTable.load(spark, s"$root/idx")
+    val perBucket = idx.liveFiles().groupBy(_.bucket).map(_._2.size)
+    assert(perBucket.forall(_ <= 2), s"buckets exceed file bound: $perBucket")
+    // compaction must not change the admitted set vs an uncompacted run
+    val ref = DedupIngest.indexTable(spark, s"$root/ref", numBuckets = 4)
+    (0 until 6).foreach { i =>
+      DedupIngest.admitBatch(ref,
+        spark.read.parquet(s"$root/feed/chunk=$i"), epochId = i.toLong)
+    }
+    assert(idx.read().select("doc_id").as[Long].collect().toSet ==
+      ref.read().select("doc_id").as[Long].collect().toSet)
+  }
+
   test("streaming admission == sequential batch admission; restart-safe") {
     val root = tmpDir("admit4")
     // 4 chunk files → 4 micro-batches in arrival order
