@@ -1068,8 +1068,6 @@ class LakeTable private (
     LakeTable.pinnedPlacementConfs(tagged.sparkSession) {
       tagged.write.mode("overwrite").parquet(stage)
     }
-    if (sys.env.contains("GRAFT_DEBUG_PLAN"))
-      System.err.println("[writeDelta plan]\n" + tagged.queryExecution.executedPlan)
     if (!fs.exists(stage)) return Seq.empty
     try {
       val conf = spark.sessionState.newHadoopConf()

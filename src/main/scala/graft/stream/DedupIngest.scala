@@ -100,8 +100,12 @@ object DedupIngest {
     // tie-break over a digest of the FULL row, not just text: two rows
     // with the same id and text but different other columns must still
     // resolve to the same winner on every replay (the docs sink writes
-    // whole rows)
-    val rowDigest = md5(to_json(struct(batch0.columns.map(col): _*)))
+    // whole rows). xxhash64 over the struct hashes INTERNAL
+    // representations — unlike to_json/cast-to-string it cannot change
+    // with session confs (timezone, json options), so the digest is a
+    // pure function of row content; a 2^-64 collision merely makes one
+    // specific pair's tie arbitrary
+    val rowDigest = xxhash64(struct(batch0.columns.map(col): _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(rowDigest)
     val batch = batch0

@@ -148,7 +148,9 @@ class DedupIngestSpec extends SparkSpec {
     val root = tmpDir("admit7")
     val all = docs.filter($"doc_id" < 120).select($"doc_id", $"text")
     (0 until 6).foreach { i =>
-      all.filter($"doc_id" % 6 === i).write.parquet(s"$root/feed/chunk=$i")
+      // one part-file per chunk: the reference fold below is per-CHUNK,
+      // so each chunk must arrive as exactly one micro-batch
+      all.filter($"doc_id" % 6 === i).coalesce(1).write.parquet(s"$root/feed/chunk=$i")
     }
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
@@ -173,8 +175,9 @@ class DedupIngestSpec extends SparkSpec {
     // 4 chunk files → 4 micro-batches in arrival order
     val all = docs.filter($"doc_id" < 120).select($"doc_id", $"text")
     (0 until 4).foreach { i =>
+      // one part-file per chunk (chunk == micro-batch for the ref fold)
       all.filter($"doc_id" % 4 === i)
-        .write.parquet(s"$root/feed/chunk=$i")
+        .coalesce(1).write.parquet(s"$root/feed/chunk=$i")
     }
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")

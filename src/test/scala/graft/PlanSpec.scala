@@ -36,8 +36,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("contamination joins the eval side broadcast (qd73)") {
-    // the corpus-sized side must never shuffle: the eval shingle frame is
-    // the build side of a broadcast hash join
+    // never all-pairs: the eval shingle frame is the build side of a
+    // broadcast hash join (the corpus side still shuffles for its own
+    // distinct/groupBy aggregates — only the JOIN avoids moving it)
     assert(planOf(SparkEntry.queries("qd73_contamination")(spark, sfDir))
       .contains("BroadcastHashJoin"))
   }
