@@ -412,6 +412,16 @@ object SparkEntry {
         Similarity.writeIvfLake(emb, root, nCells = 4)
       Similarity.ivfTopKLake(s, root, emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
     }),
+    // PII scrubbing: email/URL redaction + per-doc match counts (the
+    // synthetic corpus is clean — the spec pins behavior on crafted rows;
+    // this query pins cross-engine regex portability on real data)
+    "qt75_redact" -> ((s, dir) => { implicit val sp = s
+      val (em, ur) = TextOps.piiCounts(col("text"))
+      t(dir, "documents").select(col("doc_id"),
+        em.cast("bigint").as("n_emails"), ur.cast("bigint").as("n_urls"),
+        substring(TextOps.redact(col("text")), 1, 40).as("head"))
+    }),
+
     // repetition quality gate: 1 - distinct/total 8-char shingles
     "qt74_repetition" -> ((s, dir) => { implicit val sp = s
       TermStats.repetitionRatio(t(dir, "documents"), w = 8, maxLen = 64)
@@ -1142,6 +1152,14 @@ object SparkEntry {
     "qd40_ann_ivf" -> ivfOracle,
     // identical deterministic pipeline over the lake-resident index
     "qd59_ann_ivf_lake" -> ivfOracle,
+    "qt75_redact" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+')) AS n_emails,
+         len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+         substr(regexp_replace(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'), 1, 40) AS head
+         FROM documents""",
     "qt74_repetition" ->
       """WITH g AS (SELECT doc_id, substr(tx, gs.i, 8) AS g
            FROM (SELECT doc_id, substr(text, 1, 64) AS tx FROM documents) d,

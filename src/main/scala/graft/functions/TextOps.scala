@@ -98,4 +98,24 @@ object TextOps {
     */
   def repetitionRatioFrom(distinctShingles: Column, totalShingles: Column): Column =
     round4(lit(1.0) - distinctShingles.cast("double") / totalShingles.cast("double"))
+
+  /** Email and URL patterns for scrubbing — deliberately restricted to
+    * character classes + bounded quantifiers (no lookaround, no
+    * backreferences), the regex subset where Java (Spark) and RE2-style
+    * (DuckDB) engines agree exactly, so redaction is oracle-checkable.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** Scrub emails then URLs to fixed placeholder tokens — the PII-hygiene
+    * pass a pretraining pipeline runs before anything is retained. Pure
+    * regexp_replace: narrow, codegen'd, no UDF.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      UrlPattern, "<URL>")
+
+  /** Redaction-need indicator: counts of matches per category. */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailPattern)), regexp_count(text, lit(UrlPattern)))
 }

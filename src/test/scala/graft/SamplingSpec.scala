@@ -215,6 +215,23 @@ class SamplingSpec extends SparkSpec {
     assert(r(2L) == 0.0, s"all-distinct shingles scored ${r(2L)}")
   }
 
+  test("redact: emails and URLs scrub to placeholders, clean text untouched") {
+    import graft.functions.TextOps
+    val rows = Seq(
+      (1L, "contact bob.smith+x@example.co.uk today"),
+      (2L, "see https://example.com/a?b=1 and http://t.co/x now"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextOps.redact($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact <EMAIL> today")
+    assert(out(2L) == "see <URL> and <URL> now")
+    assert(out(3L) == "no pii here at all")
+    val (em, ur) = TextOps.piiCounts($"text")
+    val counts = rows.select($"doc_id", em.as("e"), ur.as("u"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(counts == Map(1L -> (1, 0), 2L -> (0, 2), 3L -> (0, 0)))
+  }
+
   test("topTerms: at most k per doc, rare terms outrank common ones") {
     val tiny = Seq(
       (1L, "common rare common"),
