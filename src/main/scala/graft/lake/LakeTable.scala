@@ -1143,9 +1143,15 @@ class LakeTable private (
       // is a name collision, never a replaceable orphan — deleting it
       // could destroy a rival writer's committed data, so fail loudly.
       // True orphans (crashed attempts) are collected by gcOrphanData.
+      // blooms are built from the STAGE files, BEFORE the rename: a
+      // failing bloom job then hits the catch block while the delta still
+      // lives at `stage`, so the existing cleanup path reclaims it (after
+      // the rename the stage delete would be a no-op and the full-size
+      // delta would leak at `target` until gcOrphanData)
+      val withBlooms = attachKeyBlooms(entries, stage)
       require(!fs.exists(target), s"delta dir collision: $target")
       fs.rename(stage, target)
-      attachKeyBlooms(entries)
+      withBlooms
     } catch {
       case t: Throwable =>
         // never leak a full-size staging dir on a failing feed
@@ -1168,10 +1174,12 @@ class LakeTable private (
     * read; absent blooms (older manifests, bloom-off tables) are never
     * pruned — conservative both ways.
     */
-  private def attachKeyBlooms(entries: Seq[FileEntry]): Seq[FileEntry] = {
+  private def attachKeyBlooms(entries: Seq[FileEntry],
+                              stageDir: String): Seq[FileEntry] = {
     if (keyBloomBits <= 0 || entries.isEmpty) return entries
     val posCol = LakeTable.bloomPositionCols(col(keyCol), keyBloomBits)
-    val perFile = spark.read.parquet(entries.map(e => s"$root/${e.path}"): _*)
+    val perFile = spark.read.parquet(
+        entries.map(e => s"$stageDir/${LakeFs.fileName(e.path)}"): _*)
       .select(input_file_name().as("_f"), explode(posCol).as("_p"))
       .groupBy("_f").agg(collect_set(col("_p")).as("_ps"))
       .collect()
@@ -1816,7 +1824,11 @@ object LakeTable {
 
   private[lake] def bloomMightContain(b64: String, positions: Seq[Int]): Boolean = {
     val arr = java.util.Base64.getDecoder.decode(b64)
-    positions.forall(p => (p >> 3) < arr.length && ((arr(p >> 3) >> (p & 7)) & 1) == 1)
+    // an out-of-range position (truncated/foreign bloom) must degrade to
+    // "might contain" — pruning on malformed metadata would hide
+    // committed rows; keeping the file only costs one extra read
+    positions.forall(p =>
+      (p >> 3) >= arr.length || ((arr(p >> 3) >> (p & 7)) & 1) == 1)
   }
 
   private[lake] def readColStats(

@@ -275,15 +275,13 @@ object DedupOps {
     */
   def contamination(corpus: DataFrame, eval: DataFrame, w: Int,
                     maxLen: Int): DataFrame = {
-    def shingles(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("doc_id").as(idCol),
-          substring(col("text"), 1, maxLen).as("tx"))
-        .select(col(idCol), explode(sequence(lit(1),
-          greatest(lit(1), length(col("tx")) - (w - 1)))).as("i"), col("tx"))
-        .select(col(idCol), md5(col("tx").substr(col("i"), lit(w))).as("g"))
-        .distinct()
-    shingles(corpus, "doc_id")
-      .join(broadcast(shingles(eval, "eval_id")), "g")
+    // ONE shingle definition repo-wide (the bandFrame lesson): both sides
+    // derive from [[shingles]], hashed for join-key compactness
+    def hashed(df: DataFrame, idCol: String): DataFrame =
+      shingles(df, w, maxLen)
+        .select(col("doc_id").as(idCol), md5(col("gram")).as("g"))
+    hashed(corpus, "doc_id")
+      .join(broadcast(hashed(eval, "eval_id")), "g")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: every op except [[exactK]] is a narrow per-row filter (no
   * shuffle, no state, survives any partitioning); [[exactK]] is a global
-  * top-k (TakeOrderedAndProject — per-partition heaps + driver merge of k,
-  * never a full sort).
+  * top-k (TakeOrderedAndProject — per-partition heaps + driver merge of
+  * k) for k up to `spark.sql.execution.topKSortFallbackThreshold`
+  * (default 10 000); above it Spark falls back to a full sort + limit —
+  * raise the threshold for large exact draws, or prefer [[bernoulli]]
+  * when an approximate size is acceptable.
   */
 object Sampling {
 
@@ -86,6 +89,7 @@ object Sampling {
   def exactK(df: DataFrame, key: Column, k: Int, seed: String): DataFrame = {
     require(k >= 0, "sample size must be non-negative")
     val r = "_samp_rank"
+    require(!df.columns.contains(r), s"input already has a column named $r")
     df.withColumn(r, draw(seed, key))
       .orderBy(col(r), key)
       .limit(k)
@@ -100,6 +104,7 @@ object Sampling {
                        seed: String): DataFrame = {
     require(k >= 0, "sample size must be non-negative")
     val r = "_samp_rank"
+    require(!df.columns.contains(r), s"input already has a column named $r")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(draw(seed, key), key)
     df.withColumn(r, row_number().over(w))
@@ -120,6 +125,7 @@ object Sampling {
                              seed: String): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     val c = "_samp_cum"
+    require(!df.columns.contains(c), s"input already has a column named $c")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(draw(seed, key), key)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

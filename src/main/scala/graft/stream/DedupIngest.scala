@@ -86,6 +86,14 @@ object DedupIngest {
     // Hamming distance 3 — a larger bound would silently under-reject
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist $maxDist outside the banding guarantee [0, 3]")
+    // the docs sink stamps op/lsn transport columns onto the survivor
+    // rows — a feed that already carries them would produce ambiguous
+    // references deep inside upsert; fail at the API boundary instead
+    docsTable.foreach { _ =>
+      val reserved = Seq("op", "lsn").filter(batch0.columns.contains)
+      require(reserved.isEmpty,
+        s"docs stream must not carry reserved sink columns: $reserved")
+    }
     // register on BOTH sessions: inside foreachBatch the batch frame
     // belongs to a per-stream CLONE of the session while the index
     // table's frames belong to the original — the hamming filter resolves

@@ -67,6 +67,16 @@ object AdmissionProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         val indexed = table.read().count()
         require(indexed == admitted, s"index $indexed != admitted $admitted")
+        // the promised recall/precision sanity, actually enforced: every
+        // copy is byte-identical (Hamming-0 ⇒ guaranteed banded candidate
+        // ⇒ always rejected), and originals are random 24-of-997-word
+        // docs (near-dup collisions possible but ≲1%) — so admitted must
+        // sit within 1% of the original count, catching both a recall
+        // regression (copies slipping through: admitted too high) and an
+        // over-rejection bug (admitted too low)
+        require(math.abs(admitted - originals) <= originals / 100,
+          s"admitted $admitted outside 1% of originals $originals — " +
+            "admission recall/precision regression")
         val rate = nDocs / sec
         val key = s"cpus=$cpus"
         results(key) = math.max(results.getOrElse(key, 0.0), rate)
