@@ -1,0 +1,126 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.lake.{LakeFs, LakeTable}
+import graft.operators.{DedupOps, Similarity}
+
+/** Embedding-cosine admission control — [[DedupIngest]]'s twin for the
+  * vector modality: a stream of `(vec_id, embedding)` rows is filtered
+  * against everything admitted so far using the LSH-bucket candidate
+  * join + exact cosine verify of [[Similarity.lshNearDupPairs]].
+  *
+  * Same scale shape as the SimHash path: the index scan (id, embedding,
+  * precomputed bucket) is never shuffled — the banded... bucketed batch
+  * side broadcasts into it; survivors upsert under the batch epoch
+  * (exactly-once), docs sink BEFORE index (the replay-safe order —
+  * admission is a pure function of (batch, index state): LSH planes are
+  * seed-deterministic and the cosine verify is round4-stable).
+  *
+  * Honesty note vs the SimHash path: Hamming-block banding GUARANTEES
+  * candidacy within distance 3; LSH buckets only guarantee candidacy for
+  * IDENTICAL vectors (same bucket by determinism). Near-but-not-equal
+  * vectors across a bucket boundary can slip through — the standard
+  * recall trade of LSH admission, bounded by `bits` (fewer bits = higher
+  * recall, bigger buckets; see [[Similarity.lshBitsFor]]).
+  */
+object EmbedIngest {
+
+  def indexSchema(dim: Int): StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true),
+    StructField("bucket", IntegerType, nullable = true)))
+
+  def indexTable(spark: SparkSession, root: String, dim: Int,
+                 numBuckets: Int = 8): LakeTable = {
+    val fs = LakeFs.forRoot(root)
+    if (fs.exists(s"$root/meta")) LakeTable.load(spark, root)
+    else LakeTable.create(spark, root, indexSchema(dim), keyCol = "vec_id",
+      numBuckets = numBuckets)
+  }
+
+  /** Admit one batch of `(vec_id, embedding)` rows: reject vectors with
+    * cosine ≥ `threshold` against a same-bucket index member, keep one
+    * canonical (min id) per within-batch near-dup component, upsert
+    * survivors under `epochId`. Returns the surviving batch rows.
+    */
+  def admitBatch(table: LakeTable, batch0: DataFrame, epochId: Long,
+                 dim: Int, bits: Int, seed: Long, threshold: Double,
+                 docsTable: Option[LakeTable] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold $threshold outside (0, 1]")
+    graft.functions.VectorExprs.register(batch0.sparkSession)
+    graft.functions.VectorExprs.register(table.spark)
+    // one row per vec_id (re-emitted ids), conf-free content tie-break
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(xxhash64(struct(batch0.columns.map(col): _*)))
+    val batch = batch0
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    val sh = batch
+      .withColumn("bucket", Similarity.lshBucket(col("embedding"), dim, bits, seed))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .localCheckpoint()
+
+    // vs-index: bucket equi-join, batch side broadcast, exact verify
+    val idx = table.read()
+      .select(col("vec_id").as("iid"), col("embedding").as("iemb"), col("bucket"))
+    val rejected = idx.join(broadcast(sh), Seq("bucket"))
+      .filter(graft.functions.TextOps.round4(
+        Similarity.cosine(col("embedding"), col("iemb"))) >= threshold)
+      .select(col("vec_id")).distinct()
+    val fresh = sh.join(rejected, Seq("vec_id"), "left_anti").localCheckpoint()
+
+    // within-batch: same-bucket pairs + exact verify → component-canonical
+    val pairs = fresh.as("a").join(fresh.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.TextOps.round4(
+        Similarity.cosine(col("a.embedding"), col("b.embedding"))) >= threshold)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val losers = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("vec_id"))
+    val admitted = fresh.join(losers, Seq("vec_id"), "left_anti")
+
+    val survivors = batch
+      .join(admitted.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    docsTable.foreach { dt =>
+      val reserved = Seq("op", "lsn").filter(batch0.columns.contains)
+      require(reserved.isEmpty,
+        s"vector stream must not carry reserved sink columns: $reserved")
+      dt.upsert(survivors.select(Seq(lit("I").as("op"),
+          lit(epochId).as("lsn")) ++ survivors.columns.map(col): _*),
+        epochId = epochId, summary = Map("admission" -> "cosine"))
+    }
+    table.upsert(admitted.select(lit("I").as("op"), col("vec_id"),
+        lit(epochId).as("lsn"), col("embedding"), col("bucket")),
+      epochId = epochId, summary = Map("admission" -> "cosine"))
+    survivors
+  }
+
+  /** Streaming runner — same contract as [[DedupIngest.run]]. */
+  def run(vecs: DataFrame, indexRoot: String, checkpointDir: String,
+          dim: Int, bits: Int = 2, seed: Long = 42L, threshold: Double = 0.9,
+          numBuckets: Int = 8, maxFilesPerBucket: Int = 0,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = vecs.sparkSession
+    val idx = indexTable(spark, indexRoot, dim, numBuckets)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        admitBatch(idx, batch, epochId, dim, bits, seed, threshold)
+        if (maxFilesPerBucket > 0) {
+          val victims = idx.compactionCandidates(maxFilesPerBucket)
+          if (victims.nonEmpty) idx.compactBuckets(victims)
+        }
+        ()
+      }
+      .start()
+  }
+}

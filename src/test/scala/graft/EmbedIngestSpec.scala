@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.stream.EmbedIngest
+
+/** Embedding-cosine admission: exact copies always rejected (identical
+  * vector ⇒ identical bucket ⇒ guaranteed candidate ⇒ cosine 1.0),
+  * replay no-op, stream == sequential fold.
+  */
+class EmbedIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select($"vec_id", $"embedding")
+
+  test("exact vector copies are rejected, fresh vectors admitted; replay no-op") {
+    val root = tmpDir("eadmit1")
+    val table = EmbedIngest.indexTable(spark, s"$root/idx", dim = 64)
+    val b1 = emb.filter($"vec_id" < 40)
+    val kept1 = EmbedIngest.admitBatch(table, b1, 0L, dim = 64, bits = 2,
+      seed = 42L, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept1.nonEmpty && kept1.size <= 40)
+    assert(table.read().count() == kept1.size)
+
+    val copies = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    val freshVecs = emb.filter($"vec_id" >= 200 && $"vec_id" < 215)
+    val kept2 = EmbedIngest.admitBatch(table, copies.union(freshVecs), 1L,
+      dim = 64, bits = 2, seed = 42L, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val admittedUnder20 = kept1.filter(_ < 20)
+    assert(admittedUnder20.forall(id => !kept2.contains(id + 9000)),
+      s"copies of admitted vectors slipped through: ${kept2.filter(_ >= 9000)}")
+
+    // replay epoch 1: no new snapshot, state unchanged
+    val snap = table.currentSnapshotId
+    EmbedIngest.admitBatch(table, copies.union(freshVecs), 1L,
+      dim = 64, bits = 2, seed = 42L, threshold = 0.95)
+    assert(table.currentSnapshotId == snap)
+  }
+
+  test("streaming == sequential batch admission") {
+    val root = tmpDir("eadmit2")
+    val all = emb.filter($"vec_id" < 100)
+    (0 until 3).foreach { i =>
+      all.filter($"vec_id" % 3 === i).coalesce(1)
+        .write.parquet(s"$root/feed/chunk=$i")
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    val q = EmbedIngest.run(stream, s"$root/idx", s"$root/ckpt",
+      dim = 64, bits = 2, threshold = 0.9)
+    q.awaitTermination()
+    val streamed = graft.lake.LakeTable.load(spark, s"$root/idx")
+      .read().select("vec_id").as[Long].collect().toSet
+
+    val ref = EmbedIngest.indexTable(spark, s"$root/ref", dim = 64)
+    (0 until 3).foreach { i =>
+      EmbedIngest.admitBatch(ref, spark.read.parquet(s"$root/feed/chunk=$i"),
+        i.toLong, dim = 64, bits = 2, seed = 42L, threshold = 0.9)
+    }
+    val sequential = ref.read().select("vec_id").as[Long].collect().toSet
+    assert(streamed == sequential)
+    assert(streamed.nonEmpty)
+  }
+}
