@@ -103,21 +103,32 @@ object EmbedIngest {
     survivors
   }
 
-  /** Streaming runner — same contract as [[DedupIngest.run]]. */
+  /** Streaming runner — same contract as [[DedupIngest.run]] (optional
+    * admitted-vectors sink, inline compaction policy).
+    */
   def run(vecs: DataFrame, indexRoot: String, checkpointDir: String,
           dim: Int, bits: Int = 2, seed: Long = 42L, threshold: Double = 0.9,
-          numBuckets: Int = 8, maxFilesPerBucket: Int = 0,
+          numBuckets: Int = 8, docsRoot: Option[String] = None,
+          maxFilesPerBucket: Int = 0,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = vecs.sparkSession
+    val docsSchema = StructType(vecs.schema.fields.toSeq)
+    val out = docsRoot.map { r =>
+      val fs = LakeFs.forRoot(r)
+      if (fs.exists(s"$r/meta")) LakeTable.load(spark, r)
+      else LakeTable.create(spark, r, docsSchema, keyCol = "vec_id",
+        numBuckets = numBuckets)
+    }
     val idx = indexTable(spark, indexRoot, dim, numBuckets)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        admitBatch(idx, batch, epochId, dim, bits, seed, threshold)
-        if (maxFilesPerBucket > 0) {
-          val victims = idx.compactionCandidates(maxFilesPerBucket)
-          if (victims.nonEmpty) idx.compactBuckets(victims)
+        admitBatch(idx, batch, epochId, dim, bits, seed, threshold,
+          docsTable = out)
+        if (maxFilesPerBucket > 0) (Seq(idx) ++ out).foreach { t =>
+          val victims = t.compactionCandidates(maxFilesPerBucket)
+          if (victims.nonEmpty) t.compactBuckets(victims)
         }
         ()
       }

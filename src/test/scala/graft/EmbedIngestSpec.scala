@@ -51,10 +51,13 @@ class EmbedIngestSpec extends SparkSpec {
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
     val q = EmbedIngest.run(stream, s"$root/idx", s"$root/ckpt",
-      dim = 64, bits = 2, threshold = 0.9)
+      dim = 64, bits = 2, threshold = 0.9, docsRoot = Some(s"$root/docs"))
     q.awaitTermination()
     val streamed = graft.lake.LakeTable.load(spark, s"$root/idx")
       .read().select("vec_id").as[Long].collect().toSet
+    // the admitted-vectors sink tracks the index exactly
+    assert(graft.lake.LakeTable.load(spark, s"$root/docs")
+      .read().select("vec_id").as[Long].collect().toSet == streamed)
 
     val ref = EmbedIngest.indexTable(spark, s"$root/ref", dim = 64)
     (0 until 3).foreach { i =>
