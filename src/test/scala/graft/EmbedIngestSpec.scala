@@ -50,8 +50,12 @@ class EmbedIngestSpec extends SparkSpec {
     }
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    // numBuckets == shuffle.partitions (4): the alignment that once let
+    // an elided placement repartition coalesce under streaming conf
+    // propagation — locked for the vector path too
     val q = EmbedIngest.run(stream, s"$root/idx", s"$root/ckpt",
-      dim = 64, bits = 2, threshold = 0.9, docsRoot = Some(s"$root/docs"))
+      dim = 64, bits = 2, threshold = 0.9, numBuckets = 4,
+      docsRoot = Some(s"$root/docs"))
     q.awaitTermination()
     val streamed = graft.lake.LakeTable.load(spark, s"$root/idx")
       .read().select("vec_id").as[Long].collect().toSet
