@@ -1677,6 +1677,20 @@ object LakeTable {
     new LakeTable(spark, root, keyCol, numBuckets, theFs, keyBloomBits)
   }
 
+  /** Load the table at `root` if it exists, else create it with the
+    * given schema/layout — the idempotent sink-initialization step every
+    * streaming runner needs (safe to call per process start; NOT safe to
+    * race from two first-ever writers, which is the create-only CAS's
+    * job at the snapshot level, not the schema bootstrap's).
+    */
+  def loadOrCreate(spark: SparkSession, root: String, schema: StructType,
+                   keyCol: String = "doc_id", numBuckets: Int = 16,
+                   keyBloomBits: Int = 0): LakeTable = {
+    val fs = LakeFs.forRoot(root)
+    if (fs.exists(s"$root/meta")) load(spark, root, fs)
+    else create(spark, root, schema, keyCol, numBuckets, fs, keyBloomBits)
+  }
+
   /** Load an existing table; layout properties come from its metadata.
     * The bucket count prefers the LATEST snapshot's recorded layout over
     * table.json: a crash between a re-bucketing compaction's commit and

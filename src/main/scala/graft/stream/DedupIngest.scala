@@ -49,12 +49,9 @@ object DedupIngest {
     StructField("simhash", StringType, nullable = true)))
 
   /** Load the index table at `root`, creating it on first use. */
-  def indexTable(spark: SparkSession, root: String, numBuckets: Int = 8): LakeTable = {
-    val fs = LakeFs.forRoot(root)
-    if (fs.exists(s"$root/meta")) LakeTable.load(spark, root)
-    else LakeTable.create(spark, root, IndexSchema, keyCol = "doc_id",
+  def indexTable(spark: SparkSession, root: String, numBuckets: Int = 8): LakeTable =
+    LakeTable.loadOrCreate(spark, root, IndexSchema, keyCol = "doc_id",
       numBuckets = numBuckets)
-  }
 
   /** (doc_id, simhash) → one row per 16-bit band. Pigeonhole: Hamming
     * distance ≤ 3 ⇒ at least one band equal. Delegates to the single
@@ -214,10 +211,7 @@ object DedupIngest {
 
   /** Load-or-create the admitted-docs sink with the stream's own schema. */
   private def docsLakeTable(spark: SparkSession, root: String,
-                            schema: StructType, numBuckets: Int): LakeTable = {
-    val fs = LakeFs.forRoot(root)
-    if (fs.exists(s"$root/meta")) LakeTable.load(spark, root)
-    else LakeTable.create(spark, root, schema, keyCol = "doc_id",
+                            schema: StructType, numBuckets: Int): LakeTable =
+    LakeTable.loadOrCreate(spark, root, schema, keyCol = "doc_id",
       numBuckets = numBuckets)
-  }
 }

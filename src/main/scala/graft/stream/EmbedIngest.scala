@@ -14,11 +14,24 @@ import graft.operators.{DedupOps, Similarity}
   * join + exact cosine verify of [[Similarity.lshNearDupPairs]].
   *
   * Same scale shape as the SimHash path: the index scan (id, embedding,
-  * precomputed bucket) is never shuffled — the banded... bucketed batch
-  * side broadcasts into it; survivors upsert under the batch epoch
+  * precomputed bucket) is never shuffled — the bucketed batch side
+  * broadcasts into it; survivors upsert under the batch epoch
   * (exactly-once), docs sink BEFORE index (the replay-safe order —
   * admission is a pure function of (batch, index state): LSH planes are
   * seed-deterministic and the cosine verify is round4-stable).
+  *
+  * DEGENERATE VECTORS (null embedding, zero norm) are dropped before
+  * admission, deterministically: cosine is undefined for them (and under
+  * ANSI mode the division would kill the stream — a single poison row
+  * must never wedge ingest, and a null must never slip past the verify
+  * filter as a NULL comparison). They are not admitted, not indexed, and
+  * not returned as survivors; route them to a quarantine upstream if
+  * they matter.
+  *
+  * The LSH parameters (dim, bits, seed) are PERSISTED next to the index
+  * at create time and validated on every batch — stored buckets are a
+  * function of the planes, so silently changing the parameters across a
+  * restart would stop copies from ever meeting their candidates.
   *
   * Honesty note vs the SimHash path: Hamming-block banding GUARANTEES
   * candidacy within distance 3; LSH buckets only guarantee candidacy for
@@ -29,36 +42,58 @@ import graft.operators.{DedupOps, Similarity}
   */
 object EmbedIngest {
 
-  def indexSchema(dim: Int): StructType = StructType(Seq(
+  val IndexSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType), nullable = true),
     StructField("bucket", IntegerType, nullable = true)))
 
-  def indexTable(spark: SparkSession, root: String, dim: Int,
-                 numBuckets: Int = 8): LakeTable = {
+  /** Load-or-create the index; persists `(dim, bits, seed)` beside it on
+    * first create and REQUIRES a match ever after.
+    */
+  def indexTable(spark: SparkSession, root: String, dim: Int, bits: Int,
+                 seed: Long, numBuckets: Int = 8): LakeTable = {
     val fs = LakeFs.forRoot(root)
-    if (fs.exists(s"$root/meta")) LakeTable.load(spark, root)
-    else LakeTable.create(spark, root, indexSchema(dim), keyCol = "vec_id",
+    val paramsPath = s"$root/aux/lsh.json"
+    val params = s"""{"dim":$dim,"bits":$bits,"seed":$seed}"""
+    if (fs.exists(paramsPath)) {
+      val stored = fs.readString(paramsPath).trim
+      require(stored == params,
+        s"LSH parameter drift: index at $root was built with $stored, " +
+          s"caller passed $params — stored buckets would never match")
+    } else {
+      fs.createDirectories(s"$root/aux")
+      fs.putStringAtomic(paramsPath, params, createOnly = false)
+    }
+    LakeTable.loadOrCreate(spark, root, IndexSchema, keyCol = "vec_id",
       numBuckets = numBuckets)
   }
 
   /** Admit one batch of `(vec_id, embedding)` rows: reject vectors with
     * cosine ≥ `threshold` against a same-bucket index member, keep one
     * canonical (min id) per within-batch near-dup component, upsert
-    * survivors under `epochId`. Returns the surviving batch rows.
+    * survivors under `epochId`. Returns the surviving batch rows
+    * (degenerate rows excluded — see the object scaladoc).
     */
   def admitBatch(table: LakeTable, batch0: DataFrame, epochId: Long,
                  dim: Int, bits: Int, seed: Long, threshold: Double,
                  docsTable: Option[LakeTable] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold $threshold outside (0, 1]")
+    docsTable.foreach { _ =>
+      val reserved = Seq("op", "lsn").filter(batch0.columns.contains)
+      require(reserved.isEmpty,
+        s"vector stream must not carry reserved sink columns: $reserved")
+    }
     graft.functions.VectorExprs.register(batch0.sparkSession)
     graft.functions.VectorExprs.register(table.spark)
-    // one row per vec_id (re-emitted ids), conf-free content tie-break
+    // one row per vec_id (re-emitted ids), conf-free content tie-break;
+    // degenerate vectors dropped (deterministic — see scaladoc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(xxhash64(struct(batch0.columns.map(col): _*)))
     val batch = batch0
+      .filter(col("embedding").isNotNull &&
+        graft.functions.VectorExprs.dot(col("embedding"), col("embedding")) > 0.0)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
 
@@ -90,9 +125,6 @@ object EmbedIngest {
     val survivors = batch
       .join(admitted.select(col("vec_id")), Seq("vec_id"), "left_semi")
     docsTable.foreach { dt =>
-      val reserved = Seq("op", "lsn").filter(batch0.columns.contains)
-      require(reserved.isEmpty,
-        s"vector stream must not carry reserved sink columns: $reserved")
       dt.upsert(survivors.select(Seq(lit("I").as("op"),
           lit(epochId).as("lsn")) ++ survivors.columns.map(col): _*),
         epochId = epochId, summary = Map("admission" -> "cosine"))
@@ -112,14 +144,10 @@ object EmbedIngest {
           maxFilesPerBucket: Int = 0,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = vecs.sparkSession
-    val docsSchema = StructType(vecs.schema.fields.toSeq)
-    val out = docsRoot.map { r =>
-      val fs = LakeFs.forRoot(r)
-      if (fs.exists(s"$r/meta")) LakeTable.load(spark, r)
-      else LakeTable.create(spark, r, docsSchema, keyCol = "vec_id",
-        numBuckets = numBuckets)
-    }
-    val idx = indexTable(spark, indexRoot, dim, numBuckets)
+    val out = docsRoot.map(r => LakeTable.loadOrCreate(spark, r,
+      StructType(vecs.schema.fields.toSeq), keyCol = "vec_id",
+      numBuckets = numBuckets))
+    val idx = indexTable(spark, indexRoot, dim, bits, seed, numBuckets)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -16,7 +16,7 @@ class EmbedIngestSpec extends SparkSpec {
 
   test("exact vector copies are rejected, fresh vectors admitted; replay no-op") {
     val root = tmpDir("eadmit1")
-    val table = EmbedIngest.indexTable(spark, s"$root/idx", dim = 64)
+    val table = EmbedIngest.indexTable(spark, s"$root/idx", dim = 64, bits = 2, seed = 42L)
     val b1 = emb.filter($"vec_id" < 40)
     val kept1 = EmbedIngest.admitBatch(table, b1, 0L, dim = 64, bits = 2,
       seed = 42L, threshold = 0.95)
@@ -63,7 +63,7 @@ class EmbedIngestSpec extends SparkSpec {
     assert(graft.lake.LakeTable.load(spark, s"$root/docs")
       .read().select("vec_id").as[Long].collect().toSet == streamed)
 
-    val ref = EmbedIngest.indexTable(spark, s"$root/ref", dim = 64)
+    val ref = EmbedIngest.indexTable(spark, s"$root/ref", dim = 64, bits = 2, seed = 42L)
     (0 until 3).foreach { i =>
       EmbedIngest.admitBatch(ref, spark.read.parquet(s"$root/feed/chunk=$i"),
         i.toLong, dim = 64, bits = 2, seed = 42L, threshold = 0.9)
@@ -71,5 +71,32 @@ class EmbedIngestSpec extends SparkSpec {
     val sequential = ref.read().select("vec_id").as[Long].collect().toSet
     assert(streamed == sequential)
     assert(streamed.nonEmpty)
+  }
+
+  test("degenerate vectors are dropped deterministically; LSH param drift refused") {
+    val root = tmpDir("eadmit3")
+    val table = EmbedIngest.indexTable(spark, s"$root/idx", dim = 3,
+      bits = 2, seed = 7L)
+    val batch = Seq(
+      (1L, Some(Seq(1f, 0f, 0f))),
+      (2L, None),                      // null embedding
+      (3L, Some(Seq(0f, 0f, 0f))),     // zero norm
+      (4L, Some(Seq(0f, 1f, 0f)))).toDF("vec_id", "embedding")
+    val kept = EmbedIngest.admitBatch(table, batch, 0L, dim = 3, bits = 2,
+      seed = 7L, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // real vectors admitted (orthogonal — not near-dups); degenerates gone
+    assert(kept == Set(1L, 4L), s"got $kept")
+    assert(table.read().count() == 2)
+    // a poison row must NOT wedge the stream: the same batch replays fine
+    // under a new epoch with more degenerates
+    val kept2 = EmbedIngest.admitBatch(table,
+      Seq((9L, None: Option[Seq[Float]]), (10L, Some(Seq(0f, 0f, 0f))))
+        .toDF("vec_id", "embedding"), 1L, dim = 3, bits = 2, seed = 7L,
+      threshold = 0.9)
+    assert(kept2.count() == 0)
+    // parameter drift: different bits against the same index refuses loudly
+    assertThrows[IllegalArgumentException](
+      EmbedIngest.indexTable(spark, s"$root/idx", dim = 3, bits = 3, seed = 7L))
   }
 }
