@@ -53,6 +53,69 @@ object DedupIngest {
     LakeTable.loadOrCreate(spark, root, IndexSchema, keyCol = "doc_id",
       numBuckets = numBuckets)
 
+  /** BAND-KEYED probe index (opt-in via `bandRoot`): one row per 16-bit
+    * band of every admitted doc — `bid = doc_id*4 + blk` (the unique row
+    * key), `bkey = blk·2¹⁶ + bval` (the probe coordinate), plus the full
+    * simhash for the exact verify. Rows are committed CLUSTERED by
+    * `bkey >> `[[BandGroupShift]] ([[LakeTable.upsert]] `clusterBy`), so
+    * every delta file covers one contiguous band-key range and the
+    * per-batch probe — a literal `bkey IN (batch's bands)` over
+    * [[LakeTable.readInsertOnly]] — opens only the files whose manifest
+    * range intersects the batch's bands, instead of scanning the full
+    * admitted index every trigger. At 10^10 admitted docs the full
+    * column-pruned scan is ~160 GB per trigger; a small batch's band set
+    * touches a vanishing fraction of the band-range file groups.
+    *
+    * Storage cost: 4 short rows per admitted doc (~4× the primary index's
+    * 16 bytes/doc — still ~100 bytes/doc, nothing next to the corpus).
+    * The primary index stays the authoritative admitted set; the band
+    * table is DERIVED and rebuildable ([[ensureBandTable]] backfills an
+    * empty band table from a populated primary index, so the layout can
+    * be adopted on a live deployment).
+    */
+  val BandSchema: StructType = StructType(Seq(
+    StructField("bid", LongType, nullable = false),
+    StructField("bkey", IntegerType, nullable = true),
+    StructField("doc_id", LongType, nullable = true),
+    StructField("simhash", StringType, nullable = true)))
+
+  /** Band-key file-grouping granularity: bkey spans 18 bits (2-bit block
+    * × 16-bit value); shifting by 14 yields 16 contiguous groups — the
+    * per-delta file fan-out ceiling (× the band table's bucket count).
+    */
+  val BandGroupShift = 14
+
+  /** `(blk, bval-hex)` → the integer band coordinate. */
+  private def bkeyCol: org.apache.spark.sql.Column =
+    (col("blk") * 65536 + conv(col("bval"), 16, 10).cast("int")).cast("int")
+
+  private def bandCluster: org.apache.spark.sql.Column =
+    shiftright(col("bkey"), BandGroupShift)
+
+  /** Load-or-create the band table; when it is empty but the primary
+    * index already has admitted docs (adopting the band layout on an
+    * existing deployment), backfill it in one clustered commit stamped
+    * with the primary's last epoch — later batch epochs stay monotone.
+    */
+  def ensureBandTable(spark: SparkSession, index: LakeTable, root: String,
+                      numBuckets: Int = 1): LakeTable = {
+    val bt = LakeTable.loadOrCreate(spark, root, BandSchema, keyCol = "bid",
+      numBuckets = numBuckets)
+    if (bt.currentSnapshotId < 0L && index.currentSnapshotId >= 0L) {
+      val epoch = index.lastCommittedEpoch
+      bt.upsert(bandRows(index.read().select(col("doc_id"), col("simhash")), epoch),
+        epochId = epoch, reduce = false, clusterBy = Some(bandCluster),
+        summary = Map("admission" -> "simhash-bands", "backfill" -> "true"))
+    }
+    bt
+  }
+
+  /** Band-table delta rows for a (doc_id, simhash) frame. */
+  private def bandRows(sh: DataFrame, lsn: Long): DataFrame =
+    banded(sh).select(lit("I").as("op"),
+      (col("doc_id") * 4 + col("blk")).cast("long").as("bid"),
+      lit(lsn).as("lsn"), bkeyCol.as("bkey"), col("doc_id"), col("simhash"))
+
   /** (doc_id, simhash) → one row per 16-bit band. Pigeonhole: Hamming
     * distance ≤ 3 ⇒ at least one band equal. Delegates to the single
     * band definition in [[DedupOps.bandFrame]].
@@ -78,7 +141,8 @@ object DedupIngest {
     */
   def admitBatch(table: LakeTable, batch0: DataFrame, epochId: Long,
                  maxLen: Int = 64, maxDist: Int = 3,
-                 docsTable: Option[LakeTable] = None): DataFrame = {
+                 docsTable: Option[LakeTable] = None,
+                 bandTable: Option[LakeTable] = None): DataFrame = {
     // the 4×16-bit pigeonhole only guarantees candidate recall within
     // Hamming distance 3 — a larger bound would silently under-reject
     require(maxDist >= 0 && maxDist <= 3,
@@ -116,6 +180,22 @@ object DedupIngest {
     val batch = batch0
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    // ALREADY-DELIVERED batch (crash after every sink committed, before
+    // the streaming checkpoint advanced): re-deriving against an index
+    // that already CONTAINS the batch would reject everything as
+    // self-duplicates and hand the caller an empty survivor frame for a
+    // batch that was in fact admitted. The sinks themselves were always
+    // safe (epoch no-ops); this makes the RETURN VALUE replay-stable too:
+    // recover the original survivors from the primary index's lsn stamp.
+    // Gate on the LAST sink in the commit chain (band table when present)
+    // — a crash between earlier commits and the last one must fall
+    // through to the normal path so the trailing commit completes.
+    val lastSink = bandTable.getOrElse(table)
+    if (epochId <= lastSink.lastCommittedEpoch)
+      return batch.join(
+        table.readWithLsn().filter(col(LakeTable.LsnCol) === epochId)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
     // batch-side hashes: small (one row per batch doc) — checkpointed so
     // the banded join, the in-batch pair join, and the upsert all reuse
     // one computation instead of re-running the simhash aggregation.
@@ -130,14 +210,29 @@ object DedupIngest {
         coalesce(col("simhash"), lit("0" * 16)).as("simhash"))
       .localCheckpoint()
 
-    // 2. vs-index: banded equi-join, batch side broadcast — the index
-    // scan reads exactly two columns and is never shuffled
-    val idxBands = banded(table.read().select(col("doc_id"), col("simhash")))
-      .select(col("doc_id").as("iid"), col("simhash").as("ish"),
-        col("blk"), col("bval"))
-    val newBands = banded(sh)
-    val vsIndex = idxBands.join(broadcast(newBands),
-        idxBands("blk") === newBands("blk") && idxBands("bval") === newBands("bval"))
+    // 2. vs-index: banded equi-join, batch side broadcast. Scan path
+    // (default): the primary index read is column-pruned (16 bytes/doc)
+    // and never shuffled, but it IS a full pass over the admitted set
+    // every trigger. Band path (bandTable given): the probe reads the
+    // band-keyed table with a literal `bkey IN (batch's bands)` — pushed
+    // to the manifest, so only files whose band-key range intersects the
+    // batch open at all; per-trigger probe IO scales with the BATCH, not
+    // the admitted corpus.
+    val newBands = banded(sh).withColumn("bkey", bkeyCol)
+    val idxBands = bandTable match {
+      case Some(bt) =>
+        // driver-side literal band list: bounded by 4 × batch size
+        val keys = newBands.select(col("bkey")).distinct()
+          .collect().map(_.getInt(0))
+        bt.readInsertOnly()
+          .filter(col("bkey").isin(keys.map(Integer.valueOf): _*))
+          .select(col("doc_id").as("iid"), col("simhash").as("ish"), col("bkey"))
+      case None =>
+        banded(table.read().select(col("doc_id"), col("simhash")))
+          .select(col("doc_id").as("iid"), col("simhash").as("ish"),
+            bkeyCol.as("bkey"))
+    }
+    val vsIndex = idxBands.join(broadcast(newBands), Seq("bkey"))
       .select(col("doc_id"), col("simhash"), col("ish"))
       .distinct()
       .filter(graft.functions.VectorExprs.hammingHex(
@@ -169,6 +264,15 @@ object DedupIngest {
         lit(epochId).as("lsn"), col("simhash")),
       epochId = epochId,
       summary = Map("admission" -> "simhash"))
+    // band table LAST: admission decisions are a function of the band
+    // probe, so the decision source must be the final commit — a crash
+    // anywhere earlier replays against an unchanged probe state and
+    // re-derives identical survivors (the docs/index epochs then no-op)
+    bandTable.foreach { bt =>
+      bt.upsert(bandRows(admitted.select(col("doc_id"), col("simhash")), epochId),
+        epochId = epochId, reduce = false, clusterBy = Some(bandCluster),
+        summary = Map("admission" -> "simhash-bands"))
+    }
     survivors
   }
 
@@ -180,6 +284,7 @@ object DedupIngest {
           numBuckets: Int = 8, maxLen: Int = 64, maxDist: Int = 3,
           docsRoot: Option[String] = None,
           maxFilesPerBucket: Int = 0,
+          bandRoot: Option[String] = None,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
     // create the sinks once, up front — a first-batch race between the
@@ -192,17 +297,29 @@ object DedupIngest {
     // dominates small micro-batches)
     val out = docsRoot.map(r => docsLakeTable(spark, r, docsSchema, numBuckets))
     val idx = indexTable(spark, indexRoot, numBuckets)
+    val bands = bandRoot.map(r => ensureBandTable(spark, idx, r))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        admitBatch(idx, batch, epochId, maxLen, maxDist, docsTable = out)
+        admitBatch(idx, batch, epochId, maxLen, maxDist, docsTable = out,
+          bandTable = bands)
         // bounded maintenance inline with admission (CdcIngest's policy):
         // without it a long-running stream accrues one delta per batch
-        // and every probe's index scan opens O(batches) files
-        if (maxFilesPerBucket > 0) (Seq(idx) ++ out).foreach { t =>
-          val victims = t.compactionCandidates(maxFilesPerBucket)
-          if (victims.nonEmpty) t.compactBuckets(victims)
+        // and every probe's index scan opens O(batches) files. The band
+        // table compacts CLUSTERED so the rewrite keeps its files
+        // band-range-pure — a keyhash-only rewrite would erase the very
+        // pruning the layout exists for.
+        if (maxFilesPerBucket > 0) {
+          (Seq(idx) ++ out).foreach { t =>
+            val victims = t.compactionCandidates(maxFilesPerBucket)
+            if (victims.nonEmpty) t.compactBuckets(victims)
+          }
+          bands.foreach { t =>
+            val victims = t.compactionCandidates(maxFilesPerBucket)
+            if (victims.nonEmpty)
+              t.compactBuckets(victims, clusterBy = Some(bandCluster))
+          }
         }
         () // survivors live in the sinks; downstream reads them or the CDC tail
       }

@@ -96,14 +96,34 @@ object EmbedIngest {
         graft.functions.VectorExprs.dot(col("embedding"), col("embedding")) > 0.0)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    // already-delivered batch (crash after both sink commits, before the
+    // streaming checkpoint advanced): the index already contains the
+    // batch, so re-deriving would reject everything as self-duplicates —
+    // recover the ORIGINAL survivors from the index's lsn stamp instead
+    // (same replay-return contract as DedupIngest.admitBatch)
+    if (epochId <= table.lastCommittedEpoch)
+      return batch.join(
+        table.readWithLsn().filter(col(LakeTable.LsnCol) === epochId)
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
 
     val sh = batch
       .withColumn("bucket", Similarity.lshBucket(col("embedding"), dim, bits, seed))
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .localCheckpoint()
 
-    // vs-index: bucket equi-join, batch side broadcast, exact verify
-    val idx = table.read()
+    // vs-index: bucket equi-join, batch side broadcast, exact verify.
+    // The index is committed CLUSTERED by a ≤16-group coarsening of the
+    // LSH bucket (clusterFor), so the literal `bucket IN (batch's
+    // buckets)` probe is manifest-pruned: only files whose bucket range
+    // intersects the batch open — probe IO scales with the batch's
+    // bucket spread, not the admitted corpus. readInsertOnly is sound
+    // (admission never re-upserts an id) and keeps the scan
+    // aggregate-free so the pushed filter reaches the manifest.
+    val batchBuckets = sh.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val idx = table.readInsertOnly()
+      .filter(col("bucket").isin(batchBuckets.map(Integer.valueOf): _*))
       .select(col("vec_id").as("iid"), col("embedding").as("iemb"), col("bucket"))
     val rejected = idx.join(broadcast(sh), Seq("bucket"))
       .filter(graft.functions.TextOps.round4(
@@ -131,9 +151,19 @@ object EmbedIngest {
     }
     table.upsert(admitted.select(lit("I").as("op"), col("vec_id"),
         lit(epochId).as("lsn"), col("embedding"), col("bucket")),
-      epochId = epochId, summary = Map("admission" -> "cosine"))
+      epochId = epochId, summary = Map("admission" -> "cosine"),
+      clusterBy = Some(clusterFor(bits)))
     survivors
   }
+
+  /** File-grouping expression for the index: the LSH bucket, coarsened to
+    * at most 16 contiguous groups so the per-delta file fan-out stays
+    * bounded as `bits` grows with the corpus ([[Similarity.lshBitsFor]]).
+    * Order-preserving, so manifest `bucket` ranges stay disjoint across
+    * groups and the probe's `bucket IN (…)` prunes files exactly.
+    */
+  private def clusterFor(bits: Int) =
+    shiftright(col("bucket"), math.max(0, bits - 4))
 
   /** Streaming runner — same contract as [[DedupIngest.run]] (optional
     * admitted-vectors sink, inline compaction policy).
@@ -154,9 +184,16 @@ object EmbedIngest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         admitBatch(idx, batch, epochId, dim, bits, seed, threshold,
           docsTable = out)
-        if (maxFilesPerBucket > 0) (Seq(idx) ++ out).foreach { t =>
-          val victims = t.compactionCandidates(maxFilesPerBucket)
-          if (victims.nonEmpty) t.compactBuckets(victims)
+        if (maxFilesPerBucket > 0) {
+          // the index compacts CLUSTERED to keep its files bucket-range
+          // pure — a keyhash-only rewrite would erase the probe pruning
+          val iv = idx.compactionCandidates(maxFilesPerBucket)
+          if (iv.nonEmpty)
+            idx.compactBuckets(iv, clusterBy = Some(clusterFor(bits)))
+          out.foreach { t =>
+            val victims = t.compactionCandidates(maxFilesPerBucket)
+            if (victims.nonEmpty) t.compactBuckets(victims)
+          }
         }
         ()
       }

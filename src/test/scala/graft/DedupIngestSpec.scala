@@ -210,4 +210,104 @@ class DedupIngestSpec extends SparkSpec {
     q2.awaitTermination()
     assert(graft.lake.LakeTable.load(spark, s"$root/idx").currentSnapshotId == before)
   }
+
+  /** Files actually opened by an executed frame (AQE-aware). */
+  private def filesScanned(df: DataFrame): Long = {
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+  }
+
+  test("band-keyed index: small-batch probe opens a strict file subset, admitted set unchanged") {
+    val root = tmpDir("admitband")
+    val idx = DedupIngest.indexTable(spark, s"$root/idx")
+    val bands = DedupIngest.ensureBandTable(spark, idx, s"$root/bands")
+    val b0 = docs.filter($"doc_id" < 200).select($"doc_id", $"text")
+    DedupIngest.admitBatch(idx, b0, 0L, bandTable = Some(bands))
+    // 200 docs × 4 bands spread over the 16 band-range groups → a
+    // multi-file band index with disjoint bkey ranges per file
+    assert(bands.liveFiles().size > 4,
+      s"band index not multi-file: ${bands.liveFiles().size}")
+    assert(bands.liveFiles().forall(f =>
+      f.colMin.contains("bkey") && f.colMax.contains("bkey")))
+
+    // the probe for a ONE-doc batch carries ≤ 4 band keys → at most 4 of
+    // the band-range file groups can match
+    val one = docs.filter($"doc_id" === 400).select($"doc_id", $"text")
+    graft.functions.VectorExprs.register(spark)
+    val keys = DedupOps.bandFrame(DedupOps.simhash64(one, 64))
+      .select((col("blk") * 65536 + conv(col("bval"), 16, 10).cast("int"))
+        .cast("int").as("bkey"))
+      .distinct().as[Int].collect()
+    val probe = bands.readInsertOnly()
+      .filter(col("bkey").isin(keys.map(Integer.valueOf): _*))
+    val scanned = filesScanned(probe)
+    assert(scanned <= keys.length && scanned < bands.liveFiles().size,
+      s"probe opened $scanned of ${bands.liveFiles().size} band files " +
+        s"for ${keys.length} band keys — not pruned")
+
+    // admitted-set parity with the scan path on the same index state
+    val idxScan = DedupIngest.indexTable(spark, s"$root/idxscan")
+    DedupIngest.admitBatch(idxScan, b0, 0L)
+    val b1 = docs.filter($"doc_id" < 30)
+      .select(($"doc_id" + 7000).as("doc_id"), $"text") // copies → rejected
+      .union(docs.filter($"doc_id" >= 400 && $"doc_id" < 440)
+        .select($"doc_id", $"text"))
+    val viaBands = DedupIngest.admitBatch(idx, b1, 1L, bandTable = Some(bands))
+      .select("doc_id").as[Long].collect().toSet
+    val viaScan = DedupIngest.admitBatch(idxScan, b1, 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBands == viaScan,
+      s"band-only=${(viaBands -- viaScan).toSeq.sorted.take(5)} " +
+        s"scan-only=${(viaScan -- viaBands).toSeq.sorted.take(5)}")
+    // the band table tracks the index: 4 rows per admitted doc
+    assert(bands.readInsertOnly().count() == idx.read().count() * 4)
+  }
+
+  test("replayed delivered batch returns the ORIGINAL survivors, not an empty frame") {
+    val root = tmpDir("admitreplayret")
+    val idx = DedupIngest.indexTable(spark, s"$root/idx")
+    val b1 = docs.filter($"doc_id" < 40).select($"doc_id", $"text")
+    val s1 = DedupIngest.admitBatch(idx, b1, epochId = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.nonEmpty)
+    // crash AFTER all sinks committed, BEFORE the streaming checkpoint
+    // advanced: the replay must hand the caller the same survivor rows
+    // (round 4 re-derived against the already-updated index and returned
+    // an empty frame)
+    val replay = DedupIngest.admitBatch(idx, b1, epochId = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == s1, s"replay returned $replay, original was $s1")
+  }
+
+  test("crash between index and band commits: replay completes the band table") {
+    val root = tmpDir("admitbandcrash")
+    val idx = DedupIngest.indexTable(spark, s"$root/idx")
+    val bands = DedupIngest.ensureBandTable(spark, idx, s"$root/bands")
+    val b0 = docs.filter($"doc_id" < 60).select($"doc_id", $"text")
+    DedupIngest.admitBatch(idx, b0, 0L, bandTable = Some(bands))
+    // CRASH SIMULATION: epoch 1 reached the primary index but not the
+    // band table — admit to the index alone
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 340)
+      .select($"doc_id", $"text")
+    val s1 = DedupIngest.admitBatch(idx, b1, 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bands.lastCommittedEpoch == 0L && idx.lastCommittedEpoch == 1L)
+    // replay of epoch 1 with the band table attached: decisions re-derive
+    // against the UNCHANGED band state, the index no-ops, the band
+    // commit completes
+    val replayed = DedupIngest.admitBatch(idx, b1, 1L, bandTable = Some(bands))
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed == s1)
+    assert(bands.lastCommittedEpoch == 1L)
+    assert(bands.readInsertOnly().select("doc_id").as[Long].collect().toSet ==
+      idx.read().select("doc_id").as[Long].collect().toSet)
+  }
 }

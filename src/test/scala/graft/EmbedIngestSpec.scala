@@ -99,4 +99,127 @@ class EmbedIngestSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       EmbedIngest.indexTable(spark, s"$root/idx", dim = 3, bits = 3, seed = 7L))
   }
+
+  test("clustered index: single-bucket probe opens a strict file subset") {
+    val root = tmpDir("eadmit4")
+    val table = EmbedIngest.indexTable(spark, s"$root/idx", dim = 64,
+      bits = 2, seed = 42L, numBuckets = 2)
+    val b1 = emb.filter($"vec_id" < 300)
+    EmbedIngest.admitBatch(table, b1, 0L, dim = 64, bits = 2, seed = 42L,
+      threshold = 0.95)
+    // commits are clustered by LSH bucket: every file carries a tight
+    // single-value bucket stat (bits=2 → cluster == bucket)
+    assert(table.liveFiles().size > 2)
+    assert(table.liveFiles().forall(f =>
+      f.colMin.get("bucket").isDefined && f.colMin.get("bucket") == f.colMax.get("bucket")),
+      "index file spans LSH buckets — stats cannot prune")
+    // a probe restricted to ONE lsh bucket opens only that bucket's files
+    val probe = table.readInsertOnly().filter(col("bucket") === 1)
+    probe.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val scanned = unwrap(probe.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val expected = table.liveFiles().count(_.colMin.get("bucket").contains("1"))
+    assert(scanned == expected && expected < table.liveFiles().size,
+      s"probe opened $scanned of ${table.liveFiles().size}, expected $expected")
+  }
+
+  test("two-table admission: vectors-before-index commit order survives a mid-crash") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("eadmit5")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val idx = EmbedIngest.indexTable(spark, s"$root/idx", dim = 64, bits = 2, seed = 42L)
+    val out = graft.lake.LakeTable.create(spark, s"$root/out", schema,
+      keyCol = "vec_id", numBuckets = 4)
+    val b0 = emb.filter($"vec_id" < 40)
+    val b1 = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 5000).as("vec_id"), $"embedding") // copies → rejected
+      .union(emb.filter($"vec_id" >= 300 && $"vec_id" < 330))
+    EmbedIngest.admitBatch(idx, b0, 0L, dim = 64, bits = 2, seed = 42L,
+      threshold = 0.95, docsTable = Some(out))
+    // derive batch 1's survivors against the same index state on a scratch
+    // root (admission is a pure function of (batch, index state))
+    val scratch = EmbedIngest.indexTable(spark, s"$root/scratch", dim = 64,
+      bits = 2, seed = 42L)
+    EmbedIngest.admitBatch(scratch, b0, 0L, dim = 64, bits = 2, seed = 42L,
+      threshold = 0.95)
+    val survivors1 = EmbedIngest.admitBatch(scratch, b1, 1L, dim = 64,
+      bits = 2, seed = 42L, threshold = 0.95)
+    // CRASH SIMULATION: the vectors sink committed epoch 1, the index did
+    // not — exactly the state the vectors-first order can leave
+    out.upsert(survivors1.select(lit("I").as("op"), lit(1L).as("lsn"),
+      $"vec_id", $"embedding"), epochId = 1L)
+    val replayed = EmbedIngest.admitBatch(idx, b1, 1L, dim = 64, bits = 2,
+      seed = 42L, threshold = 0.95, docsTable = Some(out))
+    val outIds = out.read().select("vec_id").as[Long].collect().toSet
+    val idxIds = idx.read().select("vec_id").as[Long].collect().toSet
+    assert(outIds == idxIds, "vectors sink and index must agree after replay")
+    assert(replayed.select("vec_id").as[Long].collect().toSet ==
+      survivors1.select("vec_id").as[Long].collect().toSet)
+    assert(out.read().count() == outIds.size)
+    // full re-delivery (crash after BOTH commits): original survivors back
+    val redelivered = EmbedIngest.admitBatch(idx, b1, 1L, dim = 64, bits = 2,
+      seed = 42L, threshold = 0.95, docsTable = Some(out))
+      .select("vec_id").as[Long].collect().toSet
+    assert(redelivered == survivors1.select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("inline compaction keeps the index bounded and clustered; admitted set unchanged") {
+    val root = tmpDir("eadmit6")
+    val all = emb.filter($"vec_id" < 120)
+    (0 until 6).foreach { i =>
+      all.filter($"vec_id" % 6 === i).coalesce(1)
+        .write.parquet(s"$root/feed/chunk=$i")
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    val q = EmbedIngest.run(stream, s"$root/idx", s"$root/ckpt",
+      dim = 64, bits = 2, threshold = 0.9, numBuckets = 2,
+      docsRoot = Some(s"$root/docs"), maxFilesPerBucket = 4)
+    q.awaitTermination()
+    val idx = graft.lake.LakeTable.load(spark, s"$root/idx")
+    val perBucket = idx.liveFiles().groupBy(_.bucket).map(_._2.size)
+    assert(perBucket.forall(_ <= 4), s"buckets exceed file bound: $perBucket")
+    // the clustered compaction keeps every file pure in its LSH bucket
+    assert(idx.liveFiles().forall(f =>
+      f.colMin.get("bucket") == f.colMax.get("bucket")),
+      "compaction erased the bucket clustering")
+    val ref = EmbedIngest.indexTable(spark, s"$root/ref", dim = 64, bits = 2,
+      seed = 42L, numBuckets = 2)
+    (0 until 6).foreach { i =>
+      EmbedIngest.admitBatch(ref, spark.read.parquet(s"$root/feed/chunk=$i"),
+        i.toLong, dim = 64, bits = 2, seed = 42L, threshold = 0.9)
+    }
+    assert(idx.read().select("vec_id").as[Long].collect().toSet ==
+      ref.read().select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("LSH param drift across a stream RESTART is refused before any batch runs") {
+    val root = tmpDir("eadmit7")
+    val all = emb.filter($"vec_id" < 60)
+    all.coalesce(1).write.parquet(s"$root/feed/chunk=0")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    EmbedIngest.run(stream, s"$root/idx", s"$root/ckpt", dim = 64, bits = 2,
+      threshold = 0.9, numBuckets = 2).awaitTermination()
+    assert(graft.lake.LakeTable.load(spark, s"$root/idx").read().count() > 0)
+    // restart the SAME stream with different planes: must refuse at start
+    // (stored buckets are a function of the planes), not corrupt silently
+    assertThrows[IllegalArgumentException](
+      EmbedIngest.run(stream, s"$root/idx", s"$root/ckpt", dim = 64, bits = 3,
+        threshold = 0.9, numBuckets = 2))
+    // and a faithful restart still works (nothing new → no commits)
+    val before = graft.lake.LakeTable.load(spark, s"$root/idx").currentSnapshotId
+    EmbedIngest.run(stream, s"$root/idx", s"$root/ckpt", dim = 64, bits = 2,
+      threshold = 0.9, numBuckets = 2).awaitTermination()
+    assert(graft.lake.LakeTable.load(spark, s"$root/idx").currentSnapshotId == before)
+  }
 }
