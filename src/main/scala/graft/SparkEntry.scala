@@ -564,6 +564,27 @@ object SparkEntry {
           leaves = Seq(Leaf("head", substring(col("text"), 1, 12)),
             Leaf("lang", col("lang")))))
     }),
+    "q76_turtle" -> ((s, dir) => { implicit val sp = s
+      // Turtle serialisation (C1/C3 composed; reference formats.clj:8-19,
+      // writer + prefix header io.clj:500-582): CURIE compaction, the `a`
+      // keyword for rdf:type, <iri> fallback for unmapped namespaces —
+      // the DuckDB twin mirrors the compaction case-for-case
+      import graft.sources.Turtle
+      val m = Map("doc" -> "http://example.org/doc/",
+        "dct" -> "http://purl.org/dc/terms/")
+      val d = t(dir, "documents")
+      def subj = concat(lit("http://example.org/doc/"), col("doc_id"))
+      val stmts = d.select(subj.as("subject"),
+          lit("http://purl.org/dc/terms/language").as("predicate"),
+          col("lang").as("object"))
+        .unionAll(d.select(subj.as("subject"),
+          lit(Turtle.RdfType).as("predicate"),
+          col("source").as("object")))
+        .unionAll(d.select(subj.as("subject"),
+          lit("http://example.org/meta#n_chars").as("predicate"),
+          col("n_chars").cast("string").as("object")))
+      Turtle.serialize(stmts, m)
+    }),
     "q52_temporal_offsets" -> ((s, dir) => { implicit val sp = s
       // OffsetTime/OffsetDate structs (C5): zone-preserving temporal
       // coercion; lexical forms synthesised deterministically per row
@@ -1337,6 +1358,20 @@ object SparkEntry {
            replace(replace(replace(replace(replace(lang,
              '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
            || '" <g> .' FROM documents""",
+    "q76_turtle" ->
+      """SELECT 'doc:' || CAST(doc_id AS VARCHAR) || ' dct:language "' ||
+           replace(replace(replace(replace(replace(lang,
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '" .' AS value FROM documents
+         UNION ALL
+         SELECT 'doc:' || CAST(doc_id AS VARCHAR) || ' a "' ||
+           replace(replace(replace(replace(replace(source,
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '" .' FROM documents
+         UNION ALL
+         SELECT 'doc:' || CAST(doc_id AS VARCHAR) ||
+           ' <http://example.org/meta#n_chars> "' || CAST(n_chars AS VARCHAR)
+           || '" .' FROM documents""",
     "q52_temporal_offsets" ->
       """SELECT event_id,
            (CAST(strftime(ts, '%H') AS BIGINT) * 3600

@@ -40,7 +40,7 @@ object NQuads {
 
   private val Nul = "\u0000"
 
-  private def esc(c: Column): Column = {
+  private[sources] def esc(c: Column): Column = {
     val escaped = replace(replace(replace(replace(replace(c,
       lit("\\"), lit("\\\\")),
       lit("\""), lit("\\\"")),
@@ -54,7 +54,7 @@ object NQuads {
       .otherwise(escaped)
   }
 
-  private def unesc(c: Column): Column =
+  private[sources] def unesc(c: Column): Column =
     replace(replace(replace(replace(replace(replace(c,
       lit("\\\\"), lit(Nul)),
       lit("\\\""), lit("\"")),
