@@ -1269,21 +1269,23 @@ class LakeTable private (
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
       // stat-eligible user columns: top-level INT32/INT64/UTF8 primitives
-      // (nested/float/raw-binary columns carry no skippable range here)
+      // plus FLOAT/DOUBLE (nested/raw-binary columns carry no skippable
+      // range here)
       val msgType = reader.getFooter.getFileMetaData.getSchema
-      val eligible: Map[String, Boolean] = msgType.getFields.asScala.flatMap { t =>
+      val eligible: Map[String, Char] = msgType.getFields.asScala.flatMap { t =>
         if (t.isPrimitive && !t.getName.startsWith("_")) {
           val p = t.asPrimitiveType()
           import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
           p.getPrimitiveTypeName match {
-            case INT32 | INT64 => Some(t.getName -> false)
+            case INT32 | INT64 => Some(t.getName -> 'i')
+            case FLOAT | DOUBLE => Some(t.getName -> 'f')
             case BINARY if p.getLogicalTypeAnnotation.isInstanceOf[
               org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-              Some(t.getName -> true)
+              Some(t.getName -> 's')
             case _ => None
           }
         } else None
-      }.toMap // name -> isString
+      }.toMap // name -> kind ('i' integral, 'f' float, 's' string)
       // decide the stat columns per FILE, not per block: source offset
       // range if present (upsert deltas), else the winner lsn range
       // (compaction rewrites) — then fold min/max over EVERY block.
@@ -1302,6 +1304,12 @@ class LakeTable private (
       val noStat = scala.collection.mutable.HashSet[String]()
       def statString(v: Any): String = v match {
         case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+        // floats widen to double BEFORE stringifying: Float.toString is
+        // the shortest float-round-trip form, and parsing it as a DOUBLE
+        // yields a different value than the exact (double) widening the
+        // probe compares against — a file holding 0.1f would prune a
+        // `=== 0.1f` probe. Double.toString round-trips exactly.
+        case fl: java.lang.Float                 => fl.doubleValue().toString
         case other                               => other.toString
       }
       blocks.foreach { b =>
@@ -1317,17 +1325,37 @@ class LakeTable private (
               st.genericGetMin match { case i: java.lang.Integer => bmn = math.min(bmn, i); case _ => () }
               st.genericGetMax match { case i: java.lang.Integer => bmx = math.max(bmx, i); case _ => () }
             }
-            eligible.get(path).foreach { isString =>
+            eligible.get(path).foreach { kind =>
               // an all-null chunk contributes nothing (nulls never match a
               // range predicate); a chunk WITHOUT stats poisons the column
               // for this file — an unknown range must not prune
               if (st.hasNonNullValue) {
-                def lt(a: String, b: String): Boolean =
-                  if (isString) LakeTable.cpCompare(a, b) < 0 else a.toLong < b.toLong
-                val lo = statString(st.genericGetMin)
-                val hi = statString(st.genericGetMax)
-                cmin.updateWith(path)(o => Some(o.filter(lt(_, lo)).getOrElse(lo)))
-                cmax.updateWith(path)(o => Some(o.filter(v => lt(hi, v)).getOrElse(hi)))
+                def lt(a: String, b: String): Boolean = kind match {
+                  case 's' => LakeTable.cpCompare(a, b) < 0
+                  case 'f' => java.lang.Double.compare(a.toDouble, b.toDouble) < 0
+                  case _   => a.toLong < b.toLong
+                }
+                var lo = statString(st.genericGetMin)
+                var hi = statString(st.genericGetMax)
+                if (kind == 'f') {
+                  // a NaN bound poisons the column for this file: writers
+                  // disagree on NaN ordering (PARQUET-1222), so any range
+                  // touching NaN is unusable — prune nothing over wrong
+                  // pruning. ±0.0 bounds are WIDENED (lo +0.0 → -0.0,
+                  // hi -0.0 → +0.0): IEEE treats them equal but
+                  // Double.compare does not, and the probe compares with
+                  // Double.compare — the wide bound keeps every row a
+                  // zero-boundary predicate could match.
+                  if (lo.toDouble.isNaN || hi.toDouble.isNaN) noStat += path
+                  else {
+                    if (lo.toDouble == 0.0d) lo = "-0.0"
+                    if (hi.toDouble == 0.0d) hi = "0.0"
+                  }
+                }
+                if (!noStat.contains(path)) {
+                  cmin.updateWith(path)(o => Some(o.filter(lt(_, lo)).getOrElse(lo)))
+                  cmax.updateWith(path)(o => Some(o.filter(v => lt(hi, v)).getOrElse(hi)))
+                }
               }
             }
           } else if (eligible.contains(path)) noStat += path
@@ -1464,7 +1492,7 @@ private[lake] class ManifestFileIndex(root: String, files: Seq[FileEntry])
     extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.hadoop.fs.{FileStatus, Path => HPath}
   import org.apache.spark.sql.catalyst.expressions._
-  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+  import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 
   private def abs(f: FileEntry) = new HPath(s"$root/${f.path}")
 
@@ -1490,21 +1518,28 @@ private[lake] class ManifestFileIndex(root: String, files: Seq[FileEntry])
       kept.map(f => new FileStatus(f.bytes, false, 1, 134217728L, 0L, abs(f))).toArray))
   }
 
-  /** Stat range of `col` in `f` as (min, max, isString), if tracked and
-    * of an orderable type we compare exactly (integral or string).
+  /** Stat range of `col` in `f` as (min, max, kind), if tracked and of an
+    * orderable type we compare exactly: 'i' integral, 's' string (code
+    * points — parquet's UTF-8 comparator), 'f' float/double
+    * (Double.compare on the widened bounds the writer recorded; NaN
+    * ranges were dropped at write time).
     */
-  private def range(f: FileEntry, a: Attribute): Option[(String, String, Boolean)] = {
-    val isString = a.dataType match {
-      case StringType                                  => true
-      case ByteType | ShortType | IntegerType | LongType => false
-      case _                                           => return None
+  private def range(f: FileEntry, a: Attribute): Option[(String, String, Char)] = {
+    val kind = a.dataType match {
+      case StringType                                    => 's'
+      case ByteType | ShortType | IntegerType | LongType => 'i'
+      case FloatType | DoubleType                        => 'f'
+      case _                                             => return None
     }
     for (lo <- f.colMin.get(a.name); hi <- f.colMax.get(a.name))
-      yield (lo, hi, isString)
+      yield (lo, hi, kind)
   }
 
-  private def le(isString: Boolean, a: String, b: String): Boolean =
-    if (isString) LakeTable.cpCompare(a, b) <= 0 else a.toLong <= b.toLong
+  private def le(kind: Char, a: String, b: String): Boolean = kind match {
+    case 's' => LakeTable.cpCompare(a, b) <= 0
+    case 'f' => java.lang.Double.compare(a.toDouble, b.toDouble) <= 0
+    case _   => a.toLong <= b.toLong
+  }
 
   /** Literal's value as a stat-comparable string, None when incomparable. */
   private def litStr(v: Any): Option[String] = v match {
@@ -1512,6 +1547,8 @@ private[lake] class ManifestFileIndex(root: String, files: Seq[FileEntry])
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
     case n @ (_: java.lang.Long | _: java.lang.Integer |
               _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+    case d: java.lang.Double => Some(d.toString)
+    case fl: java.lang.Float => Some(fl.doubleValue().toString)
     case _ => None
   }
 
