@@ -80,7 +80,7 @@ object Bench {
     val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println("{\"metric\":\"total\",\"value\":" + f3(total) +
+    val json = "{\"metric\":\"total\",\"value\":" + f3(total) +
       ",\"unit\":\"sec\",\"repeats\":" + repeats +
       ",\"queries\":" + qs +
       ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]") +
@@ -88,7 +88,18 @@ object Bench {
       ",\"cdc\":{\"events\":" + nEvents +
       ",\"sec\":" + f3(cdc.sec) +
       ",\"events_per_sec\":" + f3(cdc.eps) +
-      ",\"cpus\":" + cpus + "}}")
+      ",\"cpus\":" + cpus + "}}"
+    println(json)
+    // ALSO land the line in a file: sbt prefixes stdout with "[info] ",
+    // which a strict JSON parser on the driver side chokes on — the file
+    // is the clean structured handoff (BENCH_r04 had "parsed": null)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH/last_run.json"), json + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH/last_run.json: $e")
+    }
     spark.stop()
   }
 }

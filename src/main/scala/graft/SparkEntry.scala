@@ -322,6 +322,15 @@ object SparkEntry {
       Sampling.bernoulli(t(dir, "documents"), col("doc_id"), p = 0.25, seed = "s62")
         .select(col("doc_id"), col("source"))
     }),
+    // LARGE exact draw (k > DirectTopKMax): the two-pass threshold-refine
+    // path — count, md5-threshold pre-filter, top-k over ~k survivors —
+    // hash-matched against the oracle's plain ORDER BY + LIMIT (the two
+    // shapes are row-identical by construction; the survivor-count check
+    // inside exactKLarge proves containment per run)
+    "qs77_sample_large" -> ((s, dir) => { implicit val sp = s
+      Sampling.exactK(t(dir, "events"), col("event_id"), k = 50000, seed = "s77")
+        .select(col("event_id"), col("user_id"))
+    }),
     // per-stratum rates: the corpus-mixing knob (up/down-weight sources)
     "qs63_sample_stratified" -> ((s, dir) => { implicit val sp = s
       Sampling.stratified(t(dir, "documents"), col("doc_id"), col("source"),
@@ -1054,6 +1063,11 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          WHERE substr(md5('s62:' || CAST(doc_id AS VARCHAR)), 1, 12)
            < '${operators.Sampling.hexThreshold(0.25)}'""",
+    "qs77_sample_large" ->
+      """SELECT event_id, user_id FROM events
+         ORDER BY substr(md5('s77:' || CAST(event_id AS VARCHAR)), 1, 12),
+           event_id
+         LIMIT 50000""",
     "qs63_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
          WHERE substr(md5('s63:' || CAST(doc_id AS VARCHAR)), 1, 12) <

@@ -79,6 +79,13 @@ object Lww {
     */
   val AutoSalt: Int = -1
 
+  /** THE salt fan-out every auto-salting site shares: the sticky route in
+    * [[graft.stream.CdcIngest.run]] and the per-batch probe route here
+    * must salt identically, or a probe batch and a sticky batch of the
+    * same stream would partition the same hot key differently.
+    */
+  val DefaultSaltBuckets: Int = 16
+
   /** Skew-adaptive routing via the Misra–Gries sketch
     * ([[HeavyHitters.topShare]]): ONE distributed column-pruned pass over
     * the WHOLE batch with O(sketchSize) state per partition — unlike a
@@ -92,7 +99,7 @@ object Lww {
     */
   def reduceAutoSketched(events: DataFrame, keyCol: String, numBuckets: Int,
                          sketchSize: Int = 64, hotShare: Double = 0.2,
-                         saltBuckets: Int = 16): DataFrame =
+                         saltBuckets: Int = DefaultSaltBuckets): DataFrame =
     reduceAutoSketchedRouted(events, keyCol, numBuckets, sketchSize,
       hotShare, saltBuckets)._1
 
@@ -103,7 +110,7 @@ object Lww {
   def reduceAutoSketchedRouted(events: DataFrame, keyCol: String,
                                numBuckets: Int, sketchSize: Int = 64,
                                hotShare: Double = 0.2,
-                               saltBuckets: Int = 16): (DataFrame, Boolean) = {
+                               saltBuckets: Int = DefaultSaltBuckets): (DataFrame, Boolean) = {
     val share = HeavyHitters.topShare(events, keyCol, sketchSize)
     if (share > hotShare)
       (reduceSalted(events, saltBuckets, keyCol).repartition(numBuckets, col(keyCol)), true)

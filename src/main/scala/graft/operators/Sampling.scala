@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   * shuffle, no state, survives any partitioning); [[exactK]] is a global
   * top-k (TakeOrderedAndProject — per-partition heaps + driver merge of
   * k) for k up to `spark.sql.execution.topKSortFallbackThreshold`
-  * (default 10 000); above it Spark falls back to a full sort + limit —
-  * raise the threshold for large exact draws, or prefer [[bernoulli]]
-  * when an approximate size is acceptable.
+  * (default 10 000), and routes through the two-pass threshold-refine
+  * [[exactKLarge]] above it — the sorted set is always ~k rows, never
+  * the corpus.
   */
 object Sampling {
 
@@ -41,7 +41,13 @@ object Sampling {
     if (p >= 1.0) "g"
     else if (p <= 0.0) "0" * Digits
     else {
-      val buckets = math.floor(p * math.pow(16.0, Digits.toDouble)).toLong
+      // clamp below 16^12: for p one ulp under 1.0 the product rounds UP
+      // to exactly 16^12, which would format as a 13-char "1000000000000"
+      // — lexicographically BELOW most 12-char draws, silently keeping
+      // ~1/16 of rows instead of ~all
+      val buckets = math.min(
+        math.floor(p * math.pow(16.0, Digits.toDouble)).toLong,
+        (1L << (4 * Digits)) - 1)
       ("%0" + Digits + "x").format(buckets)
     }
   }
@@ -85,12 +91,64 @@ object Sampling {
     * top-k by the draw (ties — md5 collisions — broken by the key itself,
     * so the result set is total-order deterministic). The ranking column
     * is not kept.
+    *
+    * Scale shape: for small k the plan is TakeOrderedAndProject —
+    * per-partition k-heaps merged on the driver. That shape has TWO
+    * large-k failure modes: (a) the driver merge materialises up to
+    * partitions × k rows (a 5M-row draw over 1000 partitions is a 5e9-row
+    * driver OOM — Spark 4's `topKSortFallbackThreshold` defaults to
+    * ~Int.MaxValue, so nothing stops it); (b) a deployment that LOWERS
+    * the threshold gets a full-corpus global sort instead. Both are
+    * k-over-the-corpus problems, so k above [[DirectTopKMax]] (or the
+    * session's fallback threshold, whichever is smaller) routes through
+    * [[exactKLarge]]'s two-pass threshold-refine: the ordered set is ~k
+    * rows, never N, and the driver merge is bounded by ~k regardless of
+    * partition count. Both paths return the IDENTICAL row set
+    * (spec-pinned).
     */
   def exactK(df: DataFrame, key: Column, k: Int, seed: String): DataFrame = {
     require(k >= 0, "sample size must be non-negative")
     val r = "_samp_rank"
     require(!df.columns.contains(r), s"input already has a column named $r")
+    val fallback = df.sparkSession.conf
+      .get("spark.sql.execution.topKSortFallbackThreshold", "10000").toInt
+    if (k > math.min(fallback, DirectTopKMax)) return exactKLarge(df, key, k, seed)
     df.withColumn(r, draw(seed, key))
+      .orderBy(col(r), key)
+      .limit(k)
+      .drop(r)
+  }
+
+  /** Largest k the direct top-k path serves: 32 partitions × 10k heap
+    * entries on the driver is single-digit MBs; past it the two-pass
+    * refine is the safe shape at any partition count.
+    */
+  val DirectTopKMax = 10000
+
+  /** Two-pass threshold-refine draw for LARGE k (beyond the top-k
+    * operator's threshold): (1) count N; (2) Bernoulli pre-filter at an
+    * oversampled rate p' = (k + 6√k + 16)/N — the k-th smallest draw is
+    * below the p'-threshold unless the binomial undershoots by ≥6σ — then
+    * exact top-k over the ~k surviving rows. The survivor count is
+    * CHECKED: ≥ k survivors proves the true top-k is inside the survivor
+    * set (survivors = ALL rows with draw < cut), so the result equals the
+    * one-pass draw row-for-row; an undershoot falls back to the full
+    * sort (deterministic given the data — no retry loop, no seed bump,
+    * so replays take the same branch). Cost at 10^10 rows: two narrow
+    * full scans + a sort of ~k rows, vs a full-corpus range shuffle.
+    */
+  def exactKLarge(df: DataFrame, key: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 0, "sample size must be non-negative")
+    val r = "_samp_rank"
+    require(!df.columns.contains(r), s"input already has a column named $r")
+    val n = df.count()
+    if (n <= k) return df // the whole frame survives; no ordering needed
+    val p = math.min(1.0, (k + 6.0 * math.sqrt(k.toDouble) + 16.0) / n)
+    val survivors = df.filter(draw(seed, key) < lit(hexThreshold(p)))
+    val ranked =
+      if (survivors.count() >= k) survivors
+      else df // ≥6σ undershoot: correctness over the fast path
+    ranked.withColumn(r, draw(seed, key))
       .orderBy(col(r), key)
       .limit(k)
       .drop(r)

@@ -178,6 +178,10 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"), rank.as("_r"))
       .orderBy(col("_r"), col("vec_id")).limit(sampleSize)
       .localCheckpoint()
+    // the unpartitioned window below triggers Spark's "No Partition
+    // Defined for Window" warning — intended: it ranks the ≤ sampleSize
+    // (default 256) sample rows, a deliberate single-partition ranking of
+    // a bounded frame, never corpus data
     var centroids = samp
       .orderBy(col("_r"), col("vec_id")).limit(nCells)
       .select(

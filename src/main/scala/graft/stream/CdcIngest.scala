@@ -156,7 +156,7 @@ object CdcIngest {
         val effSalt =
           if (saltBuckets != Lww.AutoSalt) saltBuckets
           else if (sinceProbe >= probeEvery) Lww.AutoSalt // probe batch
-          else if (saltedRoute) 16
+          else if (saltedRoute) Lww.DefaultSaltBuckets
           else 0
         val committed = applyBatch(table, batch, epochId, effSalt,
           dedup = false, quarantine = quarantine)

@@ -165,8 +165,24 @@ object EmbedIngest {
   private def clusterFor(bits: Int) =
     shiftright(col("bucket"), math.max(0, bits - 4))
 
+  /** Plane count holding the expected per-bucket index population at
+    * `targetBucketSize` — the [[Similarity.lshBitsFor]] bits-vs-N
+    * contract applied to ADMISSION: both the vs-index probe join and the
+    * within-batch pair join do O(bucketSize) work per batch row, so a
+    * fixed small `bits` over an index that grows 1000× is the same
+    * quadratic candidate-join trap the batch near-dup operators guard
+    * against. Size `bits` from the index's TARGET population (admission
+    * refuses parameter drift, so bits cannot be grown in place — plan
+    * for the mature index, or rebuild under new planes).
+    */
+  def bitsFor(expectedIndexSize: Long, targetBucketSize: Long = 1024): Int =
+    Similarity.lshBitsFor(expectedIndexSize, targetBucketSize)
+
   /** Streaming runner — same contract as [[DedupIngest.run]] (optional
-    * admitted-vectors sink, inline compaction policy).
+    * admitted-vectors sink, inline compaction policy). The default
+    * `bits = 2` is sized for the sf-scale fixtures ONLY: production
+    * streams must pass [[bitsFor]] of the index's target population
+    * (see its scaladoc for the cost contract).
     */
   def run(vecs: DataFrame, indexRoot: String, checkpointDir: String,
           dim: Int, bits: Int = 2, seed: Long = 42L, threshold: Double = 0.9,

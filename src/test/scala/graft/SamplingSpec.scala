@@ -247,4 +247,60 @@ class SamplingSpec extends SparkSpec {
     // rank column is 1-based and dense within a doc
     assert(k2.filter($"rank" < 1 || $"rank" > 2).count() == 0)
   }
+
+  test("hexThreshold clamps at the 12-hex ceiling (p one ulp below 1.0)") {
+    // floor(nextDown(1.0) * 16^12) rounds UP to 16^12 — unclamped it
+    // formats as the 13-char "1000000000000", which sorts BELOW most
+    // 12-char draws and silently keeps ~1/16 of rows instead of ~all
+    val t = Sampling.hexThreshold(math.nextDown(1.0))
+    assert(t == "f" * 12, s"got $t")
+    assert(Sampling.hexThreshold(1.0) == "g") // keep-all sentinel intact
+  }
+
+  test("exactK above the top-k threshold: refine pass sorts ~k rows, identical result") {
+    val n = 200000L
+    val k = 50000 // > topKSortFallbackThreshold (10 000 default)
+    val df = spark.range(n).select(concat(lit("k"), col("id")).as("key"), col("id"))
+    val got = Sampling.exactK(df, col("key"), k, "s1")
+    // row-for-row identical to the single-pass definition
+    val naive = df.withColumn("_r", Sampling.draw("s1", col("key")))
+      .orderBy(col("_r"), col("key")).limit(k).drop("_r")
+    assert(got.count() == k)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // the sorted set is the thresholded survivor frame (~k rows), not the
+    // corpus: the executed plan's sort sits ABOVE the md5 pre-filter
+    got.collect()
+    // AQE wraps finished stages in leaf QueryStageExec nodes — flatten
+    // through them to see the whole physical tree
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(got.queryExecution.executedPlan)
+    // either ordering operator is fine — what matters is what FEEDS it
+    assert(nodes.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.SortExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "expected an ordering operator in the large-k plan")
+    val preFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("md5") => f
+    }
+    assert(preFilters.nonEmpty,
+      "no md5 threshold pre-filter in the plan — this is a full-corpus sort")
+    // the survivor set the sort consumes is ~k, far below N — pinned by
+    // the pre-filter's own output-row metric
+    val p = math.min(1.0, (k + 6.0 * math.sqrt(k.toDouble) + 16.0) / n)
+    val c = df.filter(Sampling.draw("s1", col("key")) <
+      lit(Sampling.hexThreshold(p))).count()
+    assert(c >= k && c < n / 2, s"survivors $c")
+    assert(preFilters.map(_.metrics("numOutputRows").value).max <= c,
+      "the sort consumed more rows than the survivor set")
+    // k beyond N short-circuits to the whole frame
+    assert(Sampling.exactKLarge(df.limit(100), col("key"), k, "s1").count() == 100)
+  }
 }
