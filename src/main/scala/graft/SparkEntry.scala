@@ -409,10 +409,11 @@ object SparkEntry {
       Similarity.lshNearDupPairs(t(dir, "embeddings"), dim = 64, bits = 2,
         seed = 42L, threshold = 0.35)
     }),
-    // LAKE-RESIDENT IVF: corpus written one-commit-per-cell into a
-    // LakeTable (cell-pure files + manifest stats → probes open only
-    // probed cells' files; OperatorSpec pins the skip), same deterministic
-    // pipeline as qd40 — so the same DuckDB oracle checks it end-to-end
+    // LAKE-RESIDENT IVF: corpus written in ONE cell-clustered commit into
+    // a LakeTable (cell-pure files + manifest stats → probes open only
+    // probed cells' files; OperatorSpec pins the skip AND the O(1)-jobs
+    // build), same deterministic pipeline as qd40 — so the same DuckDB
+    // oracle checks it end-to-end
     "qd59_ann_ivf_lake" -> ((s, dir) => { implicit val sp = s
       val root = s"${sys.props("java.io.tmpdir")}/graft-q-ivflake-" +
         s"${s.sparkContext.applicationId}-" + dir.replaceAll("[^A-Za-z0-9]", "_")
