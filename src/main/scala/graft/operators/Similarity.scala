@@ -384,14 +384,28 @@ object Similarity {
     */
   private def ivfLakeCorpus(table: graft.lake.LakeTable,
                             probedCells: Seq[Int]): DataFrame = {
-    val upserts = table.snapshots
-      .filter(_.summary.get("operation").contains("upsert"))
+    val snaps = table.snapshots
+    val cellFilter = col("cell").isin(probedCells.map(Integer.valueOf): _*)
+    // a FULL compaction (all-bucket rewrite) leaves the winners merged
+    // into one live snapshot: read() then plans as the no-aggregate
+    // bucketed fast path, the cell filter pushes to the scan, and — when
+    // the compact ran clusterBy(cell) — the manifest prunes to the
+    // probed cells' files again. This is the maintenance path that
+    // restores pristine probe economics on a modified index (and the
+    // only path that survives snapshot-history expiry, since it never
+    // touches the changelog).
+    val fullyCompacted = snaps.lastOption.exists(s =>
+      s.summary.get("operation").contains("compact") &&
+        !s.summary.contains("buckets"))
+    if (fullyCompacted)
+      return table.read().filter(cellFilter)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    val upserts = snaps.filter(_.summary.get("operation").contains("upsert"))
     require(upserts.headOption.exists(
         _.summary.get(IvfBuildKey).contains("true")),
       s"table at ${table.root} was not built by writeIvfLake " +
         "(no ivfBuild marker on the first upsert snapshot)")
     val build = upserts.head
-    val cellFilter = col("cell").isin(probedCells.map(Integer.valueOf): _*)
     // build files are cell-pure, so this literal IN prunes at the manifest
     val base = table.changesBetween(build.snapshotId - 1, build.snapshotId)
       .filter(cellFilter)
@@ -399,9 +413,9 @@ object Similarity {
       base.select(col("vec_id"), col("embedding"), col("cell"))
     else {
       // modified index: winner merge over pruned build ∪ unpruned tail.
-      // The tail is all post-build upsert deltas — at a maintained index
-      // this is small relative to the corpus and shrinks to zero again
-      // after a compact(clusterBy = cell) rebuild.
+      // The tail is all post-build upsert deltas — small at a maintained
+      // index, and a full compact(clusterBy = cell) collapses the probe
+      // back to the pruned no-aggregate shape above.
       val tail = table.changesBetween(build.snapshotId, table.currentSnapshotId)
       val all = base.unionByName(tail)
       all.groupBy(col("vec_id"))

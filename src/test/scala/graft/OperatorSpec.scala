@@ -451,6 +451,19 @@ class OperatorSpec extends SparkSpec {
     // every returned neighbor's CURRENT winner state is in a probed-able
     // cell and alive; results still rank by the current embeddings
     assert(after.length == before.size || after.nonEmpty)
+
+    // maintenance: a FULL clustered compact restores the pristine probe
+    // shape — identical results, winners merged into one live snapshot,
+    // every stat-carrying file cell-pure again
+    table.compact(clusterBy = Some(col("cell")))
+    val compacted = Similarity.ivfTopKLake(spark, root, queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(compacted.toSet ==
+      after.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet,
+      "clustered compaction changed probe results")
+    assert(table.liveFiles().filter(_.colMin.contains("cell")).forall(f =>
+      f.colMin.get("cell") == f.colMax.get("cell")),
+      "clustered compaction produced a cell-spanning stats file")
   }
 
   test("LSH near-dup pairs: exact precision, recall floor vs brute force") {
