@@ -595,6 +595,19 @@ object SparkEntry {
           col("n_chars").cast("string").as("object")))
       Turtle.serialize(stmts, m)
     }),
+    "q78_trig" -> ((s, dir) => { implicit val sp = s
+      // TriG — Turtle's quad extension (formats.clj:8-19 :trig): one
+      // single-statement graph block per quad, provenance as the graph
+      import graft.sources.Turtle
+      val m = Map("doc" -> "http://example.org/doc/",
+        "src" -> "http://example.org/source/")
+      val stmts = t(dir, "documents").select(
+        concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+        lit("http://example.org/meta#lang").as("predicate"),
+        col("lang").as("object"),
+        concat(lit("http://example.org/source/"), col("source")).as("source"))
+      Turtle.serializeTrig(stmts, m)
+    }),
     "q52_temporal_offsets" -> ((s, dir) => { implicit val sp = s
       // OffsetTime/OffsetDate structs (C5): zone-preserving temporal
       // coercion; lexical forms synthesised deterministically per row
@@ -1387,6 +1400,12 @@ object SparkEntry {
          SELECT 'doc:' || CAST(doc_id AS VARCHAR) ||
            ' <http://example.org/meta#n_chars> "' || CAST(n_chars AS VARCHAR)
            || '" .' FROM documents""",
+    "q78_trig" ->
+      """SELECT 'src:' || source || ' { doc:' || CAST(doc_id AS VARCHAR) ||
+           ' <http://example.org/meta#lang> "' ||
+           replace(replace(replace(replace(replace(lang,
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '" . }' AS value FROM documents""",
     "q52_temporal_offsets" ->
       """SELECT event_id,
            (CAST(strftime(ts, '%H') AS BIGINT) * 3600

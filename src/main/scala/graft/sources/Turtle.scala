@@ -80,7 +80,71 @@ object Turtle {
     }
   }
 
+  /** TriG statement lines — Turtle's quad extension (reference registry
+    * `formats.clj:8-19` lists `:trig` beside `:ttl`): each row with a
+    * non-null `source` emits one single-statement graph block
+    * `g { s p o . }` (repeated blocks of one graph name merge, per the
+    * TriG grammar), null-source rows emit plain Turtle triple lines — the
+    * same "triple = quad with null context" contract as [[NQuads]].
+    */
+  def serializeTrig(statements: DataFrame,
+                    prefixes: Map[String, String] = Map.empty): DataFrame = {
+    if (!statements.columns.contains("source"))
+      return serialize(statements, prefixes) // all-triple frame = Turtle
+    val body = concat(
+      iriTerm(col("subject"), prefixes), lit(" "),
+      predicateTerm(col("predicate"), prefixes), lit(" \""),
+      NQuads.esc(col("object")), lit("\" ."))
+    val line = when(col("source").isNull, body)
+      .otherwise(concat(iriTerm(col("source"), prefixes), lit(" { "),
+        body, lit(" }")))
+    statements.select(line.as("value"))
+  }
+
+  /** Distributed TriG write with the `@prefix` header file. */
+  def writeTrig(statements: DataFrame, path: String,
+                prefixes: Map[String, String] = Map.empty): Unit = {
+    serializeTrig(statements, prefixes).write.mode("overwrite").text(path)
+    if (prefixes.nonEmpty) {
+      val lines = prefixes.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"@prefix $k: <$v> ." }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "00000-prefixes.txt"),
+        lines.mkString("", "\n", "\n"))
+    }
+  }
+
+  /** Parse a TriG file written by [[writeTrig]]: graph blocks surface
+    * with their `source`, bare triple lines with `source = null` — the
+    * NQuads 4-column schema, so the two quad formats round-trip through
+    * one statement model.
+    */
+  def readTrig(spark: SparkSession, path: String): DataFrame = {
+    val prefixes = NQuads.readPrefixes(spark, path)
+    def resolve(t: Column): Column =
+      when(t.startsWith("<"), t.substr(lit(2), length(t) - 2))
+        .otherwise(Prefixes.expand(t, prefixes))
+    def pred(t: Column): Column =
+      when(t === "a", lit(RdfType)).otherwise(resolve(t))
+    val isQuad = col("value").rlike(TrigLine)
+    val isTriple = col("value").rlike(Line)
+    def g(pattern: String, i: Int): Column =
+      regexp_extract(col("value"), pattern, i)
+    def pick(quadIdx: Int, tripleIdx: Int)(f: Column => Column): Column =
+      when(isQuad, f(g(TrigLine, quadIdx)))
+        .when(isTriple && lit(tripleIdx) > 0, f(g(Line, tripleIdx)))
+        .otherwise(lit(null).cast("string"))
+    spark.read.text(path)
+      .filter(!col("value").rlike(PrefixLine))
+      .select(
+        pick(2, 1)(resolve).as("subject"),
+        pick(3, 2)(pred).as("predicate"),
+        pick(4, 3)(NQuads.unesc).as("object"),
+        pick(1, -1)(resolve).as("source"))
+  }
+
   private val Line = "^(\\S+) (\\S+) \"(.*)\" \\.$"
+  private val TrigLine = "^(\\S+) \\{ (\\S+) (\\S+) \"(.*)\" \\. \\}$"
   private val PrefixLine = "^@prefix ([^:]+): <([^>]*)> \\.$"
 
   /** Parse a Turtle file written by [[write]] back into a statement

@@ -96,6 +96,14 @@ object DedupIngest {
     * index already has admitted docs (adopting the band layout on an
     * existing deployment), backfill it in one clustered commit stamped
     * with the primary's last epoch — later batch epochs stay monotone.
+    *
+    * `numBuckets` trades per-batch file fan-out (≤ buckets × 16 band
+    * groups per delta) against maintenance parallelism: compaction
+    * rewrites are bucket-local, so a 10^10-row band table at 1 bucket
+    * would compact through ONE task. Default 1 suits micro-batch scale;
+    * size ~rows/10^8 for a mature deployment and evolve later via
+    * `compact(newNumBuckets, clusterBy = bkey >> BandGroupShift)` (the
+    * clusterBy keeps the rewrite band-range-pure).
     */
   def ensureBandTable(spark: SparkSession, index: LakeTable, root: String,
                       numBuckets: Int = 1): LakeTable = {

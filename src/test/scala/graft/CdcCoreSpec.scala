@@ -527,6 +527,36 @@ class CdcCoreSpec extends SparkSpec {
     assert(back.exceptAll(viaNt).isEmpty && viaNt.exceptAll(back).isEmpty)
   }
 
+  test("trig: quad graph blocks + triple fallback, round trip vs NQuads") {
+    import graft.sources.{NQuads, Turtle}
+    val m = Map("doc" -> "http://example.org/doc/",
+      "g" -> "http://example.org/graph/")
+    val stmts = Seq(
+      // compactable graph + subject
+      ("http://example.org/doc/1", "http://example.org/doc/p", "plain",
+        "http://example.org/graph/g1"),
+      // null source → bare Turtle triple line (triple = quad w/ nil ctx)
+      ("http://example.org/doc/2", Turtle.RdfType, "Doc", null),
+      // adversarial object mimicking the block grammar itself
+      ("http://example.org/doc/3", "http://other.org/p", "evil\" . }",
+        "http://example.org/graph/g2")
+    ).toDF("subject", "predicate", "object", "source")
+    val dir = tmpDir("trig")
+    Turtle.writeTrig(stmts, s"$dir/out.trig", m)
+    val lines = spark.read.text(s"$dir/out.trig").collect().map(_.getString(0))
+      .filterNot(_.startsWith("@prefix")).toSet
+    assert(lines.contains("g:g1 { doc:1 doc:p \"plain\" . }"), lines.mkString("\n"))
+    assert(lines.contains("doc:2 a \"Doc\" ."))
+    assert(lines.contains("g:g2 { doc:3 <http://other.org/p> \"evil\\\" . }\" . }"))
+    // parse ∘ serialise = id on the 4-column statement frame
+    val back = Turtle.readTrig(spark, s"$dir/out.trig")
+    assert(back.exceptAll(stmts).isEmpty && stmts.exceptAll(back).isEmpty)
+    // cross-format agreement with the NQuads quad path
+    NQuads.write(stmts, s"$dir/out.nq")
+    val viaNq = NQuads.read(spark, s"$dir/out.nq")
+    assert(back.exceptAll(viaNq).isEmpty && viaNq.exceptAll(back).isEmpty)
+  }
+
   test("load() restores table properties from metadata") {
     val dir = tmpDir("lake")
     val t1 = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 6)
