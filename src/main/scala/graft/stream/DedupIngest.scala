@@ -85,6 +85,12 @@ object DedupIngest {
     */
   val BandGroupShift = 14
 
+  /** Probe-literal ceiling: batches whose distinct band-key count
+    * exceeds this scan the band table unfiltered (see the probe
+    * comment in [[admitBatch]]).
+    */
+  val MaxProbeKeys = 65536
+
   /** `(blk, bval-hex)` → the integer band coordinate. */
   private def bkeyCol: org.apache.spark.sql.Column =
     (col("blk") * 65536 + conv(col("bval"), 16, 10).cast("int")).cast("int")
@@ -229,12 +235,19 @@ object DedupIngest {
     val newBands = banded(sh).withColumn("bkey", bkeyCol)
     val idxBands = bandTable match {
       case Some(bt) =>
-        // driver-side literal band list: bounded by 4 × batch size
+        // driver-side literal band list, CAPPED: a bulk batch can carry
+        // 4 × batch distinct band keys — beyond MaxProbeKeys the keys
+        // cover most of the 2^18 band space, pruning cannot win, and a
+        // six-figure IN literal only bloats the plan; scan the band
+        // table whole instead (still the column-pruned shape)
         val keys = newBands.select(col("bkey")).distinct()
-          .collect().map(_.getInt(0))
-        bt.readInsertOnly()
-          .filter(col("bkey").isin(keys.map(Integer.valueOf): _*))
-          .select(col("doc_id").as("iid"), col("simhash").as("ish"), col("bkey"))
+          .limit(MaxProbeKeys + 1).collect().map(_.getInt(0))
+        val raw = bt.readInsertOnly()
+        val pruned =
+          if (keys.length > MaxProbeKeys) raw
+          else raw.filter(col("bkey").isin(keys.map(Integer.valueOf): _*))
+        pruned.select(col("doc_id").as("iid"), col("simhash").as("ish"),
+          col("bkey"))
       case None =>
         banded(table.read().select(col("doc_id"), col("simhash")))
           .select(col("doc_id").as("iid"), col("simhash").as("ish"),

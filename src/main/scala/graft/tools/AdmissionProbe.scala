@@ -29,6 +29,13 @@ object AdmissionProbe {
       .split(",").map(_.trim).filter(_.nonEmpty)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "1").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_DIR", "/dev/shm")
+    // band mode: probe against the band-keyed index layout instead of
+    // the full-scan path; tailDocs > 0 adds a small-batch tail phase
+    // (tailBatches batches of tailDocs fresh docs against the full
+    // index) — the shape where the band probe's manifest pruning pays
+    val bandMode = sys.env.get("SPARK_GRAFT_BANDS").contains("1")
+    val tailDocs = sys.env.getOrElse("SPARK_GRAFT_TAIL", "0").toLong
+    val tailBatches = sys.env.getOrElse("SPARK_GRAFT_TAIL_BATCHES", "8").toInt
 
     val results = scala.collection.mutable.Map.empty[String, Double]
     for (rep <- 1 to repeats; cpus <- cpusList) {
@@ -57,12 +64,16 @@ object AdmissionProbe {
           }: _*).as("text"))
         val perChunk = (nDocs + chunks - 1) / chunks
         val table = DedupIngest.indexTable(spark, s"$root/idx", numBuckets = 8)
+        val bands = if (bandMode)
+          Some(DedupIngest.ensureBandTable(spark, table, s"$root/bands"))
+        else None
         val t0 = System.nanoTime()
         var admitted = 0L
         (0 until chunks).foreach { c =>
           val batch = docs.filter(
             col("doc_id") >= c * perChunk && col("doc_id") < (c + 1) * perChunk)
-          admitted += DedupIngest.admitBatch(table, batch, epochId = c.toLong).count()
+          admitted += DedupIngest.admitBatch(table, batch, epochId = c.toLong,
+            bandTable = bands).count()
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val indexed = table.read().count()
@@ -80,9 +91,33 @@ object AdmissionProbe {
         val rate = nDocs / sec
         val key = s"cpus=$cpus"
         results(key) = math.max(results.getOrElse(key, 0.0), rate)
-        println(f"[admission] rep=$rep cpus=$cpus docs=$nDocs " +
+        println(f"[admission] rep=$rep cpus=$cpus bands=$bandMode docs=$nDocs " +
           f"admitted=$admitted (${100.0 * admitted / nDocs}%.1f%%) " +
           f"sec=$sec%.1f rate=${rate}%.0f docs/s")
+        // tail phase: tiny fresh batches against the FULL index — the
+        // steady-state trigger shape (index >> batch) where the band
+        // layout's manifest pruning turns the probe from a full index
+        // scan into a few band-range files
+        if (tailDocs > 0) {
+          val tt0 = System.nanoTime()
+          (0 until tailBatches).foreach { b =>
+            val lo = nDocs * 10 + b * tailDocs // fresh id space
+            val tb = spark.range(lo, lo + tailDocs).select(
+              col("id").as("doc_id"),
+              concat_ws(" ", (0 until 24).map { w =>
+                concat(lit("t"), pmod(xxhash64(col("id") * 31 + w), lit(997)))
+              }: _*).as("text"))
+            DedupIngest.admitBatch(table, tb, epochId = 1000L + b,
+              bandTable = bands).count()
+          }
+          val tsec = (System.nanoTime() - tt0) / 1e9
+          val tkey = s"tail cpus=$cpus"
+          results(tkey) = math.max(results.getOrElse(tkey, 0.0),
+            tailBatches / tsec)
+          println(f"[admission] tail: $tailBatches batches x $tailDocs docs " +
+            f"vs ${admitted}-doc index, bands=$bandMode " +
+            f"sec=$tsec%.2f (${tsec / tailBatches}%.3f s/batch)")
+        }
         graft.lake.LakeFs.forRoot(root).deleteRecursively(root)
       } finally spark.stop()
     }
