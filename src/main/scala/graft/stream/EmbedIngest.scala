@@ -120,10 +120,16 @@ object EmbedIngest {
     // bucket spread, not the admitted corpus. readInsertOnly is sound
     // (admission never re-upserts an id) and keeps the scan
     // aggregate-free so the pushed filter reaches the manifest.
+    // capped like DedupIngest.MaxProbeKeys: at high `bits` a bulk batch
+    // can touch ~batch-size distinct buckets — a six-figure IN literal
+    // bloats the plan and prunes nothing, so scan the index whole there
     val batchBuckets = sh.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0))
-    val idx = table.readInsertOnly()
-      .filter(col("bucket").isin(batchBuckets.map(Integer.valueOf): _*))
+      .limit(DedupIngest.MaxProbeKeys + 1).collect().map(_.getInt(0))
+    val raw = table.readInsertOnly()
+    val prunedIdx =
+      if (batchBuckets.length > DedupIngest.MaxProbeKeys) raw
+      else raw.filter(col("bucket").isin(batchBuckets.map(Integer.valueOf): _*))
+    val idx = prunedIdx
       .select(col("vec_id").as("iid"), col("embedding").as("iemb"), col("bucket"))
     val rejected = idx.join(broadcast(sh), Seq("bucket"))
       .filter(graft.functions.TextOps.round4(
