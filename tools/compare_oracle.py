@@ -28,6 +28,13 @@ def canon(cols, rows):
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 fails = 0
+# a query whose Verify dump is MISSING failed inside Verify (its stderr
+# has the exception) — count it, never skip silently: the driver's gate
+# records such queries as err, and this tool exists to predict that gate
+dumped = {n for n in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{n}")}
+for name in sorted(set(oracle) - dumped):
+    print(f"{name}: MISSING VERIFY DUMP (query failed in graft.Verify)")
+    fails += 1
 for name in sorted(os.listdir(out_dir)):
     d = f"{out_dir}/{name}"
     if not os.path.isdir(d):
