@@ -144,7 +144,12 @@ object Sampling {
     val n = df.count()
     if (n <= k) return df // the whole frame survives; no ordering needed
     val p = math.min(1.0, (k + 6.0 * math.sqrt(k.toDouble) + 16.0) / n)
+    // localCheckpoint materialises the ~k survivors once: the count and
+    // the final top-k then share that pass instead of each re-running
+    // the md5 filter over the full corpus (count + filter = the two
+    // documented scans; without the checkpoint the sort re-scans)
     val survivors = df.filter(draw(seed, key) < lit(hexThreshold(p)))
+      .localCheckpoint()
     val ranked =
       if (survivors.count() >= k) survivors
       else df // ≥6σ undershoot: correctness over the fast path

@@ -309,7 +309,10 @@ object Similarity {
       keyCol = "vec_id", numBuckets = numBuckets)
     // the assignment plans INSIDE the upsert's pinned-placement write (no
     // checkpoint needed: it is consumed exactly once, and the pins keep
-    // AQE from coalescing the elided-repartition case)
+    // AQE from coalescing the elided-repartition case). reduce = false is
+    // safe even for inputs that re-emit a vec_id: ivfAssign ends in a
+    // groupBy(vec_id) aggregate, so the delta carries exactly one row per
+    // key by construction
     val batch = ivfAssign(embeddings, centroids).select(
       lit("I").as("op"), col("vec_id"), col("vec_id").as("lsn"),
       col("embedding"), col("cell"))
@@ -401,13 +404,24 @@ object Similarity {
       return table.read().filter(cellFilter)
         .select(col("vec_id"), col("embedding"), col("cell"))
     val upserts = snaps.filter(_.summary.get("operation").contains("upsert"))
-    require(upserts.headOption.exists(
-        _.summary.get(IvfBuildKey).contains("true")),
-      s"table at ${table.root} was not built by writeIvfLake " +
-        "(no ivfBuild marker on the first upsert snapshot)")
-    val build = upserts.head
+    // the changelog-pruned path needs the BUILD snapshot: identifiable
+    // (ivfBuild marker on the surviving first upsert) and readable
+    // (history not expired below it, and snapshot ids are dense so a
+    // surviving prefix head == full range readability). A maintained
+    // table can legitimately lose both — full compact + expireSnapshots
+    // + a later upsert leaves post-build upserts as the only surviving
+    // history — so the fallback is the always-correct conservative
+    // winner read (no file pruning; a periodic compact(clusterBy=cell)
+    // restores the fast path above), never a refusal on a healthy table.
+    val build = upserts.headOption
+      .filter(_.summary.get(IvfBuildKey).contains("true"))
+      .filter(b => snaps.headOption.exists(_.snapshotId <= b.snapshotId))
+    if (build.isEmpty)
+      return table.read().filter(cellFilter)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    val buildSnap = build.get
     // build files are cell-pure, so this literal IN prunes at the manifest
-    val base = table.changesBetween(build.snapshotId - 1, build.snapshotId)
+    val base = table.changesBetween(buildSnap.snapshotId - 1, buildSnap.snapshotId)
       .filter(cellFilter)
     if (upserts.size == 1) // pristine index: the pruned scan IS the state
       base.select(col("vec_id"), col("embedding"), col("cell"))
@@ -416,7 +430,7 @@ object Similarity {
       // The tail is all post-build upsert deltas — small at a maintained
       // index, and a full compact(clusterBy = cell) collapses the probe
       // back to the pruned no-aggregate shape above.
-      val tail = table.changesBetween(build.snapshotId, table.currentSnapshotId)
+      val tail = table.changesBetween(buildSnap.snapshotId, table.currentSnapshotId)
       val all = base.unionByName(tail)
       all.groupBy(col("vec_id"))
         .agg(max_by(struct(col("embedding"), col("cell"), col("_tomb")),

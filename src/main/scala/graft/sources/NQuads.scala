@@ -85,6 +85,16 @@ object NQuads {
   def write(statements: DataFrame, path: String,
             prefixes: Map[String, String] = Map.empty): Unit = {
     serialize(statements).write.mode("overwrite").text(path)
+    writePrefixHeader(path, prefixes)
+  }
+
+  /** The `@prefix` header file (key-sorted, named to sort before every
+    * data part) — ONE definition shared by every statement writer
+    * (N-Quads/N-Triples here, Turtle and TriG in [[Turtle]]), so header
+    * mechanics cannot drift between formats.
+    */
+  private[sources] def writePrefixHeader(path: String,
+                                         prefixes: Map[String, String]): Unit =
     if (prefixes.nonEmpty) {
       val lines = prefixes.toSeq.sortBy(_._1)
         .map { case (k, v) => s"@prefix $k: <$v> ." }
@@ -92,7 +102,6 @@ object NQuads {
         java.nio.file.Paths.get(path, "00000-prefixes.txt"),
         lines.mkString("", "\n", "\n"))
     }
-  }
 
   private val QuadLine = "^<([^>]*)> <([^>]*)> \"(.*)\" <([^>]*)> \\.$"
   private val TripleLine = "^<([^>]*)> <([^>]*)> \"(.*)\" \\.$"

@@ -71,13 +71,7 @@ object Turtle {
   def write(statements: DataFrame, path: String,
             prefixes: Map[String, String] = Map.empty): Unit = {
     serialize(statements, prefixes).write.mode("overwrite").text(path)
-    if (prefixes.nonEmpty) {
-      val lines = prefixes.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"@prefix $k: <$v> ." }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(path, "00000-prefixes.txt"),
-        lines.mkString("", "\n", "\n"))
-    }
+    NQuads.writePrefixHeader(path, prefixes)
   }
 
   /** TriG statement lines — Turtle's quad extension (reference registry
@@ -105,13 +99,7 @@ object Turtle {
   def writeTrig(statements: DataFrame, path: String,
                 prefixes: Map[String, String] = Map.empty): Unit = {
     serializeTrig(statements, prefixes).write.mode("overwrite").text(path)
-    if (prefixes.nonEmpty) {
-      val lines = prefixes.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"@prefix $k: <$v> ." }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(path, "00000-prefixes.txt"),
-        lines.mkString("", "\n", "\n"))
-    }
+    NQuads.writePrefixHeader(path, prefixes)
   }
 
   /** Parse a TriG file written by [[writeTrig]]: graph blocks surface

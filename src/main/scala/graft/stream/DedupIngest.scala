@@ -41,6 +41,18 @@ import graft.operators.DedupOps
   * bytes/doc) + a broadcast hash join — no corpus shuffle, no state-store
   * growth; the index table is a full CDC citizen (compaction, expiry,
   * time travel, CDC-out all apply).
+  *
+  * ID-REUSE SEMANTICS: a re-sent doc_id with near-identical content is
+  * rejected like any near-dup; with CHANGED content it is re-admitted and
+  * LWW-overwrites its index (and band) rows — update semantics. Until the
+  * superseded rows are compacted away, the PRUNED band probe (which reads
+  * raw live rows, not winners) still sees the old content's bands and can
+  * over-reject a future doc similar to the replaced text — a bounded
+  * recall-only divergence from the scan path (which always reads
+  * winners), never a wrong admit. Inline compaction
+  * (`maxFilesPerBucket`) bounds the staleness window to the compaction
+  * cadence; DedupIngestSpec pins that a band-table compact restores
+  * band == scan after a re-admission.
   */
 object DedupIngest {
 
@@ -115,9 +127,23 @@ object DedupIngest {
                       numBuckets: Int = 1): LakeTable = {
     val bt = LakeTable.loadOrCreate(spark, root, BandSchema, keyCol = "bid",
       numBuckets = numBuckets)
-    if (bt.currentSnapshotId < 0L && index.currentSnapshotId >= 0L) {
+    if (bt.lastCommittedEpoch < index.lastCommittedEpoch &&
+        index.currentSnapshotId >= 0L) {
       val epoch = index.lastCommittedEpoch
-      bt.upsert(bandRows(index.read().select(col("doc_id"), col("simhash")), epoch),
+      // empty table: first-time adoption. NON-empty but LAGGING table:
+      // the stream ran some epochs without the band layout (bandRoot
+      // dropped, then re-enabled) — silently accepting the gap would
+      // permanently lose recall for every doc admitted in it, so repair
+      // it here: one commit of the docs missing from the band table
+      // (anti-join on doc_id — a one-time O(index) repair, not a
+      // per-trigger cost), stamped at the index's epoch so batch epochs
+      // stay monotone.
+      val missing =
+        if (bt.currentSnapshotId < 0L) index.read()
+        else index.read().join(
+          bt.readInsertOnly().select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      bt.upsert(bandRows(missing.select(col("doc_id"), col("simhash")), epoch),
         epochId = epoch, reduce = false, clusterBy = Some(bandCluster),
         summary = Map("admission" -> "simhash-bands", "backfill" -> "true"))
     }

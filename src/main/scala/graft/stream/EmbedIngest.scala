@@ -33,6 +33,14 @@ import graft.operators.{DedupOps, Similarity}
   * function of the planes, so silently changing the parameters across a
   * restart would stop copies from ever meeting their candidates.
   *
+  * ID-REUSE SEMANTICS (same contract as [[DedupIngest]]): a re-sent
+  * vec_id with dissimilar content is re-admitted and LWW-overwrites its
+  * index row; until compaction the pruned probe (raw live rows) also
+  * sees the superseded embedding and can over-reject a future
+  * near-match of the OLD vector — recall-only, never a wrong admit, and
+  * bounded by the inline-compaction cadence (the compact resolves
+  * winners and drops the stale row).
+  *
   * Honesty note vs the SimHash path: Hamming-block banding GUARANTEES
   * candidacy within distance 3; LSH buckets only guarantee candidacy for
   * IDENTICAL vectors (same bucket by determinism). Near-but-not-equal

@@ -107,7 +107,7 @@ object AdmissionProbe {
               concat_ws(" ", (0 until 24).map { w =>
                 concat(lit("t"), pmod(xxhash64(col("id") * 31 + w), lit(997)))
               }: _*).as("text"))
-            DedupIngest.admitBatch(table, tb, epochId = 1000L + b,
+            DedupIngest.admitBatch(table, tb, epochId = chunks.toLong + b,
               bandTable = bands).count()
           }
           val tsec = (System.nanoTime() - tt0) / 1e9

@@ -287,6 +287,68 @@ class DedupIngestSpec extends SparkSpec {
     assert(replay == s1, s"replay returned $replay, original was $s1")
   }
 
+  test("band table lagging the index is repaired on ensure (gap epochs backfilled)") {
+    val root = tmpDir("admitbandlag")
+    val idx = DedupIngest.indexTable(spark, s"$root/idx")
+    val bands = DedupIngest.ensureBandTable(spark, idx, s"$root/bands")
+    val b0 = docs.filter($"doc_id" < 40).select($"doc_id", $"text")
+    DedupIngest.admitBatch(idx, b0, 0L, bandTable = Some(bands))
+    // GAP: epochs 1–2 ran without the band layout (bandRoot disabled)
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 330).select($"doc_id", $"text")
+    val b2 = docs.filter($"doc_id" >= 330 && $"doc_id" < 350).select($"doc_id", $"text")
+    val s1 = DedupIngest.admitBatch(idx, b1, 1L).select("doc_id").as[Long].collect().toSet
+    DedupIngest.admitBatch(idx, b2, 2L)
+    assert(s1.nonEmpty)
+    // re-enable: ensure must repair the gap, not silently accept it
+    val repaired = DedupIngest.ensureBandTable(spark, idx, s"$root/bands")
+    assert(repaired.readInsertOnly().select("doc_id").as[Long].collect().toSet ==
+      idx.read().select("doc_id").as[Long].collect().toSet,
+      "band table still missing gap-epoch docs after ensure")
+    assert(repaired.readInsertOnly().count() == idx.read().count() * 4)
+    // an exact copy of a gap-admitted doc is rejected through the BAND
+    // probe (without the repair it would slip in forever)
+    val gapId = s1.head
+    val copy = docs.filter($"doc_id" === gapId)
+      .select(($"doc_id" + 90000).as("doc_id"), $"text")
+    val kept = DedupIngest.admitBatch(idx, copy, 3L, bandTable = Some(repaired))
+      .select("doc_id").as[Long].collect()
+    assert(kept.isEmpty, s"copy of gap doc $gapId admitted via band probe")
+  }
+
+  test("re-admission staleness is recall-only and compaction restores band == scan") {
+    val root = tmpDir("admitbandstale")
+    val idx = DedupIngest.indexTable(spark, s"$root/idx")
+    val bands = DedupIngest.ensureBandTable(spark, idx, s"$root/bands")
+    val t1 = docs.filter($"doc_id" === 7).select($"doc_id", $"text").head.getString(1)
+    val t2 = docs.filter($"doc_id" === 450).select($"doc_id", $"text").head.getString(1)
+    // admit id 1 with text T1, then RE-ADMIT id 1 with unrelated text T2
+    // (update semantics — LWW-overwrites the index and band rows)
+    DedupIngest.admitBatch(idx, Seq((1L, t1)).toDF("doc_id", "text"), 0L,
+      bandTable = Some(bands))
+    val re = DedupIngest.admitBatch(idx, Seq((1L, t2)).toDF("doc_id", "text"), 1L,
+      bandTable = Some(bands)).select("doc_id").as[Long].collect()
+    assert(re.sameElements(Array(1L)), "changed-content re-send was not re-admitted")
+    assert(idx.read().count() == 1)
+    // a copy of the REPLACED text: the winner-resolved scan path admits
+    // it (T1 is gone from the corpus); the pruned band probe still sees
+    // T1's superseded band rows and may over-reject — recall-only
+    val scanIdx = DedupIngest.indexTable(spark, s"$root/scanidx")
+    DedupIngest.admitBatch(scanIdx, Seq((1L, t1)).toDF("doc_id", "text"), 0L)
+    DedupIngest.admitBatch(scanIdx, Seq((1L, t2)).toDF("doc_id", "text"), 1L)
+    val viaScan = DedupIngest.admitBatch(scanIdx, Seq((2L, t1)).toDF("doc_id", "text"), 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaScan == Set(2L), "scan path must admit a copy of replaced text")
+    // compact the band table (winner resolution drops the stale rows),
+    // then the band probe agrees with the scan path again
+    bands.compact(clusterBy = Some(
+      org.apache.spark.sql.functions.shiftright(col("bkey"),
+        DedupIngest.BandGroupShift)))
+    assert(bands.readInsertOnly().count() == 4L, "stale band rows survived compact")
+    val viaBands = DedupIngest.admitBatch(idx, Seq((2L, t1)).toDF("doc_id", "text"), 2L,
+      bandTable = Some(bands)).select("doc_id").as[Long].collect().toSet
+    assert(viaBands == Set(2L), "band probe still over-rejecting after compact")
+  }
+
   test("crash between index and band commits: replay completes the band table") {
     val root = tmpDir("admitbandcrash")
     val idx = DedupIngest.indexTable(spark, s"$root/idx")

@@ -464,6 +464,32 @@ class OperatorSpec extends SparkSpec {
     assert(table.liveFiles().filter(_.colMin.contains("cell")).forall(f =>
       f.colMin.get("cell") == f.colMax.get("cell")),
       "clustered compaction produced a cell-spanning stats file")
+
+    // maintained-table lifecycle: roll the log past a checkpoint, expire
+    // the pre-checkpoint history (build snapshot included), then upsert
+    // once more — the last snapshot is no longer a full compact AND the
+    // build snapshot is gone, so the probe must fall back to the
+    // conservative winner read (not refuse, not demand expired history)
+    val extraId = emb.agg(max("vec_id")).head.getLong(0) + 1000
+    val cell0vec = centroids.filter(col("cell") === 0)
+      .select(transform(col("cvec"), v => (v.cast("double") / 10000d).cast("float"))
+        .as("embedding")).head.getSeq[Float](0)
+    var eid = 3L
+    def insertOne(): Unit = {
+      table.upsert(Seq((extraId + eid, cell0vec, 0)).toDF("vec_id", "embedding", "cell")
+        .select(lit("I").as("op"), col("vec_id"), lit(lsnBase + 100 + eid).as("lsn"),
+          col("embedding"), col("cell")), epochId = eid)
+      eid += 1
+    }
+    while (table.currentSnapshotId % graft.lake.LakeTable.CheckpointInterval != 0)
+      insertOne()
+    table.expireSnapshots(table.currentSnapshotId)
+    insertOne()
+    val postExpiry = Similarity.ivfTopKLake(spark, root, queries, k = 3, nprobe = 2)
+      .collect()
+    assert(postExpiry.nonEmpty, "probe broke after expiry + upsert")
+    assert(!postExpiry.map(_.getLong(1)).contains(deleted),
+      "conservative fallback resurrected a deleted vector")
   }
 
   test("LSH near-dup pairs: exact precision, recall floor vs brute force") {

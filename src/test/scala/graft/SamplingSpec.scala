@@ -286,20 +286,22 @@ class SamplingSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.SortExec] ||
         p.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
       "expected an ordering operator in the large-k plan")
-    val preFilters = nodes.collect {
-      case f: org.apache.spark.sql.execution.FilterExec
-        if f.condition.toString.contains("md5") => f
-    }
-    assert(preFilters.nonEmpty,
-      "no md5 threshold pre-filter in the plan — this is a full-corpus sort")
-    // the survivor set the sort consumes is ~k, far below N — pinned by
-    // the pre-filter's own output-row metric
+    // the ordering consumes the CHECKPOINTED survivor frame (~k rows),
+    // never the corpus: every leaf the final plan scans is the
+    // materialised survivor RDD, bounded by the survivor count
     val p = math.min(1.0, (k + 6.0 * math.sqrt(k.toDouble) + 16.0) / n)
     val c = df.filter(Sampling.draw("s1", col("key")) <
       lit(Sampling.hexThreshold(p))).count()
     assert(c >= k && c < n / 2, s"survivors $c")
-    assert(preFilters.map(_.metrics("numOutputRows").value).max <= c,
-      "the sort consumed more rows than the survivor set")
+    val leaves = nodes.filter(_.children.isEmpty).collect {
+      case l: org.apache.spark.sql.execution.RDDScanExec => l
+    }
+    assert(leaves.nonEmpty,
+      "expected the checkpointed survivor scan at the plan leaf")
+    assert(leaves.map(_.metrics("numOutputRows").value).max <= c,
+      "the ordering consumed more rows than the survivor set")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.RangeExec]),
+      "the final plan still scans the full corpus")
     // k beyond N short-circuits to the whole frame
     assert(Sampling.exactKLarge(df.limit(100), col("key"), k, "s1").count() == 100)
   }
