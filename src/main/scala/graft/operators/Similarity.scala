@@ -404,18 +404,18 @@ object Similarity {
       return table.read().filter(cellFilter)
         .select(col("vec_id"), col("embedding"), col("cell"))
     val upserts = snaps.filter(_.summary.get("operation").contains("upsert"))
-    // the changelog-pruned path needs the BUILD snapshot: identifiable
-    // (ivfBuild marker on the surviving first upsert) and readable
-    // (history not expired below it, and snapshot ids are dense so a
-    // surviving prefix head == full range readability). A maintained
-    // table can legitimately lose both — full compact + expireSnapshots
-    // + a later upsert leaves post-build upserts as the only surviving
+    // the changelog-pruned path needs the BUILD snapshot. Its marker on
+    // the surviving FIRST upsert is the whole test: expiry deletes a
+    // contiguous 0..horizon prefix ([[graft.lake.LakeTable.expireSnapshots]])
+    // and ids are dense, so a surviving marked build snapshot implies the
+    // entire (build-1, head] changelog range is readable. A maintained
+    // table can legitimately lose it — full compact + expireSnapshots +
+    // a later upsert leaves post-build upserts as the only surviving
     // history — so the fallback is the always-correct conservative
     // winner read (no file pruning; a periodic compact(clusterBy=cell)
     // restores the fast path above), never a refusal on a healthy table.
     val build = upserts.headOption
       .filter(_.summary.get(IvfBuildKey).contains("true"))
-      .filter(b => snaps.headOption.exists(_.snapshotId <= b.snapshotId))
     if (build.isEmpty)
       return table.read().filter(cellFilter)
         .select(col("vec_id"), col("embedding"), col("cell"))

@@ -130,19 +130,24 @@ object DedupIngest {
     if (bt.lastCommittedEpoch < index.lastCommittedEpoch &&
         index.currentSnapshotId >= 0L) {
       val epoch = index.lastCommittedEpoch
-      // empty table: first-time adoption. NON-empty but LAGGING table:
-      // the stream ran some epochs without the band layout (bandRoot
-      // dropped, then re-enabled) — silently accepting the gap would
-      // permanently lose recall for every doc admitted in it, so repair
-      // it here: one commit of the docs missing from the band table
-      // (anti-join on doc_id — a one-time O(index) repair, not a
-      // per-trigger cost), stamped at the index's epoch so batch epochs
-      // stay monotone.
+      // empty table: first-time adoption (full backfill). NON-empty but
+      // LAGGING table: the stream ran epochs without the band layout
+      // (bandRoot dropped then re-enabled, or a crash between the index
+      // and band commits) — silently accepting the gap would permanently
+      // lose recall for every doc admitted in it, AND permanently wrong-
+      // admit near-copies of docs RE-admitted with changed content in the
+      // gap. Repair = re-emit band rows for exactly the GAP's index
+      // winners (`_lsn` is the admission epoch, so `_lsn > band epoch`
+      // selects them): O(gap) rows, not O(index); changed-content
+      // re-admissions are covered because their winner lsn is in the gap
+      // and their band rows LWW-replace the stale ones (same bid keys).
+      // One winner-merge index read per repair — the same cost as a
+      // single old-style probe, paid only at adoption/restart, never per
+      // trigger.
       val missing =
         if (bt.currentSnapshotId < 0L) index.read()
-        else index.read().join(
-          bt.readInsertOnly().select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+        else index.readWithLsn()
+          .filter(col(LakeTable.LsnCol) > bt.lastCommittedEpoch)
       bt.upsert(bandRows(missing.select(col("doc_id"), col("simhash")), epoch),
         epochId = epoch, reduce = false, clusterBy = Some(bandCluster),
         summary = Map("admission" -> "simhash-bands", "backfill" -> "true"))

@@ -313,6 +313,22 @@ class DedupIngestSpec extends SparkSpec {
     val kept = DedupIngest.admitBatch(idx, copy, 3L, bandTable = Some(repaired))
       .select("doc_id").as[Long].collect()
     assert(kept.isEmpty, s"copy of gap doc $gapId admitted via band probe")
+
+    // CHANGED-CONTENT re-admission inside a gap: doc re-sent with
+    // unrelated text while the band layout was off — the repair must
+    // re-emit the NEW content's bands (an id-only backfill would leave
+    // the live text invisible to the band probe and wrongly ADMIT its
+    // near-copies forever)
+    val newText = docs.filter($"doc_id" === 460).head.getString(1)
+    val preGapId = b0.select("doc_id").as[Long].collect().min
+    DedupIngest.admitBatch(idx,
+      Seq((preGapId, newText)).toDF("doc_id", "text"), 4L) // gap epoch
+    val repaired2 = DedupIngest.ensureBandTable(spark, idx, s"$root/bands")
+    val copyOfNew = DedupIngest.admitBatch(idx,
+      Seq((95000L, newText)).toDF("doc_id", "text"), 5L,
+      bandTable = Some(repaired2)).select("doc_id").as[Long].collect()
+    assert(copyOfNew.isEmpty,
+      "copy of gap-RE-admitted content slipped past the repaired band probe")
   }
 
   test("re-admission staleness is recall-only and compaction restores band == scan") {
