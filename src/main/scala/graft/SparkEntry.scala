@@ -608,6 +608,30 @@ object SparkEntry {
         concat(lit("http://example.org/source/"), col("source")).as("source"))
       Turtle.serializeTrig(stmts, m)
     }),
+    "q79_http_negotiated" -> ((s, dir) => { implicit val sp = s
+      // SPARQL-over-HTTP transport recast (S9) + mime negotiation over
+      // the open format registry (E3) + comment-stripping parsers (C2)
+      // in ONE loop: statements served over loop-back HTTP with a `#`
+      // banner line, fetched with Accept: text/turtle, parsed back
+      // through the body's own @prefix header. The oracle recomputes the
+      // statements directly — the transport must be an exact identity.
+      val d = t(dir, "documents")
+      val stmts = d.select(
+          concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+          lit("http://purl.org/dc/terms/language").as("predicate"),
+          col("lang").as("object"))
+        .unionAll(d.select(
+          concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+          lit(graft.sources.Turtle.RdfType).as("predicate"),
+          col("source").as("object")))
+      val srv = graft.sources.Http.serve(stmts,
+        Map("doc" -> "http://example.org/doc/",
+          "dct" -> "http://purl.org/dc/terms/"))
+      try
+        graft.sources.Http.read(s, srv.url, accept = Seq("text/turtle"))
+          .localCheckpoint() // materialise before the server stops
+      finally srv.stop()
+    }),
     "q52_temporal_offsets" -> ((s, dir) => { implicit val sp = s
       // OffsetTime/OffsetDate structs (C5): zone-preserving temporal
       // coercion; lexical forms synthesised deterministically per row
@@ -1406,6 +1430,14 @@ object SparkEntry {
            replace(replace(replace(replace(replace(lang,
              '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
            || '" . }' AS value FROM documents""",
+    "q79_http_negotiated" ->
+      """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS subject,
+           'http://purl.org/dc/terms/language' AS predicate,
+           lang AS object FROM documents
+         UNION ALL
+         SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR),
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           source FROM documents""",
     "q52_temporal_offsets" ->
       """SELECT event_id,
            (CAST(strftime(ts, '%H') AS BIGINT) * 3600

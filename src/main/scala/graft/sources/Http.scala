@@ -1,0 +1,321 @@
+package graft.sources
+
+import java.io.OutputStream
+import java.net.{InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.Duration
+import java.util.concurrent.Executors
+
+import scala.collection.mutable
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statement-format registry with mime-type negotiation — the recast of
+  * the reference's extensible format multimethods
+  * (`mimetype->rdf-format` / `->rdf-format`,
+  * /root/reference/grafter.io/src/grafter_2/rdf4j/formats.clj:35-71:
+  * mime strings are trimmed at `;` before lookup, strings without a `/`
+  * fall back to extension coercion) and its global parser registry
+  * (repository/registry.clj — E3). The registry is OPEN: registering a
+  * [[StatementFormats.StatementCodec]] under a new key makes it
+  * negotiable over [[Http]] and usable for round-trips with no change to
+  * the transport — the reference's `defmethod`-per-format extension
+  * point as a map entry.
+  */
+object StatementFormats {
+
+  /** One statement serialisation: canonical mime type, file extension,
+    * line serialiser (statements + prefix map → single `value` column)
+    * and reader (path → statement frame).
+    */
+  final case class StatementCodec(
+      mime: String,
+      ext: String,
+      serialize: (DataFrame, Map[String, String]) => DataFrame,
+      read: (SparkSession, String) => DataFrame)
+
+  /** Registration order is negotiation-preference order (first entry is
+    * the `*`/`*∕*` default), like the reference registry's parser
+    * priority.
+    */
+  val registry: mutable.LinkedHashMap[String, StatementCodec] =
+    mutable.LinkedHashMap(
+      "nq" -> StatementCodec("application/n-quads", "nq",
+        (df, _) => NQuads.serialize(df),
+        (s, p) => NQuads.read(s, p)),
+      "nt" -> StatementCodec("application/n-triples", "nt",
+        (df, _) => NQuads.serialize(df.drop("source")),
+        (s, p) => NQuads.read(s, p)),
+      "ttl" -> StatementCodec("text/turtle", "ttl",
+        (df, pfx) => Turtle.serialize(df.drop("source"), pfx),
+        (s, p) => Turtle.read(s, p)),
+      "trig" -> StatementCodec("application/trig", "trig",
+        (df, pfx) => Turtle.serializeTrig(df, pfx),
+        (s, p) => Turtle.readTrig(s, p)))
+
+  /** Mime-type-or-extension → format key, the reference's `->rdf-format`
+    * String coercion (formats.clj:67-71): strings containing `/` are
+    * mime types — parameters after `;` trimmed (formats.clj:41-43),
+    * case-insensitive — anything else is an extension (leading `.`
+    * stripped).
+    */
+  def formatFor(mimeOrExt: String): Option[String] = {
+    val s = mimeOrExt.split(';').head.trim.toLowerCase
+    if (s.contains("/"))
+      registry.collectFirst { case (k, c) if c.mime == s => k }
+    else {
+      val ext = s.stripPrefix(".")
+      registry.collectFirst { case (k, c) if k == ext || c.ext == ext => k }
+    }
+  }
+
+  /** HTTP Accept-header negotiation over the registry: entries ordered by
+    * q-value (default 1.0) then position; `*∕*` and `type∕*` wildcards
+    * resolve to the first registered (sub)match; q=0 excludes. Returns
+    * the chosen format key, or None when nothing offered is servable
+    * (→ 406).
+    */
+  def negotiate(accept: Option[String]): Option[String] = accept match {
+    case None => registry.headOption.map(_._1)
+    case Some(a) =>
+      val items = a.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+        .zipWithIndex.map { case (item, idx) =>
+          val parts = item.split(';').map(_.trim)
+          val q = parts.tail.collectFirst {
+            case p if p.toLowerCase.startsWith("q=") =>
+              p.drop(2).toDoubleOption.getOrElse(1.0)
+          }.getOrElse(1.0)
+          (parts.head.toLowerCase, q, idx)
+        }.toSeq
+      items.sortBy { case (_, q, idx) => (-q, idx) }
+        .iterator.filter(_._2 > 0.0)
+        .flatMap {
+          case ("*/*", _, _) => registry.headOption.map(_._1)
+          case (mt, _, _) if mt.endsWith("/*") =>
+            val tpe = mt.dropRight(1) // keep the slash: "text/"
+            registry.collectFirst { case (k, c) if c.mime.startsWith(tpe) => k }
+          case (mt, _, _) => formatFor(mt)
+        }
+        .nextOption()
+  }
+}
+
+/** HTTP statement transport — the lake-native recast of the reference's
+  * SPARQL-over-HTTP repository session (S9,
+  * /root/reference/grafter.repository/src/java/grafter_2/rdf/
+  * SPARQLSession.java:34-197 and the http-client defaults of
+  * repository.clj:161-196). What survives the recast, feature for
+  * feature:
+  *
+  *  - content negotiation against the OPEN [[StatementFormats.registry]]
+  *    (Accept in, Content-Type out — the reference negotiates RDF
+  *    formats through the same mime registry, E3);
+  *  - redirect following (SPARQLSession.java:47 `HANDLE_REDIRECTS`);
+  *  - connect timeout default 100 ms (SPARQLSession.java:56);
+  *  - a 10-thread fixed server pool (`make-default-thread-pool`,
+  *    repository.clj:185-196);
+  *  - query-timeout propagation as a `timeout` parameter in
+  *    MILLISECONDS = 1000 × maxQueryTime-in-seconds
+  *    (SPARQLSession.java:120-126), and client-side detection of the
+  *    Stardog-shaped timeout response — HTTP 500 + `SD-Error-Code:
+  *    QueryEval` + "exceeded query timeout" in the body
+  *    (`isStardogTimeoutResponse`, SPARQLSession.java:66-87) — raised
+  *    as a typed [[Http.QueryTimeoutException]];
+  *  - `graph` / `limit` request parameters restricting the served
+  *    statements (the reference's dataset restriction and its
+  *    LIMIT-clause rewriting, sparql.clj:107-113).
+  *
+  * SCALE DISPOSITION: like the reference's repository client, this is an
+  * EDGE ADAPTER, not a data-plane path. The server streams rows through
+  * `toLocalIterator` (driver memory bounded by one partition; the body
+  * is chunked), the client spools the body to a local file and hands it
+  * to the DISTRIBUTED parsers. At 10^10 rows the corpus moves through
+  * the lake ([[graft.lake.LakeTable]]), never through one socket — this
+  * surface exists for integration parity (fixture exchange, small
+  * extract serving), and its memory profile is O(1) in the statement
+  * count on both ends.
+  */
+object Http {
+
+  /** Raised when the server reports the Stardog-shaped query-timeout
+    * response the reference detects (SPARQLSession.java:66-87).
+    */
+  final class QueryTimeoutException(msg: String) extends RuntimeException(msg)
+
+  /** One client per connect-timeout value (the reference pools its HTTP
+    * client the same way, repository.clj:161-165) — per-call clients
+    * would each hold selector/worker threads until GC.
+    */
+  private val clients =
+    scala.collection.concurrent.TrieMap.empty[Int, HttpClient]
+
+  private val TimeoutParam = "timeout" // SPARQLSession.java:92,120-126
+  private val ErrorCodeHeader = "SD-Error-Code"
+  private val TimeoutBodyMarker = "exceeded query timeout"
+
+  /** A running statement endpoint; `url` points at the statements
+    * context. `lastRequestUri` records the most recent request for
+    * spec-level assertions on parameter propagation (the reference pins
+    * its timeout-parameter rewriting in tests the same way).
+    */
+  final case class StatementServer(server: HttpServer, path: String,
+                                   pool: java.util.concurrent.ExecutorService) {
+    @volatile var lastRequestUri: String = ""
+    def port: Int = server.getAddress.getPort
+    def url: String = s"http://127.0.0.1:$port$path"
+    def stop(): Unit = {
+      server.stop(0)
+      pool.shutdownNow() // HttpServer.stop does NOT stop its executor —
+      () // leaked non-daemon workers would pin the JVM open
+    }
+  }
+
+  /** Serve a statement frame over loop-back HTTP with content
+    * negotiation. Responses carry the negotiated codec's canonical
+    * Content-Type; the body is an optional `# …` banner comment line
+    * (stripped by the C2-aware parsers), the `@prefix` header lines, and
+    * one statement line per row, chunked. An enforceable deadline rides
+    * in on the `timeout` parameter (ms): exceeded before the first byte
+    * → the Stardog-shaped 500; exceeded mid-stream → the chunked body is
+    * cut short, surfacing as an IO error client-side (a 200 status
+    * cannot be retracted — same failure mode as any streaming HTTP
+    * endpoint).
+    */
+  def serve(statements: DataFrame,
+            prefixes: Map[String, String] = Map.empty,
+            path: String = "/statements",
+            banner: Boolean = true): StatementServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = Executors.newFixedThreadPool(10) // repository.clj:185-196
+    server.setExecutor(pool)
+    val handle = StatementServer(server, path, pool)
+    server.createContext(path, (exchange: HttpExchange) => {
+      handle.lastRequestUri = exchange.getRequestURI.toString
+      try respond(exchange, statements, prefixes, banner)
+      catch {
+        case e: Exception =>
+          // headers may already be sent (mid-stream failure cuts the
+          // chunked body instead); best-effort 500 otherwise
+          try {
+            val msg = ("internal error: " + e).getBytes(UTF_8)
+            exchange.sendResponseHeaders(500, msg.length)
+            exchange.getResponseBody.write(msg)
+          } catch { case _: Exception => () }
+      } finally exchange.close()
+    })
+    server.start()
+    handle
+  }
+
+  private def queryParams(exchange: HttpExchange): Map[String, String] =
+    Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+      .split('&').iterator.filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+  private def respond(exchange: HttpExchange, statements: DataFrame,
+                      prefixes: Map[String, String], banner: Boolean): Unit = {
+    val accept = Option(exchange.getRequestHeaders.getFirst("Accept"))
+    StatementFormats.negotiate(accept) match {
+      case None =>
+        val msg = (s"not acceptable: $accept; servable: " +
+          StatementFormats.registry.values.map(_.mime).mkString(", "))
+          .getBytes(UTF_8)
+        exchange.sendResponseHeaders(406, msg.length)
+        exchange.getResponseBody.write(msg)
+      case Some(fmt) =>
+        val codec = StatementFormats.registry(fmt)
+        val params = queryParams(exchange)
+        val deadline = params.get(TimeoutParam).flatMap(_.toLongOption)
+          .map(ms => System.nanoTime + ms * 1000000L)
+        val restricted = params.get("graph")
+          .filter(_ => statements.columns.contains("source"))
+          .map(g => statements.filter(col("source") === g))
+          .getOrElse(statements)
+        val limited = params.get("limit").flatMap(_.toIntOption)
+          .map(restricted.limit).getOrElse(restricted)
+        val lines = codec.serialize(limited, prefixes)
+        val it = lines.toLocalIterator()
+        val more = it.hasNext // first partition evaluates HERE
+        if (deadline.exists(System.nanoTime > _)) {
+          exchange.getResponseHeaders.set(ErrorCodeHeader, "QueryEval")
+          val msg = s"query execution $TimeoutBodyMarker".getBytes(UTF_8)
+          exchange.sendResponseHeaders(500, msg.length)
+          exchange.getResponseBody.write(msg)
+          return
+        }
+        exchange.getResponseHeaders.set("Content-Type",
+          codec.mime + "; charset=utf-8")
+        exchange.sendResponseHeaders(200, 0) // chunked
+        val out: OutputStream = exchange.getResponseBody
+        if (banner)
+          out.write(s"# graft statement service ($fmt)\n".getBytes(UTF_8))
+        prefixes.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          out.write(s"@prefix $k: <$v> .\n".getBytes(UTF_8))
+        }
+        var open = more
+        while (open) {
+          out.write((it.next().getString(0) + "\n").getBytes(UTF_8))
+          if (deadline.exists(System.nanoTime > _))
+            throw new java.io.IOException("deadline exceeded mid-stream")
+          open = it.hasNext
+        }
+        out.flush()
+    }
+  }
+
+  /** Fetch statements from an HTTP endpoint: negotiate via `accept`,
+    * spool the body, parse with the codec matching the response's
+    * Content-Type (falling back to the first `accept` entry when the
+    * server omits the header — the reference's format-preference
+    * fallback, io.clj:469-483). `maxQueryTimeSeconds > 0` propagates as
+    * `timeout` in ms exactly like SPARQLSession.java:120-126, and the
+    * Stardog-shaped timeout response raises [[QueryTimeoutException]].
+    */
+  def read(spark: SparkSession, url: String,
+           accept: Seq[String] = Seq("application/n-quads"),
+           maxQueryTimeSeconds: Int = 0,
+           connectTimeoutMillis: Int = 100): DataFrame = {
+    val full =
+      if (maxQueryTimeSeconds > 0) {
+        val sep = if (url.contains("?")) "&" else "?"
+        s"$url$sep$TimeoutParam=${1000L * maxQueryTimeSeconds}"
+      } else url
+    val client = clients.getOrElseUpdate(connectTimeoutMillis,
+      HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL) // SPARQLSession.java:47
+        .connectTimeout(Duration.ofMillis(connectTimeoutMillis.toLong))
+        .build())
+    val reqB = HttpRequest.newBuilder(URI.create(full)).GET()
+      .header("Accept", accept.mkString(", "))
+    if (maxQueryTimeSeconds > 0) // server is authoritative; generous slack
+      reqB.timeout(Duration.ofSeconds(maxQueryTimeSeconds + 30L))
+    val resp = client.send(reqB.build(), HttpResponse.BodyHandlers.ofString())
+    val errorCode = resp.headers().firstValue(ErrorCodeHeader).orElse("")
+    if (resp.statusCode == 500 && errorCode == "QueryEval" &&
+        resp.body != null && resp.body.contains(TimeoutBodyMarker))
+      throw new QueryTimeoutException(
+        s"$url: ${resp.body} (server-enforced ${maxQueryTimeSeconds}s)")
+    if (resp.statusCode != 200)
+      throw new IllegalStateException(
+        s"$url: HTTP ${resp.statusCode}: ${resp.body}")
+    val contentType = resp.headers().firstValue("Content-Type").orElse(null)
+    val fmt = Option(contentType).flatMap(StatementFormats.formatFor)
+      .orElse(accept.headOption.flatMap(StatementFormats.formatFor))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$url: cannot resolve a statement format from Content-Type " +
+          s"${Option(contentType).getOrElse("(absent)")}"))
+    val codec = StatementFormats.registry(fmt)
+    val dir = Files.createTempDirectory("graft-http")
+    Files.writeString(dir.resolve(s"body.${codec.ext}"), resp.body)
+    codec.read(spark, dir.toString)
+  }
+}

@@ -105,15 +105,40 @@ object NQuads {
 
   private val QuadLine = "^<([^>]*)> <([^>]*)> \"(.*)\" <([^>]*)> \\.$"
   private val TripleLine = "^<([^>]*)> <([^>]*)> \"(.*)\" \\.$"
-  private val PrefixLine = "^@prefix ([^:]+): <([^>]*)> \\.$"
+  private[sources] val PrefixLine = "^@prefix ([^:]+): <([^>]*)> \\.$"
+
+  /** Comment handling (C2 — the reference strips `#` comments from query
+    * text before processing, `strip-comments`
+    * /root/reference/grafter.repository/src/clj/grafter_2/rdf4j/
+    * sparql.clj:115-121, applied in pre-process-query:134-139; recast
+    * here onto the statement-text surface a lake engine actually parses):
+    * full-line `# …` lines are dropped by the readers, and trailing
+    * ` # …` comments are stripped — but GRAMMAR-GUARDED: a line that
+    * already matches a statement grammar intact is left untouched, so a
+    * `#` inside a quoted literal (or an IRI fragment id) can never be
+    * truncated. The reference's whitespace-guarded regex has exactly that
+    * blind spot on query strings; on data lines we can do better because
+    * the line grammar is known. Lines malformed with or without their
+    * trailing comment stay malformed (the all-null contract holds).
+    */
+  private[sources] val FullLineComment = "^\\s*#"
+
+  private[sources] def stripTrailingComment(line: Column,
+                                            grammar: Seq[String]): Column = {
+    val intact = grammar.map(line.rlike).reduce(_ || _)
+    when(intact, line)
+      .otherwise(regexp_replace(line, "\\s+#[^\\n]*$", ""))
+  }
 
   /** Parse an N-Quads/N-Triples file back into a statement frame. Triple
     * lines surface with `source = null` (triple = quad with nil context).
     * `@prefix` header lines are metadata, not data — dropped here, read
-    * via [[readPrefixes]]. Malformed lines surface as all-null rows —
-    * distinguishable from data, since regexp_extract alone would return
-    * empty strings (route them through [[graft.cdc.Quarantine]]-style
-    * handling upstream if the input is untrusted).
+    * via [[readPrefixes]]. Comment lines and grammar-guarded trailing
+    * comments are stripped (C2, [[stripTrailingComment]]). Malformed
+    * lines surface as all-null rows — distinguishable from data, since
+    * regexp_extract alone would return empty strings (route them through
+    * [[graft.cdc.Quarantine]]-style handling upstream if the input is
+    * untrusted).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val isQuad = col("value").rlike(QuadLine)
@@ -124,6 +149,9 @@ object NQuads {
         .when(isTriple && lit(i) <= 3, grp(TripleLine, i))
         .otherwise(lit(null).cast("string"))
     spark.read.text(path)
+      .filter(!col("value").rlike(FullLineComment))
+      .select(stripTrailingComment(col("value"),
+        Seq(QuadLine, TripleLine, PrefixLine)).as("value"))
       .filter(!col("value").rlike(PrefixLine))
       .select(
         pick(1).as("subject"),
@@ -137,6 +165,7 @@ object NQuads {
     */
   def readPrefixes(spark: SparkSession, path: String): Map[String, String] =
     spark.read.text(path)
+      .select(stripTrailingComment(col("value"), Seq(PrefixLine)).as("value"))
       .filter(col("value").rlike(PrefixLine))
       .select(regexp_extract(col("value"), PrefixLine, 1).as("k"),
         regexp_extract(col("value"), PrefixLine, 2).as("v"))

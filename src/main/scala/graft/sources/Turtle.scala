@@ -123,6 +123,9 @@ object Turtle {
         .when(isTriple && lit(tripleIdx) > 0, f(g(Line, tripleIdx)))
         .otherwise(lit(null).cast("string"))
     spark.read.text(path)
+      .filter(!col("value").rlike(NQuads.FullLineComment))
+      .select(NQuads.stripTrailingComment(col("value"),
+        Seq(TrigLine, Line, PrefixLine)).as("value"))
       .filter(!col("value").rlike(PrefixLine))
       .select(
         pick(2, 1)(resolve).as("subject"),
@@ -149,6 +152,9 @@ object Turtle {
         .otherwise(Prefixes.expand(t, prefixes))
     val ok = col("value").rlike(Line)
     spark.read.text(path)
+      .filter(!col("value").rlike(NQuads.FullLineComment))
+      .select(NQuads.stripTrailingComment(col("value"),
+        Seq(Line, PrefixLine)).as("value"))
       .filter(!col("value").rlike(PrefixLine))
       .select(
         when(ok, resolve(grp(1))).otherwise(lit(null).cast("string")).as("subject"),

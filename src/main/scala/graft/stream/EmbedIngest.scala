@@ -126,7 +126,11 @@ object EmbedIngest {
     // buckets)` probe is manifest-pruned: only files whose bucket range
     // intersects the batch open — probe IO scales with the batch's
     // bucket spread, not the admitted corpus. readInsertOnly is sound
-    // (admission never re-upserts an id) and keeps the scan
+    // for REJECTION even though changed-content re-admissions do
+    // re-upsert an id (see ID-REUSE above): the raw live rows are a
+    // superset of the winners, so the only divergence is over-rejection
+    // against a superseded embedding — recall-only, never a wrong
+    // admit, bounded by the compaction cadence. It also keeps the scan
     // aggregate-free so the pushed filter reaches the manifest.
     // capped like DedupIngest.MaxProbeKeys: at high `bits` a bulk batch
     // can touch ~batch-size distinct buckets — a six-figure IN literal
