@@ -31,7 +31,10 @@ object StatementFormats {
 
   /** One statement serialisation: canonical mime type, file extension,
     * line serialiser (statements + prefix map → single `value` column)
-    * and reader (path → statement frame).
+    * and reader (path → statement frame). Readers MUST ignore full-line
+    * `#` comments — the transport frames every body with a banner and an
+    * end-of-stream marker comment (see [[Http]]), which the built-in
+    * parsers strip as C2 comments.
     */
   final case class StatementCodec(
       mime: String,
@@ -92,13 +95,20 @@ object StatementFormats {
           }.getOrElse(1.0)
           (parts.head.toLowerCase, q, idx)
         }.toSeq
+      // q=0 is EXCLUSION (RFC 9110 §12.4.2), not merely "skip this
+      // item": a wildcard must never resolve to a mime the client
+      // explicitly zeroed out
+      val excluded = items.collect { case (mt, q, _) if q <= 0.0 => mt }.toSet
       items.sortBy { case (_, q, idx) => (-q, idx) }
         .iterator.filter(_._2 > 0.0)
         .flatMap {
-          case ("*/*", _, _) => registry.headOption.map(_._1)
+          case ("*/*", _, _) =>
+            registry.collectFirst { case (k, c) if !excluded(c.mime) => k }
           case (mt, _, _) if mt.endsWith("/*") =>
             val tpe = mt.dropRight(1) // keep the slash: "text/"
-            registry.collectFirst { case (k, c) if c.mime.startsWith(tpe) => k }
+            registry.collectFirst {
+              case (k, c) if c.mime.startsWith(tpe) && !excluded(c.mime) => k
+            }
           case (mt, _, _) => formatFor(mt)
         }
         .nextOption()
@@ -157,6 +167,19 @@ object Http {
   private val TimeoutParam = "timeout" // SPARQLSession.java:92,120-126
   private val ErrorCodeHeader = "SD-Error-Code"
   private val TimeoutBodyMarker = "exceeded query timeout"
+
+  /** Completeness protocol: a chunked 200 that dies mid-stream still
+    * terminates as a WELL-FORMED body (the server's close writes the
+    * final 0-chunk), so truncation is invisible at the HTTP layer. The
+    * server therefore promises a trailing comment marker via this header
+    * and writes it after the last statement; [[read]] enforces the
+    * promise and raises instead of returning a silently partial frame.
+    * The marker is a `#` comment line — transparent to every
+    * comment-stripping parser (C2).
+    */
+  private[sources] val StreamHeader = "X-Graft-Stream"
+  private[sources] val StreamMarked = "marked"
+  private[sources] val EndMarker = "# graft: end-of-stream"
 
   /** A running statement endpoint; `url` points at the statements
     * context. `lastRequestUri` records the most recent request for
@@ -236,10 +259,16 @@ object Http {
         val params = queryParams(exchange)
         val deadline = params.get(TimeoutParam).flatMap(_.toLongOption)
           .map(ms => System.nanoTime + ms * 1000000L)
-        val restricted = params.get("graph")
-          .filter(_ => statements.columns.contains("source"))
-          .map(g => statements.filter(col("source") === g))
-          .getOrElse(statements)
+        val restricted = params.get("graph") match {
+          case None => statements
+          case Some(g) if statements.columns.contains("source") =>
+            statements.filter(col("source") === g)
+          case Some(_) =>
+            // a triples-only frame has no named graphs: a graph-scoped
+            // request correctly yields ZERO statements (silently serving
+            // the whole frame would hand back wrong data with a 200)
+            statements.filter(lit(false))
+        }
         val limited = params.get("limit").flatMap(_.toIntOption)
           .map(restricted.limit).getOrElse(restricted)
         val lines = codec.serialize(limited, prefixes)
@@ -254,6 +283,7 @@ object Http {
         }
         exchange.getResponseHeaders.set("Content-Type",
           codec.mime + "; charset=utf-8")
+        exchange.getResponseHeaders.set(StreamHeader, StreamMarked)
         exchange.sendResponseHeaders(200, 0) // chunked
         val out: OutputStream = exchange.getResponseBody
         if (banner)
@@ -265,20 +295,33 @@ object Http {
         while (open) {
           out.write((it.next().getString(0) + "\n").getBytes(UTF_8))
           if (deadline.exists(System.nanoTime > _))
+            // no end marker is ever written: the client detects the
+            // truncation even though the chunked body terminates cleanly
             throw new java.io.IOException("deadline exceeded mid-stream")
           open = it.hasNext
         }
+        out.write((EndMarker + "\n").getBytes(UTF_8))
         out.flush()
     }
   }
 
   /** Fetch statements from an HTTP endpoint: negotiate via `accept`,
-    * spool the body, parse with the codec matching the response's
+    * STREAM the body to a local spool file (never a driver-memory
+    * String — client memory is O(1) in the statement count, matching
+    * the server side), and parse with the codec matching the response's
     * Content-Type (falling back to the first `accept` entry when the
     * server omits the header — the reference's format-preference
     * fallback, io.clj:469-483). `maxQueryTimeSeconds > 0` propagates as
     * `timeout` in ms exactly like SPARQLSession.java:120-126, and the
     * Stardog-shaped timeout response raises [[QueryTimeoutException]].
+    * Responses promising the [[EndMarker]] (our own server always does)
+    * are checked for it — a mid-stream server death cannot return a
+    * silently partial frame.
+    *
+    * The spool file backs the LAZY returned frame, so it lives until JVM
+    * exit (deleteOnExit; failure paths clean up eagerly). Callers
+    * needing the data past the response's lifetime should persist or
+    * checkpoint it.
     */
   def read(spark: SparkSession, url: String,
            accept: Seq[String] = Seq("application/n-quads"),
@@ -298,24 +341,59 @@ object Http {
       .header("Accept", accept.mkString(", "))
     if (maxQueryTimeSeconds > 0) // server is authoritative; generous slack
       reqB.timeout(Duration.ofSeconds(maxQueryTimeSeconds + 30L))
-    val resp = client.send(reqB.build(), HttpResponse.BodyHandlers.ofString())
-    val errorCode = resp.headers().firstValue(ErrorCodeHeader).orElse("")
-    if (resp.statusCode == 500 && errorCode == "QueryEval" &&
-        resp.body != null && resp.body.contains(TimeoutBodyMarker))
-      throw new QueryTimeoutException(
-        s"$url: ${resp.body} (server-enforced ${maxQueryTimeSeconds}s)")
-    if (resp.statusCode != 200)
-      throw new IllegalStateException(
-        s"$url: HTTP ${resp.statusCode}: ${resp.body}")
-    val contentType = resp.headers().firstValue("Content-Type").orElse(null)
-    val fmt = Option(contentType).flatMap(StatementFormats.formatFor)
-      .orElse(accept.headOption.flatMap(StatementFormats.formatFor))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$url: cannot resolve a statement format from Content-Type " +
-          s"${Option(contentType).getOrElse("(absent)")}"))
-    val codec = StatementFormats.registry(fmt)
     val dir = Files.createTempDirectory("graft-http")
-    Files.writeString(dir.resolve(s"body.${codec.ext}"), resp.body)
-    codec.read(spark, dir.toString)
+    val spool = dir.resolve("body.txt")
+    def cleanup(): Unit = { Files.deleteIfExists(spool); Files.deleteIfExists(dir); () }
+    val resp =
+      try client.send(reqB.build(), HttpResponse.BodyHandlers.ofFile(spool))
+      catch { case e: Throwable => cleanup(); throw e }
+    try {
+      if (resp.statusCode != 200) {
+        // error bodies are small — safe to read for the typed checks
+        val body = new String(Files.readAllBytes(spool), UTF_8)
+        val errorCode = resp.headers().firstValue(ErrorCodeHeader).orElse("")
+        if (resp.statusCode == 500 && errorCode == "QueryEval" &&
+            body.contains(TimeoutBodyMarker))
+          throw new QueryTimeoutException(
+            s"$url: $body (server-enforced ${maxQueryTimeSeconds}s)")
+        throw new IllegalStateException(
+          s"$url: HTTP ${resp.statusCode}: ${body.take(1024)}")
+      }
+      if (resp.headers().firstValue(StreamHeader).orElse("") == StreamMarked &&
+          !lastLine(spool).contains(EndMarker))
+        throw new java.io.IOException(
+          s"$url: response promised '$EndMarker' but the body ends without " +
+            "it — the stream was truncated mid-flight; refusing the " +
+            "partial statement frame")
+      val contentType = resp.headers().firstValue("Content-Type").orElse(null)
+      val fmt = Option(contentType).flatMap(StatementFormats.formatFor)
+        .orElse(accept.headOption.flatMap(StatementFormats.formatFor))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$url: cannot resolve a statement format from Content-Type " +
+            s"${Option(contentType).getOrElse("(absent)")}"))
+      spool.toFile.deleteOnExit(); dir.toFile.deleteOnExit()
+      StatementFormats.registry(fmt).read(spark, dir.toString)
+    } catch { case e: Throwable => cleanup(); throw e }
+  }
+
+  /** Last non-empty line of a file, reading only its tail (the spool can
+    * be arbitrarily large; the marker check must stay O(1)).
+    */
+  private def lastLine(p: java.nio.file.Path): Option[String] = {
+    val size = Files.size(p)
+    if (size == 0) return None
+    val tailLen = math.min(size, 4096L).toInt
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(tailLen)
+      var pos = size - tailLen
+      while (buf.hasRemaining && pos < size) {
+        val n = ch.read(buf, pos)
+        if (n < 0) pos = size else pos += n
+      }
+      new String(buf.array(), 0, buf.position(), UTF_8)
+        .split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .foldLeft(Option.empty[String])((_, l) => Some(l))
+    } finally ch.close()
   }
 }

@@ -113,21 +113,34 @@ object NQuads {
     * sparql.clj:115-121, applied in pre-process-query:134-139; recast
     * here onto the statement-text surface a lake engine actually parses):
     * full-line `# …` lines are dropped by the readers, and trailing
-    * ` # …` comments are stripped — but GRAMMAR-GUARDED: a line that
-    * already matches a statement grammar intact is left untouched, so a
-    * `#` inside a quoted literal (or an IRI fragment id) can never be
-    * truncated. The reference's whitespace-guarded regex has exactly that
-    * blind spot on query strings; on data lines we can do better because
-    * the line grammar is known. Lines malformed with or without their
-    * trailing comment stay malformed (the all-null contract holds).
+    * ` # …` comments are stripped — GRAMMAR-GUARDED twice over. A line
+    * matching a statement grammar intact is untouched, so a `#` inside a
+    * quoted literal (or an IRI fragment id) can never be truncated; and a
+    * strip CANDIDATE is only ever used when the remainder itself matches
+    * the grammar, so no strip can corrupt a statement. Candidate comment
+    * starts are `\s+#` sites directly after a statement terminator
+    * (`.`/`}` — the only place a trailing comment can legally begin);
+    * the first and the last such site are both tried, which covers
+    * literals containing `. # ` on either side of the real comment.
+    * Lines where neither candidate parses stay as-is (the all-null
+    * malformed contract). The reference's whitespace-guarded regex has
+    * the literal-`#` blind spot on query strings; on data lines the
+    * known grammar closes it.
     */
   private[sources] val FullLineComment = "^\\s*#"
 
   private[sources] def stripTrailingComment(line: Column,
                                             grammar: Seq[String]): Column = {
-    val intact = grammar.map(line.rlike).reduce(_ || _)
-    when(intact, line)
-      .otherwise(regexp_replace(line, "\\s+#[^\\n]*$", ""))
+    def ok(c: Column): Column = grammar.map(c.rlike).reduce(_ || _)
+    // first terminator-adjacent site (lookbehind keeps non-terminator
+    // `#`s — e.g. inside a literal — from ever being a candidate)
+    val first = regexp_replace(line, "(?<=[.}])\\s+#[^\\n]*$", "")
+    // last terminator-adjacent site (greedy prefix)
+    val last = regexp_extract(line, "^(.*[.}])\\s+#[^\\n]*$", 1)
+    when(ok(line), line)
+      .when(ok(first), first)
+      .when(ok(last), last)
+      .otherwise(line)
   }
 
   /** Parse an N-Quads/N-Triples file back into a statement frame. Triple

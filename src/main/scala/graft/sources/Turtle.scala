@@ -57,13 +57,20 @@ object Turtle {
   private def predicateTerm(c: Column, prefixes: Map[String, String]): Column =
     when(c === RdfType, lit("a")).otherwise(iriTerm(c, prefixes))
 
+  /** THE statement-line body — one definition shared by the Turtle and
+    * TriG serialisers so escaping/CURIE fixes cannot drift between the
+    * two formats (the same single-definition rule as
+    * [[NQuads.writePrefixHeader]]).
+    */
+  private def lineBody(prefixes: Map[String, String]): Column = concat(
+    iriTerm(col("subject"), prefixes), lit(" "),
+    predicateTerm(col("predicate"), prefixes), lit(" \""),
+    NQuads.esc(col("object")), lit("\" ."))
+
   /** One Turtle statement line per (subject, predicate, object) row. */
   def serialize(statements: DataFrame,
                 prefixes: Map[String, String] = Map.empty): DataFrame =
-    statements.select(concat(
-      iriTerm(col("subject"), prefixes), lit(" "),
-      predicateTerm(col("predicate"), prefixes), lit(" \""),
-      NQuads.esc(col("object")), lit("\" .")).as("value"))
+    statements.select(lineBody(prefixes).as("value"))
 
   /** Distributed text write with the `@prefix` header file (same
     * name-sorts-first mechanics as [[NQuads.write]]).
@@ -85,10 +92,7 @@ object Turtle {
                     prefixes: Map[String, String] = Map.empty): DataFrame = {
     if (!statements.columns.contains("source"))
       return serialize(statements, prefixes) // all-triple frame = Turtle
-    val body = concat(
-      iriTerm(col("subject"), prefixes), lit(" "),
-      predicateTerm(col("predicate"), prefixes), lit(" \""),
-      NQuads.esc(col("object")), lit("\" ."))
+    val body = lineBody(prefixes)
     val line = when(col("source").isNull, body)
       .otherwise(concat(iriTerm(col("source"), prefixes), lit(" { "),
         body, lit(" }")))
@@ -107,13 +111,21 @@ object Turtle {
     * NQuads 4-column schema, so the two quad formats round-trip through
     * one statement model.
     */
+  /** Parse-side term resolution — the shared inverse of [[iriTerm]] /
+    * [[predicateTerm]]: `<iri>` unwraps, CURIEs expand against the file's
+    * prefix map, `a` resolves back to rdf:type.
+    */
+  private def resolveTerm(t: Column, prefixes: Map[String, String]): Column =
+    when(t.startsWith("<"), t.substr(lit(2), length(t) - 2))
+      .otherwise(Prefixes.expand(t, prefixes))
+
+  private def resolvePred(t: Column, prefixes: Map[String, String]): Column =
+    when(t === "a", lit(RdfType)).otherwise(resolveTerm(t, prefixes))
+
   def readTrig(spark: SparkSession, path: String): DataFrame = {
     val prefixes = NQuads.readPrefixes(spark, path)
-    def resolve(t: Column): Column =
-      when(t.startsWith("<"), t.substr(lit(2), length(t) - 2))
-        .otherwise(Prefixes.expand(t, prefixes))
-    def pred(t: Column): Column =
-      when(t === "a", lit(RdfType)).otherwise(resolve(t))
+    def resolve(t: Column): Column = resolveTerm(t, prefixes)
+    def pred(t: Column): Column = resolvePred(t, prefixes)
     val isQuad = col("value").rlike(TrigLine)
     val isTriple = col("value").rlike(Line)
     def g(pattern: String, i: Int): Column =
@@ -147,9 +159,7 @@ object Turtle {
   def read(spark: SparkSession, path: String): DataFrame = {
     val prefixes = NQuads.readPrefixes(spark, path)
     def grp(i: Int): Column = regexp_extract(col("value"), Line, i)
-    def resolve(t: Column): Column =
-      when(t.startsWith("<"), t.substr(lit(2), length(t) - 2))
-        .otherwise(Prefixes.expand(t, prefixes))
+    def resolve(t: Column): Column = resolveTerm(t, prefixes)
     val ok = col("value").rlike(Line)
     spark.read.text(path)
       .filter(!col("value").rlike(NQuads.FullLineComment))
@@ -158,7 +168,7 @@ object Turtle {
       .filter(!col("value").rlike(PrefixLine))
       .select(
         when(ok, resolve(grp(1))).otherwise(lit(null).cast("string")).as("subject"),
-        when(ok, when(grp(2) === "a", lit(RdfType)).otherwise(resolve(grp(2))))
+        when(ok, resolvePred(grp(2), prefixes))
           .otherwise(lit(null).cast("string")).as("predicate"),
         when(ok, NQuads.unesc(grp(3))).otherwise(lit(null).cast("string")).as("object"))
   }

@@ -62,6 +62,10 @@ class HttpSpec extends SparkSpec {
     assert(StatementFormats.negotiate(Some("text/*")).contains("ttl"))
     // q=0 excludes; nothing servable → None → HTTP 406 → loud client error
     assert(StatementFormats.negotiate(Some("text/turtle;q=0")).isEmpty)
+    // q=0 is EXCLUSION: a wildcard must not resolve to a zeroed-out mime
+    assert(StatementFormats.negotiate(Some("text/*, text/turtle;q=0")).isEmpty)
+    assert(StatementFormats.negotiate(
+      Some("*/*, application/n-quads;q=0")).contains("nt"))
     withServer() { srv =>
       val e = intercept[IllegalStateException] {
         Http.read(spark, srv.url, accept = Seq("application/pdf"))
@@ -83,6 +87,33 @@ class HttpSpec extends SparkSpec {
         one.select("object").as[String].collect().sameElements(Array("fr")))
       val limited = Http.read(spark, srv.url + "?limit=2")
       assert(limited.count() == 2)
+    }
+    // a triples-only frame has no named graphs: graph-scoped requests
+    // yield ZERO statements, never the whole frame under a 200
+    withServer(df = stmts.drop("source"), pfx = Map.empty) { srv =>
+      assert(Http.read(spark, srv.url + "?graph=anything").count() == 0)
+    }
+  }
+
+  test("a truncated marked stream is refused, never returned partial") {
+    // a server that PROMISES the end marker but dies mid-body: the
+    // chunked encoding still terminates cleanly, so only the marker
+    // protocol can expose the truncation
+    withServer() { srv =>
+      srv.server.createContext("/trunc", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getResponseHeaders.set("Content-Type", "application/n-quads")
+        ex.getResponseHeaders.set("X-Graft-Stream", "marked")
+        ex.sendResponseHeaders(200, 0)
+        ex.getResponseBody.write(
+          "<s> <p> \"o\" <g> .\n".getBytes("UTF-8")) // no end marker
+        ex.close()
+      })
+      val e = intercept[java.io.IOException] {
+        Http.read(spark, s"http://127.0.0.1:${srv.port}/trunc")
+      }
+      assert(e.getMessage.contains("truncated"))
+      // and the normal path (marker present) still round-trips
+      assert(Http.read(spark, srv.url).count() == 3)
     }
   }
 
@@ -149,14 +180,21 @@ class HttpSpec extends SparkSpec {
         |   # indented full-line comment
         |<s3> <p> "kept # inside literal" <g> .
         |<s4#frag> <p> "o" <g> .
+        |<s5> <p> "a # b" <g> . # literal hash AND trailing comment
+        |<s6> <p> "end. # c" <g> . # terminator-lookalike inside literal
         |@prefix ex: <http://e.org/> . # commented prefix header
         |""".stripMargin)
     val back = NQuads.read(spark, s"$dir/in.nq").collect()
-    assert(back.length == 4)
+    assert(back.length == 6)
     val bySubject = back.map(r => r.getString(0) -> r.getString(2)).toMap
     assert(bySubject("s2") == "o") // trailing comment stripped
     assert(bySubject("s3") == "kept # inside literal") // grammar-guarded
     assert(bySubject.contains("s4#frag")) // IRI fragment untouched
+    // strip candidates are grammar-checked: the comment is removed at a
+    // terminator-adjacent site whose REMAINDER parses, so a '#' (even a
+    // '. #') inside the literal survives alongside a real trailing comment
+    assert(bySubject("s5") == "a # b")
+    assert(bySubject("s6") == "end. # c")
     assert(NQuads.readPrefixes(spark, dir) == Map("ex" -> "http://e.org/"))
 
     // turtle: same contract through the CURIE path (own dir — the
