@@ -608,6 +608,49 @@ object SparkEntry {
         concat(lit("http://example.org/source/"), col("source")).as("source"))
       Turtle.serializeTrig(stmts, m)
     }),
+    "q80_jsonld" -> ((s, dir) => { implicit val sp = s
+      // JSON-LD flat line serialisation (formats.clj:8-19 :jsonld):
+      // triple nodes + @graph-wrapped quad nodes, escaping shared with
+      // the N-family (the DuckDB twin replays the same replace chain)
+      val d = t(dir, "documents")
+      val triples = d.select(
+        concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+        lit("http://purl.org/dc/terms/language").as("predicate"),
+        col("lang").as("object"),
+        lit(null).cast("string").as("source"))
+      val quads = d.select(
+        concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+        lit("http://example.org/meta#head").as("predicate"),
+        substring(col("text"), 1, 12).as("object"),
+        concat(lit("http://example.org/source/"), col("source")).as("source"))
+      graft.sources.JsonLd.serialize(triples.unionAll(quads))
+    }),
+    "q81_rdfxml" -> ((s, dir) => { implicit val sp = s
+      // RDF/XML serialisation (formats.clj:8-19 :rdf): QName split at
+      // the longest XML-name suffix, per-element default xmlns, XML
+      // entity + character-reference escaping mirrored in the oracle
+      val d = t(dir, "documents")
+      val stmts = d.select(
+          concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+          lit("http://purl.org/dc/terms/language").as("predicate"),
+          col("lang").as("object"))
+        .unionAll(d.select(
+          concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+          lit("http://example.org/meta#head").as("predicate"),
+          substring(col("text"), 1, 12).as("object")))
+      graft.sources.RdfXml.serialize(stmts)
+    }),
+    "q82_trix" -> ((s, dir) => { implicit val sp = s
+      // TriX serialisation (formats.clj:8-19 :trix): one single-statement
+      // graph block per quad, XML escaping shared with RDF/XML
+      val d = t(dir, "documents")
+      val stmts = d.select(
+        concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+        lit("http://example.org/meta#head").as("predicate"),
+        substring(col("text"), 1, 12).as("object"),
+        concat(lit("http://example.org/source/"), col("source")).as("source"))
+      graft.sources.Trix.serialize(stmts)
+    }),
     "q79_http_negotiated" -> ((s, dir) => { implicit val sp = s
       // SPARQL-over-HTTP transport recast (S9) + mime negotiation over
       // the open format registry (E3) + comment-stripping parsers (C2)
@@ -1430,6 +1473,43 @@ object SparkEntry {
            replace(replace(replace(replace(replace(lang,
              '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
            || '" . }' AS value FROM documents""",
+    "q80_jsonld" ->
+      """SELECT '{"@id":"http://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+           '","http://purl.org/dc/terms/language":[{"@value":"' ||
+           replace(replace(replace(replace(replace(lang,
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '"}]}' AS value FROM documents
+         UNION ALL
+         SELECT '{"@id":"http://example.org/source/' || source ||
+           '","@graph":[{"@id":"http://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+           '","http://example.org/meta#head":[{"@value":"' ||
+           replace(replace(replace(replace(replace(substr(text, 1, 12),
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '"}]}]}' FROM documents""",
+    "q81_rdfxml" ->
+      """SELECT '<rdf:Description rdf:about="http://example.org/doc/' ||
+           CAST(doc_id AS VARCHAR) ||
+           '"><language xmlns="http://purl.org/dc/terms/">' ||
+           replace(replace(replace(replace(replace(replace(replace(lang,
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+             chr(10), '&#10;'), chr(13), '&#13;'), chr(9), '&#9;')
+           || '</language></rdf:Description>' AS value FROM documents
+         UNION ALL
+         SELECT '<rdf:Description rdf:about="http://example.org/doc/' ||
+           CAST(doc_id AS VARCHAR) ||
+           '"><head xmlns="http://example.org/meta#">' ||
+           replace(replace(replace(replace(replace(replace(replace(substr(text, 1, 12),
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+             chr(10), '&#10;'), chr(13), '&#13;'), chr(9), '&#9;')
+           || '</head></rdf:Description>' FROM documents""",
+    "q82_trix" ->
+      """SELECT '<graph><uri>http://example.org/source/' || source ||
+           '</uri><triple><uri>http://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+           '</uri><uri>http://example.org/meta#head</uri><plainLiteral>' ||
+           replace(replace(replace(replace(replace(replace(replace(substr(text, 1, 12),
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+             chr(10), '&#10;'), chr(13), '&#13;'), chr(9), '&#9;')
+           || '</plainLiteral></triple></graph>' AS value FROM documents""",
     "q79_http_negotiated" ->
       """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS subject,
            'http://purl.org/dc/terms/language' AS predicate,

@@ -59,7 +59,22 @@ object StatementFormats {
         (s, p) => Turtle.read(s, p)),
       "trig" -> StatementCodec("application/trig", "trig",
         (df, pfx) => Turtle.serializeTrig(df, pfx),
-        (s, p) => Turtle.readTrig(s, p)))
+        (s, p) => Turtle.readTrig(s, p)),
+      "jsonld" -> StatementCodec("application/ld+json", "jsonld",
+        (df, _) => JsonLd.serialize(df),
+        (s, p) => JsonLd.read(s, p)),
+      "rdf" -> StatementCodec("application/rdf+xml", "rdf",
+        (df, _) => RdfXml.serialize(df.drop("source")), // no graphs in RDF/XML
+        (s, p) => RdfXml.read(s, p)),
+      "trix" -> StatementCodec("application/trix", "trix",
+        (df, _) => Trix.serialize(df),
+        (s, p) => Trix.read(s, p)),
+      // Turtle is a subset of N3: every line [[Turtle.serialize]] emits
+      // is valid N3, which is exactly what most writers (incl. RDF4j's)
+      // produce for the `:n3` registry entry (formats.clj:8-19)
+      "n3" -> StatementCodec("text/n3", "n3",
+        (df, pfx) => Turtle.serialize(df.drop("source"), pfx),
+        (s, p) => Turtle.read(s, p)))
 
   /** Mime-type-or-extension → format key, the reference's `->rdf-format`
     * String coercion (formats.clj:67-71): strings containing `/` are

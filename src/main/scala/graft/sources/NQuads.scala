@@ -133,10 +133,11 @@ object NQuads {
                                             grammar: Seq[String]): Column = {
     def ok(c: Column): Column = grammar.map(c.rlike).reduce(_ || _)
     // first terminator-adjacent site (lookbehind keeps non-terminator
-    // `#`s — e.g. inside a literal — from ever being a candidate)
-    val first = regexp_replace(line, "(?<=[.}])\\s+#[^\\n]*$", "")
+    // `#`s — e.g. inside a literal — from ever being a candidate);
+    // terminators: `.` (N-family), `}` (TriG/JSON-LD), `>` (XML formats)
+    val first = regexp_replace(line, "(?<=[.}>])\\s+#[^\\n]*$", "")
     // last terminator-adjacent site (greedy prefix)
-    val last = regexp_extract(line, "^(.*[.}])\\s+#[^\\n]*$", 1)
+    val last = regexp_extract(line, "^(.*[.}>])\\s+#[^\\n]*$", 1)
     when(ok(line), line)
       .when(ok(first), first)
       .when(ok(last), last)

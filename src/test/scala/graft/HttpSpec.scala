@@ -63,7 +63,10 @@ class HttpSpec extends SparkSpec {
     // q=0 excludes; nothing servable → None → HTTP 406 → loud client error
     assert(StatementFormats.negotiate(Some("text/turtle;q=0")).isEmpty)
     // q=0 is EXCLUSION: a wildcard must not resolve to a zeroed-out mime
-    assert(StatementFormats.negotiate(Some("text/*, text/turtle;q=0")).isEmpty)
+    // (with turtle zeroed, text/* falls through to the NEXT text type)
+    assert(StatementFormats.negotiate(Some("text/*, text/turtle;q=0")).contains("n3"))
+    assert(StatementFormats.negotiate(
+      Some("text/*, text/turtle;q=0, text/n3;q=0")).isEmpty)
     assert(StatementFormats.negotiate(
       Some("*/*, application/n-quads;q=0")).contains("nt"))
     withServer() { srv =>
