@@ -651,6 +651,31 @@ object SparkEntry {
         concat(lit("http://example.org/source/"), col("source")).as("source"))
       graft.sources.Trix.serialize(stmts)
     }),
+    "q83_rdfjson" -> ((s, dir) => { implicit val sp = s
+      // RDF/JSON serialisation (formats.clj:138-159 :rj): one W3C
+      // subject-keyed object per line, escaping shared with JSON-LD
+      val d = t(dir, "documents")
+      val stmts = d.select(
+        concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+        lit("http://purl.org/dc/terms/language").as("predicate"),
+        col("lang").as("object"))
+      graft.sources.RdfJson.serialize(stmts)
+    }),
+    "q84_brf" -> ((s, dir) => { implicit val sp = s
+      // binary statement records (formats.clj:138-152 :brf): length-
+      // delimited UTF-8 terms, base64-armored one record per line —
+      // the oracle rebuilds the exact bytes with DuckDB's blob algebra,
+      // so flag/length/encoding layout is pinned cross-engine
+      val d = t(dir, "documents")
+      val stmts = d.select(
+        concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+        lit("http://example.org/meta#head").as("predicate"),
+        substring(col("text"), 1, 12).as("object"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("http://example.org/source/"), col("source")))
+          .otherwise(lit(null).cast("string")).as("source"))
+      graft.sources.BinaryRdf.serialize(stmts)
+    }),
     "q79_http_negotiated" -> ((s, dir) => { implicit val sp = s
       // SPARQL-over-HTTP transport recast (S9) + mime negotiation over
       // the open format registry (E3) + comment-stripping parsers (C2)
@@ -1510,6 +1535,31 @@ object SparkEntry {
              '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
              chr(10), '&#10;'), chr(13), '&#13;'), chr(9), '&#9;')
            || '</plainLiteral></triple></graph>' AS value FROM documents""",
+    "q83_rdfjson" ->
+      """SELECT '{"http://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+           '":{"http://purl.org/dc/terms/language":[{"value":"' ||
+           replace(replace(replace(replace(replace(lang,
+             '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+           || '","type":"literal"}]}}' AS value FROM documents""",
+    "q84_brf" ->
+      """WITH stmts AS (
+           SELECT encode('http://example.org/doc/' || CAST(doc_id AS VARCHAR)) AS s,
+                  encode('http://example.org/meta#head') AS p,
+                  encode(substr(text, 1, 12)) AS o,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN encode('http://example.org/source/' || source) END AS g
+           FROM documents),
+         terms AS (
+           SELECT unhex(lpad(to_hex(octet_length(s)), 8, '0')) || s AS ts,
+                  unhex(lpad(to_hex(octet_length(p)), 8, '0')) || p AS tp,
+                  unhex(lpad(to_hex(octet_length(o)), 8, '0')) || o AS t_o,
+                  CASE WHEN g IS NOT NULL
+                       THEN unhex(lpad(to_hex(octet_length(g)), 8, '0')) || g END AS tg
+           FROM stmts)
+         SELECT CASE WHEN tg IS NULL
+                     THEN to_base64(unhex('00') || ts || tp || t_o)
+                     ELSE to_base64(unhex('01') || ts || tp || t_o || tg)
+                END AS value FROM terms""",
     "q79_http_negotiated" ->
       """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS subject,
            'http://purl.org/dc/terms/language' AS predicate,

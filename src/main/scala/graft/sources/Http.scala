@@ -36,11 +36,20 @@ object StatementFormats {
     * end-of-stream marker comment (see [[Http]]), which the built-in
     * parsers strip as C2 comments.
     */
+  /** `binary = true` marks the codec's record layout as byte-oriented —
+    * the reference's `binary-format?` / stream-coercer split
+    * (formats.clj:104-120: binary formats get InputStream/OutputStream,
+    * text formats Reader/Writer). Here every registered binary codec
+    * armors its records line-safely (base64 — `#`-free by alphabet), so
+    * the one line transport serves both classes; the flag is the
+    * contract a byte-oriented sink would consult.
+    */
   final case class StatementCodec(
       mime: String,
       ext: String,
       serialize: (DataFrame, Map[String, String]) => DataFrame,
-      read: (SparkSession, String) => DataFrame)
+      read: (SparkSession, String) => DataFrame,
+      binary: Boolean = false)
 
   /** Registration order is negotiation-preference order (first entry is
     * the `*`/`*∕*` default), like the reference registry's parser
@@ -74,7 +83,14 @@ object StatementFormats {
       // produce for the `:n3` registry entry (formats.clj:8-19)
       "n3" -> StatementCodec("text/n3", "n3",
         (df, pfx) => Turtle.serialize(df.drop("source"), pfx),
-        (s, p) => Turtle.read(s, p)))
+        (s, p) => Turtle.read(s, p)),
+      "rj" -> StatementCodec("application/rdf+json", "rj",
+        (df, _) => RdfJson.serialize(df.drop("source")), // no graphs in RDF/JSON
+        (s, p) => RdfJson.read(s, p)),
+      "brf" -> StatementCodec("application/x-binary-rdf", "brf",
+        (df, _) => BinaryRdf.serialize(df),
+        (s, p) => BinaryRdf.read(s, p),
+        binary = true))
 
   /** Mime-type-or-extension → format key, the reference's `->rdf-format`
     * String coercion (formats.clj:67-71): strings containing `/` are

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{JsonLd, NQuads, RdfXml, StatementFormats, Trix, Turtle}
+import graft.sources.{BinaryRdf, JsonLd, NQuads, RdfJson, RdfXml, StatementFormats, Trix, Turtle}
 
 /** Round-trip and escaping behavior of the round-5 format additions
   * (JSON-LD flat lines, RDF/XML, TriX, the N3 alias) — each against the
@@ -99,12 +99,70 @@ class FormatSpec extends SparkSpec {
     assert(back.exceptAll(viaNq).isEmpty && viaNq.exceptAll(back).isEmpty)
   }
 
+  test("rdfjson: subject-object lines, literal typing, round trip") {
+    val stmts = quadFrame.select("subject", "predicate", "object")
+    val dir = tmpDir("rj")
+    RdfJson.write(stmts, s"$dir/out.rj")
+    val lines = spark.read.text(s"$dir/out.rj").collect()
+      .map(_.getString(0)).toSet
+    assert(lines.contains("""{"http://e.org/d2":{"http://e.org/p":""" +
+      """[{"value":"plain","type":"literal"}]}}"""), lines.mkString("\n"))
+    // the adversarial object mimicking the grammar's own tail survives
+    assert(lines.contains("""{"http://e.org/d3":{"http://e.org/p":""" +
+      """[{"value":"evil\"}]}","type":"literal"}]}}"""))
+    val back = RdfJson.read(spark, s"$dir/out.rj").drop("source")
+    assert(back.exceptAll(stmts).isEmpty && stmts.exceptAll(back).isEmpty)
+    // malformed line → all-null row, never garbage terms
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "bad.rj"),
+      "{\"s\":{\"p\":[{\"value\":\"missing type\"}]}}\n")
+    val mal = RdfJson.read(spark, s"$dir/bad.rj").collect()
+    assert(mal.length == 1 && (0 to 3).forall(mal.head.isNullAt))
+  }
+
+  test("brf: binary records carry what every text dialect must escape") {
+    // NUL, quotes, angle brackets, newlines, tabs, supplementary chars —
+    // the length-delimited layout has no escaping and no malformed
+    // character class (the one registry entry where U+0000 is legal)
+    val hostile = Seq(
+      ("http://e.org/d1", "http://e.org/p", "NUL\u0000 \"q\" <a>\nline2\t😀",
+        "http://e.org/g1"),
+      ("http://e.org/d2", "http://e.org/p", "", null) // empty term, triple
+    ).toDF("subject", "predicate", "object", "source")
+    val dir = tmpDir("brf")
+    BinaryRdf.write(hostile, s"$dir/out.brf")
+    val back = BinaryRdf.read(spark, s"$dir/out.brf")
+    assert(back.exceptAll(hostile).isEmpty && hostile.exceptAll(back).isEmpty)
+    // armored lines are pure base64 (line-transport-safe by alphabet)
+    val lines = spark.read.text(s"$dir/out.brf").collect().map(_.getString(0))
+    assert(lines.filterNot(_.startsWith("#"))
+      .forall(_.matches("^[A-Za-z0-9+/=]+$")), lines.mkString("\n"))
+    // malformed inputs: non-base64, valid base64 of a lying record
+    // (declared length beyond the bytes), absurd u32 length — each must
+    // yield the all-null row under ANSI, never throw or emit garbage
+    val b64 = java.util.Base64.getEncoder
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "bad.brf"),
+      "not base64!!!\n" +
+        b64.encodeToString(Array[Byte](0, 0, 0, 0, 9, 65)) + "\n" +
+        b64.encodeToString(Array[Byte](0, 127, -1, -1, -1) ++
+          Array.fill[Byte](20)(66)) + "\n")
+    val mal = BinaryRdf.read(spark, s"$dir/bad.brf").collect()
+    assert(mal.length == 3 &&
+      mal.forall(r => (0 to 3).forall(r.isNullAt)), mal.mkString(" | "))
+  }
+
   test("registry: new formats resolve by mime and extension, n3 = turtle") {
     assert(StatementFormats.formatFor("application/ld+json").contains("jsonld"))
     assert(StatementFormats.formatFor(".jsonld").contains("jsonld"))
     assert(StatementFormats.formatFor("application/rdf+xml").contains("rdf"))
     assert(StatementFormats.formatFor("application/trix").contains("trix"))
     assert(StatementFormats.formatFor("text/n3").contains("n3"))
+    assert(StatementFormats.formatFor("application/rdf+json").contains("rj"))
+    assert(StatementFormats.formatFor("application/x-binary-rdf").contains("brf"))
+    assert(StatementFormats.formatFor(".brf").contains("brf"))
+    // the binary/text coercer split (formats.clj:104-120): exactly one
+    // binary entry, and it is brf
+    assert(StatementFormats.registry.collect {
+      case (k, c) if c.binary => k }.toSeq == Seq("brf"))
     // negotiation preferences unchanged: */* → first entry, text/* → ttl
     assert(StatementFormats.negotiate(Some("*/*")).contains("nq"))
     assert(StatementFormats.negotiate(Some("text/*")).contains("ttl"))
@@ -121,7 +179,7 @@ class FormatSpec extends SparkSpec {
   test("served bodies in every negotiated dialect parse back to the frame") {
     // the transport's banner + @prefix + end-marker framing must be
     // transparent to EVERY registered reader (the C2 contract the
-    // registry documents) — loop all 8 formats through one live server.
+    // registry documents) — loop all 10 formats through one live server.
     // Triple-only codecs DROP the graph component (all rows survive as
     // triples — RDF/XML and friends carry no context), quad codecs
     // round-trip the full 4-column frame.
@@ -132,7 +190,7 @@ class FormatSpec extends SparkSpec {
       val got = graft.sources.Http.read(spark, srv.url,
         accept = Seq(codec.mime)).localCheckpoint()
       val want =
-        if (Set("nq", "trig", "jsonld", "trix").contains(fmt)) quadFrame
+        if (Set("nq", "trig", "jsonld", "trix", "brf").contains(fmt)) quadFrame
         else tripleView
       val gotAligned = got.select(want.columns.map(org.apache.spark.sql
         .functions.col).toIndexedSeq: _*)
