@@ -1054,6 +1054,72 @@ class LakeTable private (
     evolved
   }
 
+  /** Auto-evolution: grow the table schema to fit an incoming batch —
+    * the connector-restart flow where the feed starts carrying a new
+    * column or a widened type and the table must follow WITHOUT a manual
+    * [[evolveSchema]] step (Iceberg's merge-schema write option; the
+    * reference analog is the tabular pipeline absorbing new derived
+    * columns, make-graph/derive in pipeline.clj).
+    *
+    * Rules, applied by NAME against the current schema:
+    *  - incoming columns the table lacks are APPENDED (nullable — old
+    *    rows read null), except `protocolCols` (op/lsn/ts by default:
+    *    change-protocol fields are transport, never payload);
+    *  - an incoming type that [[LakeTable.widenable]]-widens the current
+    *    field widens it (int→long, float→double, short→int/long);
+    *  - any other type difference evolves NOTHING — the upsert's
+    *    name-matched cast keeps applying, and under ANSI a lossy cast
+    *    fails loudly rather than silently truncating;
+    *  - columns the incoming batch lacks are kept (missing → null).
+    *
+    * Returns true iff THIS call published an evolution (false when the
+    * schema already fits — including because a rival just published the
+    * same merge). Safe under replicated drivers: a lost CAS race
+    * ([[evolveSchema]]'s dense-id create-only publish) refreshes and
+    * re-derives — identical racing evolutions converge, conflicting ones
+    * retry against the winner, and only a still-losing third attempt
+    * propagates the failure.
+    */
+  def mergeSchemaFrom(incoming: StructType,
+                      protocolCols: Set[String] = Set("op", "lsn", "ts")): Boolean = {
+    import LakeTable.{sameType, widenable}
+    def target(): Option[StructType] = {
+      val cur = currentSchema
+      val byName = cur.fields.map(f => f.name -> f).toMap
+      val payload = incoming.fields.filterNot(f => protocolCols.contains(f.name))
+      val byIncoming = payload.map(f => f.name -> f).toMap
+      var changed = false
+      val kept = cur.fields.map { f =>
+        byIncoming.get(f.name) match {
+          case Some(in) if !sameType(f.dataType, in.dataType) &&
+              widenable(f.dataType, in.dataType) =>
+            changed = true
+            StructField(f.name, in.dataType, nullable = true)
+          case _ => StructField(f.name, f.dataType, f.nullable)
+        }
+      }
+      val added = payload.filterNot(f => byName.contains(f.name))
+        .map(f => StructField(f.name, f.dataType, nullable = true))
+      if (!changed && added.isEmpty) None
+      else Some(StructType(kept ++ added))
+    }
+    var attempt = 0
+    while (true) {
+      target() match {
+        case None => return false
+        case Some(t) =>
+          try { evolveSchema(t); return true }
+          catch {
+            case e: IllegalStateException if attempt < 3 =>
+              attempt += 1
+              refresh() // absorb the winner's schema, re-derive the merge
+            case e: IllegalStateException => throw e
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---- internals ----
 
   private def abs(f: FileEntry): String = s"$root/${f.path}"

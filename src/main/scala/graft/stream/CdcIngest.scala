@@ -40,7 +40,13 @@ object CdcIngest {
     */
   def applyBatch(table: LakeTable, batch: DataFrame, epochId: Long,
                  saltBuckets: Int = 0, dedup: Boolean = false,
-                 quarantine: Boolean = false): Option[graft.lake.Snapshot] = {
+                 quarantine: Boolean = false,
+                 autoEvolve: Boolean = false): Option[graft.lake.Snapshot] = {
+    // schema follows the feed (merge-schema): new payload columns append,
+    // widenable types widen, BEFORE the projection that would otherwise
+    // silently drop them ([[graft.lake.LakeTable.mergeSchemaFrom]]); a
+    // no-change batch costs one in-memory compare, no IO
+    if (autoEvolve) table.mergeSchemaFrom(batch.schema)
     val src0 = if (dedup) Dedup.exact(batch) else batch
     // untrusted feeds: side-output schema-divergent rows with lineage
     // instead of silently nulling them (reference io.clj:185-209 — errors
@@ -104,6 +110,15 @@ object CdcIngest {
     *   segments forever (the ingest-side mirror of the manifest-driven
     *   CDC-out tail).
     */
+  /** @param schema the feed's declared event schema (a streaming file
+    *   source's schema is fixed for the query's lifetime — a connector
+    *   carrying new columns restarts declaring them here)
+    * @param autoEvolve with true, each batch first grows the TABLE
+    *   schema to fit the feed ([[graft.lake.LakeTable.mergeSchemaFrom]]):
+    *   new payload columns append, widenable types widen, protocol
+    *   columns (op/lsn/ts) never leak — the restart needs no manual
+    *   evolveSchema step
+    */
   /** @param maxFilesPerBucket incremental-compaction policy: after each
     *   committed batch, buckets whose live file count exceeds this are
     *   rewritten via [[graft.lake.LakeTable.compactBuckets]] — bounded
@@ -131,12 +146,14 @@ object CdcIngest {
           maxFilesPerBucket: Int = 0,
           quarantine: Boolean = false,
           probeEvery: Int = 8,
-          feedOptions: Map[String, String] = Map.empty): StreamingQuery = {
+          feedOptions: Map[String, String] = Map.empty,
+          schema: org.apache.spark.sql.types.StructType = Schemas.changeEvent,
+          autoEvolve: Boolean = false): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
     val events = graft.sources.Codecs.readStream(
-      spark, feedDir, Schemas.changeEvent,
+      spark, feedDir, schema,
       format.orElse(graft.sources.Codecs.infer(feedDir)).orElse(Some("parquet")),
       options = feedOptions +
         ("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
@@ -159,7 +176,7 @@ object CdcIngest {
           else if (saltedRoute) Lww.DefaultSaltBuckets
           else 0
         val committed = applyBatch(table, batch, epochId, effSalt,
-          dedup = false, quarantine = quarantine)
+          dedup = false, quarantine = quarantine, autoEvolve = autoEvolve)
         if (saltBuckets == Lww.AutoSalt && committed.isDefined) {
           if (effSalt == Lww.AutoSalt) {
             // the probe's decision rides in the snapshot summary
