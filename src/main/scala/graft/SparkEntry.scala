@@ -735,7 +735,12 @@ object SparkEntry {
           .select(col("x").as("s"), lit("memberOf").as("p"), col("h").as("o"))
       }
       graft.operators.Inference.materialize(base, rule)
-    })
+    }),
+    // incrementally maintained aggregate view over the CDC log: bootstrap
+    // on chunk 0, then per-chunk changelog folds (before-image retraction,
+    // group migration, tombstones) — never a recompute. The oracle IS the
+    // recompute: groupBy over the LWW winners of the whole feed.
+    "q85_matview" -> ((s, dir) => CdcQueries.matviewBySource(s, dir))
   )
 
   /** DuckDB twin of [[graft.operators.DedupOps.hammingHex64]]: 16 fixed
@@ -1597,6 +1602,13 @@ object SparkEntry {
               FROM (SELECT unnest(b.embedding) AS v) x) AS dbb
            FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
          SELECT id1, id2, floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 AS sim
-         FROM pairs WHERE floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 >= 0.75"""
+         FROM pairs WHERE floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 >= 0.75""",
+    "q85_matview" ->
+      """SELECT event_type AS source, count(*) AS cnt,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_tok0
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1 AND event_type <> 'error'
+         GROUP BY 1"""
   )
 }

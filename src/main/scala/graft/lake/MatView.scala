@@ -1,0 +1,238 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally maintained aggregate view over a [[LakeTable]]'s CDC log
+  * — the lake twin of the reference's derived-graph pattern (a grafter
+  * pipeline re-running `make-graph` folds over changed rows,
+  * pipeline.clj's transform-then-load loop) recast as delta-driven view
+  * maintenance: the view is itself a LakeTable keyed by the group, and
+  * each `maintain` call folds exactly the base snapshots in
+  * `(viewFrontier, baseHead]` into it.
+  *
+  * Semantics: `SELECT groups…, count(*) AS cnt, sum(exprᵢ) AS nameᵢ FROM
+  * base-current-state GROUP BY groups…` — kept equal to the full
+  * recompute after every maintain, under inserts, updates (including
+  * group-migrating updates: a key whose update moves it from group g₁ to
+  * g₂ retracts from g₁ and adds to g₂), and deletes. Sum expressions are
+  * evaluated per base row and cast to LONG (decomposable + exact across
+  * engines — the same rational-over-float choice as
+  * [[graft.operators.TermStats]]); rows where the expression is null
+  * contribute 0 (oracle form: `sum(coalesce(expr, 0))`).
+  *
+  * Incremental step for range (from, to]:
+  *  1. after-images: [[LakeTable.changesBetween]] winners, max-`_lsn`
+  *     reduced per key across the range (one shuffle, O(changed keys));
+  *  2. before-images: the base as-of `from` semi-joined to the changed
+  *     keys — the honest price of exact retraction without writer-side
+  *     preimage capture: ONE column-pruned merged scan of the base per
+  *     maintain, off the ingest critical path (the upsert hot path never
+  *     pays it; a writer-captured preimage log is the documented upgrade
+  *     path, as in Delta's CDF);
+  *  3. group delta: ±(cnt, sums) contributions aggregated by group —
+  *     bounded by the batch, zero-net groups dropped;
+  *  4. merge: current view values for the affected groups joined to the
+  *     delta; a group whose new cnt is 0 becomes a tombstone (`op = D`),
+  *     so vanished groups leave the view exactly as deleted keys leave
+  *     the base.
+  *
+  * Exactly-once: the view upsert's `epochId` IS the base snapshot id
+  * `to`, so the view's `lastCommittedEpoch` is the maintenance frontier —
+  * a crash-replayed maintain of an already-folded range is a no-op
+  * (epoch check), and every step is deterministic (seeded nothing,
+  * wall-clock nothing), so a replay that does run writes identical
+  * bytes. Do not interleave manual upserts into the view table: its
+  * epoch space belongs to the base's snapshot ids.
+  *
+  * Scale posture at 10^10 base rows: per-maintain work is
+  * O(changed keys) + one key/group/sum-column-pruned base scan
+  * (before-images) + O(affected groups) on the view side. The view read
+  * in step 4 is a full merged scan of the VIEW table — fine while group
+  * cardinality ≪ base cardinality (the normal case for an aggregate
+  * view); for million-group views the same per-file key blooms that
+  * serve [[LakeTable.lookupAll]] prune it. Lagging views catch up in
+  * bounded `maxSnapshots` ranges without replaying the feed, and a view
+  * that lagged past the base's retention horizon fails loudly
+  * (changesBetween's expiry contract) instead of silently skipping —
+  * rebuild via a fresh [[MatView.create]] + [[MatView.maintain]]
+  * bootstrap.
+  */
+final class MatView private (
+    spark: SparkSession,
+    /** The view's backing table (read via [[read]]; exposed for
+      * maintenance ops — compaction, expiry — which are safe). */
+    val table: LakeTable,
+    base: LakeTable,
+    groupCols: Seq[String],
+    sums: Seq[(String, String)]) {
+
+  import MatView.{CntCol, KeyCol}
+
+  /** The view's key: the group tuple as canonical JSON. `ignoreNullFields`
+    * must be OFF — the default omits null fields, which would collide
+    * `(null, 1)` with `(1)`-shaped tuples under multi-column grouping.
+    */
+  private def gkey: Column =
+    to_json(struct(groupCols.map(g => col(g).as(g)): _*),
+      Map("ignoreNullFields" -> "false"))
+
+  /** ± contribution rows from a frame of base-row images:
+    * (groups…, ±1, ±sumᵢ). */
+  private def contrib(images: DataFrame, sign: Int): DataFrame =
+    images.select(
+      groupCols.map(col) ++
+        (lit(sign.toLong).as(CntCol) +:
+          sums.map { case (n, e) =>
+            (lit(sign.toLong) * coalesce(expr(e).cast(LongType), lit(0L))).as(n)
+          }): _*)
+
+  /** Fold base snapshots `(viewFrontier, min(baseHead, frontier +
+    * maxSnapshots)]` into the view; returns the new frontier if anything
+    * was folded. First call on a fresh view bootstraps with a full
+    * recompute at the base head (one groupBy — no changelog replay, so
+    * it also works on tables whose early history was expired).
+    */
+  def maintain(maxSnapshots: Int = Int.MaxValue): Option[Long] = {
+    require(maxSnapshots > 0, s"maxSnapshots must be positive: $maxSnapshots")
+    base.refresh()
+    val from = table.lastCommittedEpoch
+    val head = base.currentSnapshotId
+    if (head < 0 || head <= from) return None
+
+    if (from < 0) { // bootstrap: full recompute at head
+      val full = base.read()
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as(CntCol),
+          sums.map { case (n, e) =>
+            sum(coalesce(expr(e).cast(LongType), lit(0L))).as(n)
+          }: _*)
+      val cols: Seq[Column] =
+        Seq(lit("I").as("op"), gkey.as(KeyCol), lit(head).as("lsn")) ++
+          groupCols.map(col) ++ Seq(col(CntCol)) ++ sums.map(s => col(s._1))
+      val rows = full.select(cols: _*)
+      table.upsert(rows, epochId = head, reduce = false,
+        summary = Map("matview" -> "bootstrap"))
+      return Some(head)
+    }
+
+    val to = math.min(head, from + maxSnapshots.toLong)
+    val key = base.keyCol
+    // 1. after-images: per-key winner across the range (tombstones ride
+    // along — they contribute no plus row, only the before-image minus)
+    val delta = base.changesBetween(from, to)
+    val payload = delta.columns.filterNot(_ == key).toSeq
+    val afterW = delta
+      .groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*), col(LakeTable.LsnCol)).as("_w"))
+      .select(col(key) +: payload.map(c => col(s"_w.$c").as(c)): _*)
+      .localCheckpoint() // reused: before-image key set + plus contributions
+    // 2. before-images: base winners as-of `from`, changed keys only
+    val before = base.readAt(from)
+      .join(afterW.select(col(key)), Seq(key), "left_semi")
+    // 3. group delta
+    val plus = contrib(afterW.filter(!col(LakeTable.TombCol)), +1)
+    val minus = contrib(before, -1)
+    val gdelta = plus.unionAll(minus)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(CntCol).as(CntCol),
+        sums.map(s => sum(s._1).as(s._1)): _*)
+      .filter(sums.map(s => col(s._1) =!= 0)
+        .foldLeft(col(CntCol) =!= 0)(_ || _))
+      .withColumn(KeyCol, gkey)
+    // 4. merge into current view values (affected groups only)
+    val curCols: Seq[Column] =
+      Seq(col(KeyCol), col(CntCol).as("_oc")) ++
+        sums.map(s => col(s._1).as(s"_o_${s._1}"))
+    val cur = table.read().select(curCols: _*)
+    val mergedCols: Seq[Column] =
+      Seq(col(KeyCol)) ++ groupCols.map(col) ++
+        Seq((coalesce(col("_oc"), lit(0L)) + col(CntCol)).as(CntCol)) ++
+        sums.map(s =>
+          (coalesce(col(s"_o_${s._1}"), lit(0L)) + col(s._1)).as(s._1))
+    val merged = gdelta.join(cur, Seq(KeyCol), "left").select(mergedCols: _*)
+    val rowCols: Seq[Column] =
+      Seq(when(col(CntCol) === 0, "D").otherwise("U").as("op"),
+        col(KeyCol), lit(to).as("lsn")) ++
+        groupCols.map(col) ++ Seq(col(CntCol)) ++ sums.map(s => col(s._1))
+    val rows = merged.select(rowCols: _*)
+    table.upsert(rows, epochId = to, reduce = false,
+      summary = Map("matview" -> s"($from,$to]"))
+    afterW.unpersist()
+    Some(to)
+  }
+
+  /** Loop [[maintain]] to the base head; returns the final frontier
+    * (−1 if the base is empty). */
+  def catchUp(maxSnapshotsPerStep: Int = Int.MaxValue): Long = {
+    var last = table.lastCommittedEpoch
+    var step = maintain(maxSnapshotsPerStep)
+    while (step.isDefined) { last = step.get; step = maintain(maxSnapshotsPerStep) }
+    last
+  }
+
+  /** Current view contents: (groups…, cnt, sums…). */
+  def read(): DataFrame = table.read().drop(KeyCol)
+}
+
+object MatView {
+  private[lake] val KeyCol = "_g"
+
+  /** Always-maintained row count per group (drives tombstoning). */
+  val CntCol = "cnt"
+
+  /** Create the view's backing table + persisted definition. `sums` are
+    * `(outputName, sqlExpr)` pairs evaluated against base rows and cast
+    * to LONG.
+    */
+  def create(spark: SparkSession, viewRoot: String, base: LakeTable,
+             groupCols: Seq[String], sums: Seq[(String, String)] = Seq.empty,
+             numBuckets: Int = 8): MatView = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val baseSchema = base.currentSchema.sparkSchema
+    groupCols.foreach(g => require(baseSchema.fieldNames.contains(g),
+      s"group column '$g' is not a base column " +
+        s"(have: ${baseSchema.fieldNames.mkString(", ")})"))
+    val outNames = groupCols ++ Seq(CntCol) ++ sums.map(_._1)
+    require(outNames.distinct.size == outNames.size,
+      s"view output names collide: ${outNames.mkString(", ")}")
+    val fields =
+      StructField(KeyCol, StringType, nullable = false) +:
+        (groupCols.map(g => baseSchema(g).copy(nullable = true)) ++
+          (StructField(CntCol, LongType, nullable = true) +:
+            sums.map { case (n, _) => StructField(n, LongType, nullable = true) }))
+    val table = LakeTable.create(spark, viewRoot, StructType(fields),
+      keyCol = KeyCol, numBuckets = numBuckets)
+    table.fs.createDirectories(s"$viewRoot/aux")
+    table.fs.putStringAtomic(s"$viewRoot/aux/viewdef.json",
+      defJson(groupCols, sums), createOnly = false)
+    new MatView(spark, table, base, groupCols, sums)
+  }
+
+  /** Load an existing view from its persisted definition. */
+  def load(spark: SparkSession, viewRoot: String, base: LakeTable): MatView = {
+    val table = LakeTable.load(spark, viewRoot)
+    val n = mapper.readTree(table.fs.readString(s"$viewRoot/aux/viewdef.json"))
+    import scala.jdk.CollectionConverters._
+    val groups = n.get("groups").elements().asScala.map(_.asText()).toSeq
+    val sums = n.get("sums").elements().asScala
+      .map(e => e.get(0).asText() -> e.get(1).asText()).toSeq
+    new MatView(spark, table, base, groups, sums)
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def defJson(groups: Seq[String], sums: Seq[(String, String)]): String = {
+    val o = mapper.createObjectNode()
+    val ga = o.putArray("groups")
+    groups.foreach(ga.add)
+    val sa = o.putArray("sums")
+    sums.foreach { case (name, e) =>
+      val p = sa.addArray(); p.add(name); p.add(e)
+    }
+    o.toString
+  }
+}

@@ -96,6 +96,41 @@ object CdcQueries {
       col("source"))
   }
 
+  /** End-to-end incremental view maintenance: replay the events feed
+    * chunk by chunk, maintaining a per-source (cnt, sum of first token)
+    * [[graft.lake.MatView]] after EVERY chunk — the view is bootstrapped
+    * on chunk 0's state and then folded forward through the changelog
+    * (before-image retraction, group migration, tombstones), never
+    * recomputed. Output: the final view, which the oracle checks against
+    * a from-scratch groupBy over the LWW winners.
+    */
+  def matviewBySource(spark: SparkSession, dir: String): DataFrame = {
+    val feed = eventsAsFeed(spark, dir)
+    val bounds = feed.agg(min("lsn"), max("lsn")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val chunks = 4
+    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-" +
+      s"${spark.sparkContext.applicationId}-matview-" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = buckets)
+    val per = (hi - lo + chunks) / chunks
+    var view: graft.lake.MatView = null
+    var c = 0
+    while (lo + c * per <= hi) {
+      val a = lo + c * per
+      val b = math.min(hi, a + per - 1)
+      CdcIngest.applyBatch(table, feed.filter(col("lsn").between(a, b)), epochId = c.toLong)
+      if (view == null)
+        view = graft.lake.MatView.create(spark, s"$root/v", table, Seq("source"),
+          Seq("sum_tok0" -> "element_at(tokens, 1)"), numBuckets = 4)
+      view.maintain() // chunk 0: bootstrap; chunks 1..: incremental fold
+      c += 1
+    }
+    view.read().select(col("source"), col("cnt"), col("sum_tok0"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (!Files.exists(p)) return
     import scala.jdk.CollectionConverters._

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.feed.{ChangeFeed, FeedConfig}
+import graft.lake.{LakeTable, MatView}
+import graft.model.Schemas
+import graft.stream.CdcIngest
+
+/** Incremental aggregate view: equal to the full recompute after every
+  * maintain, under updates (group-migrating — the feed's `source` varies
+  * per event), deletes, replays, and bounded catch-up steps.
+  */
+class MatViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = FeedConfig(seed = 7L, numEvents = 6000L, numDocs = 150L,
+    deletePct = 10, maxTokens = 16)
+
+  private def recompute(base: LakeTable): Set[(String, Long, Long)] =
+    base.read().groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(coalesce(element_at(col("tokens"), 1).cast("long"), lit(0L))).as("sum_tok0"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def viewSet(v: MatView): Set[(String, Long, Long)] =
+    v.read().select(col("source"), col("cnt"), col("sum_tok0"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def replayChunks(dir: String, table: LakeTable, chunks: Int,
+                           from: Int, until: Int): Unit = {
+    val feed = spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed")
+    val per = math.max(1L, (cfg.numEvents + chunks - 1) / chunks)
+    (from until until).foreach { c =>
+      val batch = feed.filter(col("lsn").between(c * per, (c + 1) * per - 1))
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+    }
+  }
+
+  test("bootstrap == full recompute; incremental steps stay equal to it") {
+    val dir = tmpDir("mv1")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    replayChunks(dir, base, chunks = 4, from = 0, until = 2)
+
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    // bootstrap folds the full current state at the head snapshot
+    assert(v.maintain().contains(base.currentSnapshotId))
+    assert(viewSet(v) == recompute(base))
+
+    // two more chunks; maintain after each — updates migrate keys across
+    // sources and deletes retract, and the view tracks exactly
+    (2 until 4).foreach { c =>
+      replayChunks(dir, base, chunks = 4, from = c, until = c + 1)
+      assert(v.maintain().contains(base.currentSnapshotId))
+      assert(viewSet(v) == recompute(base))
+    }
+  }
+
+  test("maintain is exactly-once: caught-up view no-ops, replays are inert") {
+    val dir = tmpDir("mv2")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 2)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    replayChunks(dir, base, chunks = 2, from = 0, until = 2)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    assert(v.maintain().isDefined)
+    val settled = viewSet(v)
+    // no new base snapshots → nothing to fold
+    assert(v.maintain().isEmpty)
+    assert(viewSet(v) == settled)
+    // a reloaded view (crash-restart analog) sees the same frontier
+    val r = MatView.load(spark, s"$dir/v", base)
+    assert(r.maintain().isEmpty)
+    assert(viewSet(r) == settled)
+  }
+
+  test("bounded catch-up (maxSnapshots=1) lands on the same view as one shot") {
+    val dir = tmpDir("mv3")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
+    val baseA = LakeTable.create(spark, s"$dir/ta", Schemas.docRow, numBuckets = 4)
+    replayChunks(dir, baseA, chunks = 4, from = 0, until = 4)
+    // stepper: bootstrap at snapshot 0's head, then one snapshot at a time
+    val stepped = MatView.create(spark, s"$dir/vs", baseA, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    // force the bootstrap to happen mid-history: bootstrap on a second
+    // table replayed to chunk 1, then catch up on the full one
+    assert(stepped.catchUp(maxSnapshotsPerStep = 1) == baseA.currentSnapshotId)
+    val oneShot = MatView.create(spark, s"$dir/vo", baseA, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    oneShot.catchUp()
+    assert(viewSet(stepped) == viewSet(oneShot))
+    assert(viewSet(stepped) == recompute(baseA))
+  }
+
+  test("vanished group is tombstoned out; null group values are distinct groups") {
+    val dir = tmpDir("mv4")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    def batch(rows: Seq[(String, String, Long, Seq[Int], String)], epoch: Long): Unit = {
+      val df = rows.toDF("op", "doc_id", "lsn", "tokens", "source")
+        .select(col("op"), col("doc_id"), col("lsn"),
+          current_timestamp().as("ts"),
+          when(col("op") === "D", lit(null)).otherwise(col("tokens")).as("tokens"),
+          when(col("op") === "D", lit(null))
+            .otherwise(size(col("tokens"))).cast("int").as("n_tok"),
+          col("source"))
+      CdcIngest.applyBatch(base, df, epochId = epoch)
+    }
+    batch(Seq(("I", "a", 1L, Seq(5), "g1"), ("I", "b", 2L, Seq(7), "g1"),
+      ("I", "c", 3L, Seq(9), null)), 0L)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    v.maintain()
+    assert(viewSet(v) == Set(("g1", 2L, 12L), (null, 1L, 9L)))
+    // delete a + migrate b to g2 → g1 vanishes entirely
+    batch(Seq(("D", "a", 10L, null, "g1"), ("U", "b", 11L, Seq(8), "g2")), 1L)
+    v.maintain()
+    assert(viewSet(v) == Set(("g2", 1L, 8L), (null, 1L, 9L)))
+    assert(viewSet(v) == recompute(base))
+    // the g1 row is a real tombstone in the view table, not a zero row
+    assert(v.table.read().filter(col("source") === "g1").isEmpty)
+  }
+
+  test("value-only update (same group, same count) still moves the sum") {
+    val dir = tmpDir("mv5")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    val mk = (op: String, id: String, lsn: Long, tok: Int) =>
+      (op, id, lsn, Seq(tok), "g")
+    def apply(rows: Seq[(String, String, Long, Seq[Int], String)], e: Long): Unit = {
+      val df = rows.toDF("op", "doc_id", "lsn", "tokens", "source")
+        .select(col("op"), col("doc_id"), col("lsn"),
+          current_timestamp().as("ts"), col("tokens"),
+          size(col("tokens")).cast("int").as("n_tok"), col("source"))
+      CdcIngest.applyBatch(base, df, epochId = e)
+    }
+    apply(Seq(mk("I", "x", 1L, 10), mk("I", "y", 2L, 20)), 0L)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    v.maintain()
+    assert(viewSet(v) == Set(("g", 2L, 30L)))
+    apply(Seq(mk("U", "x", 5L, 17)), 1L) // cnt delta 0, sum delta +7
+    v.maintain()
+    assert(viewSet(v) == Set(("g", 2L, 37L)))
+  }
+}
