@@ -25,17 +25,23 @@ import org.apache.spark.sql.types._
   * contribute 0 (oracle form: `sum(coalesce(expr, 0))`).
   *
   * Incremental step for range (from, to]:
-  *  1. after-images: [[LakeTable.changesBetween]] winners, max-`_lsn`
+  *  1. range winners: [[LakeTable.changesBetween]] rows, max-`_lsn`
   *     reduced per key across the range (one shuffle, O(changed keys));
-  *  2. before-images: the base as-of `from` semi-joined to the changed
-  *     keys — the honest price of exact retraction without writer-side
-  *     preimage capture: ONE column-pruned merged scan of the base per
-  *     maintain, off the ingest critical path (the upsert hot path never
-  *     pays it; a writer-captured preimage log is the documented upgrade
-  *     path, as in Delta's CDF);
-  *  3. group delta: ±(cnt, sums) contributions aggregated by group —
+  *  2. before-images: pre-range winners of those keys — tombstone
+  *     winners included, because their lsn still guards against late
+  *     lower-lsn resurrection. This is the honest price of exact
+  *     retraction without writer-side preimage capture: ONE
+  *     column-pruned merged scan of the base per maintain, off the
+  *     ingest critical path (the upsert hot path never pays it; a
+  *     writer-captured preimage log is the documented upgrade path, as
+  *     in Delta's CDF);
+  *  3. LWW fold, mirroring the base merge exactly: a range winner
+  *     becomes current only if it out-lsns the pre-range winner — LATE
+  *     (out-of-order) versions that lose to the current state contribute
+  *     nothing, so view folds commute with however the feed was batched;
+  *  4. group delta: ±(cnt, sums) contributions aggregated by group —
   *     bounded by the batch, zero-net groups dropped;
-  *  4. merge: current view values for the affected groups joined to the
+  *  5. merge: current view values for the affected groups joined to the
   *     delta; a group whose new cnt is 0 becomes a tombstone (`op = D`),
   *     so vanished groups leave the view exactly as deleted keys leave
   *     the base.
@@ -80,15 +86,25 @@ final class MatView private (
     to_json(struct(groupCols.map(g => col(g).as(g)): _*),
       Map("ignoreNullFields" -> "false"))
 
-  /** ± contribution rows from a frame of base-row images:
-    * (groups…, ±1, ±sumᵢ). */
-  private def contrib(images: DataFrame, sign: Int): DataFrame =
-    images.select(
-      groupCols.map(col) ++
+  /** A ±(groups…, cnt, sums…) contribution struct over pre-evaluated
+    * value columns (`valPrefix` selects the after / before side). */
+  private def contribStruct(prefix: String, sign: Int): Column =
+    struct(
+      groupCols.map(g => col(s"$prefix$g").as(g)) ++
         (lit(sign.toLong).as(CntCol) +:
-          sums.map { case (n, e) =>
-            (lit(sign.toLong) * coalesce(expr(e).cast(LongType), lit(0L))).as(n)
+          sums.zipWithIndex.map { case ((n, _), i) =>
+            (lit(sign.toLong) * col(s"$prefix$SumValPrefix$i")).as(n)
           }): _*)
+
+  private val SumValPrefix = "_sv_"
+
+  /** Pre-evaluate the sum expressions (null → 0, cast LONG) so both join
+    * sides expose plain value columns the contribution structs can share.
+    */
+  private def withSumVals(images: DataFrame): DataFrame =
+    sums.zipWithIndex.foldLeft(images) { case (df, ((_, e), i)) =>
+      df.withColumn(s"$SumValPrefix$i", coalesce(expr(e).cast(LongType), lit(0L)))
+    }
 
   /** Fold base snapshots `(viewFrontier, min(baseHead, frontier +
     * maxSnapshots)]` into the view; returns the new frontier if anything
@@ -121,22 +137,40 @@ final class MatView private (
 
     val to = math.min(head, from + maxSnapshots.toLong)
     val key = base.keyCol
-    // 1. after-images: per-key winner across the range (tombstones ride
-    // along — they contribute no plus row, only the before-image minus)
+    // 1. after-images: per-key winner WITHIN the range (tombstones ride
+    // along). This is only a candidate — late data means a range winner
+    // can still lose to the pre-range state on lsn (step 3).
     val delta = base.changesBetween(from, to)
     val payload = delta.columns.filterNot(_ == key).toSeq
-    val afterW = delta
+    val rangeW = withSumVals(delta
       .groupBy(col(key))
       .agg(max_by(struct(payload.map(col): _*), col(LakeTable.LsnCol)).as("_w"))
-      .select(col(key) +: payload.map(c => col(s"_w.$c").as(c)): _*)
-      .localCheckpoint() // reused: before-image key set + plus contributions
-    // 2. before-images: base winners as-of `from`, changed keys only
-    val before = base.readAt(from)
-      .join(afterW.select(col(key)), Seq(key), "left_semi")
-    // 3. group delta
-    val plus = contrib(afterW.filter(!col(LakeTable.TombCol)), +1)
-    val minus = contrib(before, -1)
-    val gdelta = plus.unionAll(minus)
+      .select(col(key) +: payload.map(c => col(s"_w.$c").as(c)): _*))
+    // 2. before-images: pre-range winners of the changed keys, tombstone
+    // winners INCLUDED — their lsn must keep guarding against late
+    // lower-lsn resurrection, exactly as in the base's own merge. One
+    // left join does both the key restriction and the pairing (a
+    // separate semi-join would scan the merged state twice).
+    val beforeAll = withSumVals(base.mergedWinners(Some(from)))
+    val bCols = beforeAll.columns.filterNot(_ == key).toSeq
+    val joined = rangeW.join(
+      beforeAll.select(col(key) +: bCols.map(c => col(c).as(s"_b_$c")): _*),
+      Seq(key), "left")
+    // 3. the fold mirrors the merge's LWW rule: the range winner becomes
+    // current ONLY if it out-lsns the pre-range winner; otherwise the
+    // key's visible state is unchanged and it contributes nothing. Plus
+    // (new winner) and minus (retracted before-image) ride ONE pass as
+    // signed contribution structs.
+    val blsn = col(s"_b_${LakeTable.LsnCol}")
+    val contribs = joined
+      .filter(blsn.isNull || col(LakeTable.LsnCol) > blsn)
+      .select(explode(array(
+        when(!col(LakeTable.TombCol), contribStruct("", +1)),
+        when(blsn.isNotNull && !col(s"_b_${LakeTable.TombCol}"),
+          contribStruct("_b_", -1)))).as("_c"))
+      .filter(col("_c").isNotNull)
+      .select(col("_c.*"))
+    val gdelta = contribs
       .groupBy(groupCols.map(col): _*)
       .agg(sum(CntCol).as(CntCol),
         sums.map(s => sum(s._1).as(s._1)): _*)
@@ -161,7 +195,6 @@ final class MatView private (
     val rows = merged.select(rowCols: _*)
     table.upsert(rows, epochId = to, reduce = false,
       summary = Map("matview" -> s"($from,$to]"))
-    afterW.unpersist()
     Some(to)
   }
 

@@ -137,6 +137,12 @@ object CdcIngest {
     *   amortizes that to ~1/probeEvery, at the cost of reacting to a
     *   skew CHANGE up to probeEvery-1 batches late — salted == plain in
     *   results either way, so a stale route is only ever a speed issue.
+    * @param views [[graft.lake.MatView]]s over THIS table, caught up
+    *   after every committed batch — derived aggregates stay fresh with
+    *   the ingest, each fold bounded by the batch. View maintenance has
+    *   its own exactly-once (view epochs = base snapshot ids), so a
+    *   crash between the base commit and a view fold self-heals on the
+    *   next batch, and a replayed batch never double-folds.
     */
   def run(spark: SparkSession, feedDir: String, table: LakeTable,
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
@@ -148,7 +154,8 @@ object CdcIngest {
           probeEvery: Int = 8,
           feedOptions: Map[String, String] = Map.empty,
           schema: org.apache.spark.sql.types.StructType = Schemas.changeEvent,
-          autoEvolve: Boolean = false): StreamingQuery = {
+          autoEvolve: Boolean = false,
+          views: Seq[graft.lake.MatView] = Seq.empty): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
@@ -197,6 +204,10 @@ object CdcIngest {
           val victims = table.compactionCandidates(maxFilesPerBucket)
           if (victims.nonEmpty) table.compactBuckets(victims)
         }
+        // derived views fold forward after the base commit (catchUp also
+        // heals any lag a previous crash left behind); a skipped replay
+        // batch still catches up — the folds themselves are epoch-gated
+        views.foreach(_.catchUp())
         ()
       }
       .start()

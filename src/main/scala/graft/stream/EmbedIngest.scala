@@ -197,13 +197,13 @@ object EmbedIngest {
     Similarity.lshBitsFor(expectedIndexSize, targetBucketSize)
 
   /** Streaming runner — same contract as [[DedupIngest.run]] (optional
-    * admitted-vectors sink, inline compaction policy). The default
-    * `bits = 2` is sized for the sf-scale fixtures ONLY: production
-    * streams must pass [[bitsFor]] of the index's target population
-    * (see its scaladoc for the cost contract).
+    * admitted-vectors sink, inline compaction policy). `bits` has NO
+    * default on purpose: a fixed small value is the quadratic bucket-join
+    * trap at scale, so the caller must size it — [[bitsFor]] of the
+    * index's target population (see its scaladoc for the cost contract).
     */
   def run(vecs: DataFrame, indexRoot: String, checkpointDir: String,
-          dim: Int, bits: Int = 2, seed: Long = 42L, threshold: Double = 0.9,
+          dim: Int, bits: Int, seed: Long = 42L, threshold: Double = 0.9,
           numBuckets: Int = 8, docsRoot: Option[String] = None,
           maxFilesPerBucket: Int = 0,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

@@ -123,6 +123,59 @@ class MatViewSpec extends SparkSpec {
     assert(v.table.read().filter(col("source") === "g1").isEmpty)
   }
 
+  test("late lower-lsn versions across maintains contribute nothing (LWW fold)") {
+    val dir = tmpDir("mv7")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    def apply(rows: Seq[(String, String, Long, Seq[Int], String)], e: Long): Unit = {
+      val df = rows.toDF("op", "doc_id", "lsn", "tokens", "source")
+        .select(col("op"), col("doc_id"), col("lsn"),
+          current_timestamp().as("ts"),
+          when(col("op") === "D", lit(null)).otherwise(col("tokens")).as("tokens"),
+          when(col("op") === "D", lit(null))
+            .otherwise(size(col("tokens"))).cast("int").as("n_tok"),
+          col("source"))
+      CdcIngest.applyBatch(base, df, epochId = e)
+    }
+    apply(Seq(("I", "x", 100L, Seq(10), "g1"), ("D", "z", 90L, null, "g1")), 0L)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    v.maintain()
+    assert(viewSet(v) == Set(("g1", 1L, 10L)))
+    // a LATE batch: x@50 into g2 (loses to x@100), z@40 insert (loses to
+    // the z@90 tombstone) — the base merge ignores both; so must the view
+    apply(Seq(("U", "x", 50L, Seq(99), "g2"), ("I", "z", 40L, Seq(7), "g2")), 1L)
+    v.maintain()
+    assert(viewSet(v) == Set(("g1", 1L, 10L)))
+    assert(viewSet(v) == recompute(base))
+    // and a genuinely newer version still wins
+    apply(Seq(("U", "x", 200L, Seq(3), "g2")), 2L)
+    v.maintain()
+    assert(viewSet(v) == Set(("g2", 1L, 3L)))
+    assert(viewSet(v) == recompute(base))
+  }
+
+  test("streaming ingest keeps attached views fresh; restart resumes both") {
+    val dir = tmpDir("mv6")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    CdcIngest.run(spark, s"$dir/feed", base, s"$dir/ckpt",
+      maxFilesPerTrigger = 2, views = Seq(v)).awaitTermination()
+    assert(viewSet(v) == recompute(base))
+    // view frontier rides the base head — fresh, not lagging
+    assert(v.table.lastCommittedEpoch == base.currentSnapshotId)
+    // restart with more feed: both resume from their checkpoints/frontiers
+    ChangeFeed.writeFeed(spark,
+      cfg.copy(seed = 8L, numEvents = 2000L), s"$dir/feed2", chunks = 2)
+    val more = spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed2")
+      .withColumn("lsn", col("lsn") + lit(cfg.numEvents))
+    more.write.mode("append").parquet(s"$dir/feed")
+    CdcIngest.run(spark, s"$dir/feed", base, s"$dir/ckpt",
+      maxFilesPerTrigger = 2, views = Seq(v)).awaitTermination()
+    assert(viewSet(v) == recompute(base))
+  }
+
   test("value-only update (same group, same count) still moves the sum") {
     val dir = tmpDir("mv5")
     val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
