@@ -740,7 +740,10 @@ object SparkEntry {
     // on chunk 0, then per-chunk changelog folds (before-image retraction,
     // group migration, tombstones) — never a recompute. The oracle IS the
     // recompute: groupBy over the LWW winners of the whole feed.
-    "q85_matview" -> ((s, dir) => CdcQueries.matviewBySource(s, dir))
+    "q85_matview" -> ((s, dir) => CdcQueries.matviewBySource(s, dir)),
+    // non-decomposable twin: min/max/count-distinct via affected-group
+    // recompute (deletes can RAISE a min — retraction arithmetic can't)
+    "q86_matview_minmax" -> ((s, dir) => CdcQueries.matviewMinMax(s, dir))
   )
 
   /** DuckDB twin of [[graft.operators.DedupOps.hammingHex64]]: 16 fixed
@@ -1606,6 +1609,15 @@ object SparkEntry {
     "q85_matview" ->
       """SELECT event_type AS source, count(*) AS cnt,
            sum(CAST(floor(value * 100) AS BIGINT)) AS sum_tok0
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1 AND event_type <> 'error'
+         GROUP BY 1""",
+    "q86_matview_minmax" ->
+      """SELECT event_type AS source, count(*) AS cnt,
+           min(CAST(floor(value * 100) AS INT)) AS min_tok0,
+           max(CAST(floor(value * 100) AS INT)) AS max_tok0,
+           count(DISTINCT user_id) AS n_docs
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error'

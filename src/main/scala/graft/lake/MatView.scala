@@ -74,7 +74,8 @@ final class MatView private (
     val table: LakeTable,
     base: LakeTable,
     groupCols: Seq[String],
-    sums: Seq[(String, String)]) {
+    sums: Seq[(String, String)],
+    recomputed: Seq[(String, String)]) {
 
   import MatView.{CntCol, KeyCol}
 
@@ -97,6 +98,18 @@ final class MatView private (
           }): _*)
 
   private val SumValPrefix = "_sv_"
+
+  /** Output column names in view-schema order (after the groups). */
+  private def aggNames: Seq[String] =
+    CntCol +: (sums.map(_._1) ++ recomputed.map(_._1))
+
+  /** The full aggregate list — cnt, decomposable sums, recompute aggs —
+    * used by the bootstrap and by affected-group recomputes. */
+  private def fullAggs: Seq[Column] =
+    count(lit(1)).as(CntCol) +:
+      (sums.map { case (n, e) =>
+        sum(coalesce(expr(e).cast(LongType), lit(0L))).as(n)
+      } ++ recomputed.map { case (n, e) => expr(e).as(n) })
 
   /** Pre-evaluate the sum expressions (null → 0, cast LONG) so both join
     * sides expose plain value columns the contribution structs can share.
@@ -122,13 +135,10 @@ final class MatView private (
     if (from < 0) { // bootstrap: full recompute at head
       val full = base.read()
         .groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as(CntCol),
-          sums.map { case (n, e) =>
-            sum(coalesce(expr(e).cast(LongType), lit(0L))).as(n)
-          }: _*)
+        .agg(fullAggs.head, fullAggs.tail: _*)
       val cols: Seq[Column] =
         Seq(lit("I").as("op"), gkey.as(KeyCol), lit(head).as("lsn")) ++
-          groupCols.map(col) ++ Seq(col(CntCol)) ++ sums.map(s => col(s._1))
+          groupCols.map(col) ++ aggNames.map(col)
       val rows = full.select(cols: _*)
       table.upsert(rows, epochId = head, reduce = false,
         summary = Map("matview" -> "bootstrap"))
@@ -170,6 +180,33 @@ final class MatView private (
           contribStruct("_b_", -1)))).as("_c"))
       .filter(col("_c").isNotNull)
       .select(col("_c.*"))
+    if (recomputed.nonEmpty) {
+      // affected-group recompute: non-decomposable aggregates (min/max/
+      // distinct) cannot be retracted, so every group TOUCHED by the
+      // range — including zero-net touches, whose min/max may still have
+      // moved — is recomputed from the base as-of `to`. Cost ∝ the SIZE
+      // of the affected groups (group-restricted scan), vs the
+      // decomposable path's cost ∝ changed keys: with few giant groups
+      // prefer sums-only views, with many small groups this is cheap.
+      val affected = contribs.select(groupCols.map(col): _*).distinct()
+        .withColumn(KeyCol, gkey)
+        .localCheckpoint() // bounded: distinct touched groups
+      val rec = base.readAt(to)
+        .withColumn(KeyCol, gkey)
+        .join(affected.select(col(KeyCol)), Seq(KeyCol), "left_semi")
+        .groupBy(col(KeyCol))
+        .agg(fullAggs.head, fullAggs.tail: _*)
+      val rowCols: Seq[Column] =
+        Seq(when(col(CntCol).isNull, "D").otherwise("U").as("op"),
+          col(KeyCol), lit(to).as("lsn")) ++
+          groupCols.map(col) ++ aggNames.map(col)
+      val rows = affected.join(rec, Seq(KeyCol), "left").select(rowCols: _*)
+      table.upsert(rows, epochId = to, reduce = false,
+        summary = Map("matview" -> s"($from,$to] recompute"))
+      affected.unpersist()
+      return Some(to)
+    }
+
     val gdelta = contribs
       .groupBy(groupCols.map(col): _*)
       .agg(sum(CntCol).as(CntCol),
@@ -219,30 +256,51 @@ object MatView {
 
   /** Create the view's backing table + persisted definition. `sums` are
     * `(outputName, sqlExpr)` pairs evaluated against base rows and cast
-    * to LONG.
+    * to LONG — maintained incrementally (retraction arithmetic).
+    * `recomputed` are `(outputName, aggregateSqlExpr)` pairs — e.g.
+    * `"min(n_tok)"`, `"max(element_at(tokens, 1))"`,
+    * `"count(distinct source)"` — for aggregates that CANNOT be
+    * retracted; any non-empty `recomputed` switches maintenance to
+    * affected-group recompute (see [[MatView.maintain]]'s cost note).
+    * Output column types for `recomputed` are resolved by planning the
+    * aggregation against the base schema, so a non-aggregate or
+    * ill-typed expression fails HERE, not at the first maintain.
     */
   def create(spark: SparkSession, viewRoot: String, base: LakeTable,
              groupCols: Seq[String], sums: Seq[(String, String)] = Seq.empty,
+             recomputed: Seq[(String, String)] = Seq.empty,
              numBuckets: Int = 8): MatView = {
     require(groupCols.nonEmpty, "at least one group column")
     val baseSchema = base.currentSchema.sparkSchema
     groupCols.foreach(g => require(baseSchema.fieldNames.contains(g),
       s"group column '$g' is not a base column " +
         s"(have: ${baseSchema.fieldNames.mkString(", ")})"))
-    val outNames = groupCols ++ Seq(CntCol) ++ sums.map(_._1)
+    val outNames = groupCols ++ Seq(CntCol) ++ sums.map(_._1) ++ recomputed.map(_._1)
     require(outNames.distinct.size == outNames.size,
       s"view output names collide: ${outNames.mkString(", ")}")
+    val recFields =
+      if (recomputed.isEmpty) Seq.empty
+      else {
+        val probe = base.read().limit(0)
+          .groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+          .agg(expr(recomputed.head._2).as(recomputed.head._1),
+            recomputed.tail.map { case (n, e) => expr(e).as(n) }: _*)
+        recomputed.map { case (n, _) =>
+          StructField(n, probe.schema(n).dataType, nullable = true)
+        }
+      }
     val fields =
       StructField(KeyCol, StringType, nullable = false) +:
         (groupCols.map(g => baseSchema(g).copy(nullable = true)) ++
           (StructField(CntCol, LongType, nullable = true) +:
-            sums.map { case (n, _) => StructField(n, LongType, nullable = true) }))
+            sums.map { case (n, _) => StructField(n, LongType, nullable = true) }) ++
+          recFields)
     val table = LakeTable.create(spark, viewRoot, StructType(fields),
       keyCol = KeyCol, numBuckets = numBuckets)
     table.fs.createDirectories(s"$viewRoot/aux")
     table.fs.putStringAtomic(s"$viewRoot/aux/viewdef.json",
-      defJson(groupCols, sums), createOnly = false)
-    new MatView(spark, table, base, groupCols, sums)
+      defJson(groupCols, sums, recomputed), createOnly = false)
+    new MatView(spark, table, base, groupCols, sums, recomputed)
   }
 
   /** Load an existing view from its persisted definition. */
@@ -250,22 +308,29 @@ object MatView {
     val table = LakeTable.load(spark, viewRoot)
     val n = mapper.readTree(table.fs.readString(s"$viewRoot/aux/viewdef.json"))
     import scala.jdk.CollectionConverters._
+    def pairs(field: String): Seq[(String, String)] =
+      Option(n.get(field)).map(_.elements().asScala
+        .map(e => e.get(0).asText() -> e.get(1).asText()).toSeq)
+        .getOrElse(Seq.empty)
     val groups = n.get("groups").elements().asScala.map(_.asText()).toSeq
-    val sums = n.get("sums").elements().asScala
-      .map(e => e.get(0).asText() -> e.get(1).asText()).toSeq
-    new MatView(spark, table, base, groups, sums)
+    new MatView(spark, table, base, groups, pairs("sums"), pairs("recomputed"))
   }
 
   private val mapper = new ObjectMapper()
 
-  private def defJson(groups: Seq[String], sums: Seq[(String, String)]): String = {
+  private def defJson(groups: Seq[String], sums: Seq[(String, String)],
+                      recomputed: Seq[(String, String)]): String = {
     val o = mapper.createObjectNode()
     val ga = o.putArray("groups")
     groups.foreach(ga.add)
-    val sa = o.putArray("sums")
-    sums.foreach { case (name, e) =>
-      val p = sa.addArray(); p.add(name); p.add(e)
+    def put(field: String, ps: Seq[(String, String)]): Unit = {
+      val sa = o.putArray(field)
+      ps.foreach { case (name, e) =>
+        val p = sa.addArray(); p.add(name); p.add(e)
+      }
     }
+    put("sums", sums)
+    put("recomputed", recomputed)
     o.toString
   }
 }

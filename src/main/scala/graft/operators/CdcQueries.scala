@@ -131,6 +131,42 @@ object CdcQueries {
     view.read().select(col("source"), col("cnt"), col("sum_tok0"))
   }
 
+  /** [[matviewBySource]]'s non-decomposable twin: the view carries
+    * min/max/count-distinct aggregates, so maintenance runs in
+    * affected-group-recompute mode — deletes can RAISE a min, which no
+    * retraction arithmetic gets right. Incremental folds after every
+    * chunk; the oracle recomputes from the raw events.
+    */
+  def matviewMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val feed = eventsAsFeed(spark, dir)
+    val bounds = feed.agg(min("lsn"), max("lsn")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val chunks = 3
+    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-" +
+      s"${spark.sparkContext.applicationId}-matviewmm-" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = buckets)
+    val per = (hi - lo + chunks) / chunks
+    var view: graft.lake.MatView = null
+    var c = 0
+    while (lo + c * per <= hi) {
+      val a = lo + c * per
+      val b = math.min(hi, a + per - 1)
+      CdcIngest.applyBatch(table, feed.filter(col("lsn").between(a, b)), epochId = c.toLong)
+      if (view == null)
+        view = graft.lake.MatView.create(spark, s"$root/v", table, Seq("source"),
+          recomputed = Seq("min_tok0" -> "min(element_at(tokens, 1))",
+            "max_tok0" -> "max(element_at(tokens, 1))",
+            "n_docs" -> "count(distinct doc_id)"), numBuckets = 4)
+      view.maintain()
+      c += 1
+    }
+    view.read().select(col("source"), col("cnt"),
+      col("min_tok0"), col("max_tok0"), col("n_docs"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (!Files.exists(p)) return
     import scala.jdk.CollectionConverters._

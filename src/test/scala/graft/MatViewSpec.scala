@@ -123,6 +123,44 @@ class MatViewSpec extends SparkSpec {
     assert(v.table.read().filter(col("source") === "g1").isEmpty)
   }
 
+  test("recompute mode: min/max/distinct stay exact through deletes and value moves") {
+    val dir = tmpDir("mv8")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    replayChunks(dir, base, chunks = 4, from = 0, until = 2)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      sums = Seq("sum_tok0" -> "element_at(tokens, 1)"),
+      recomputed = Seq("min_tok0" -> "min(element_at(tokens, 1))",
+        "max_ntok" -> "max(n_tok)", "n_docs" -> "count(distinct doc_id)"))
+    def expected: Set[(String, Long, Long, Int, Int, Long)] =
+      base.read().groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(element_at(col("tokens"), 1).cast("long"), lit(0L))).as("s"),
+          min(element_at(col("tokens"), 1)).as("mn"),
+          max(col("n_tok")).as("mx"),
+          countDistinct(col("doc_id")).as("nd"))
+        .as[(String, Long, Long, Int, Int, Long)].collect().toSet
+    def got: Set[(String, Long, Long, Int, Int, Long)] =
+      v.read().select(col("source"), col("cnt"), col("sum_tok0"),
+          col("min_tok0"), col("max_ntok"), col("n_docs"))
+        .as[(String, Long, Long, Int, Int, Long)].collect().toSet
+    v.maintain() // bootstrap carries the recompute aggs too
+    assert(got == expected)
+    (2 until 4).foreach { c =>
+      replayChunks(dir, base, chunks = 4, from = c, until = c + 1)
+      assert(v.maintain().contains(base.currentSnapshotId))
+      assert(got == expected) // deletes can RAISE the min — only a recompute gets this right
+    }
+    // a reloaded view keeps its recompute definition
+    val r = MatView.load(spark, s"$dir/v", base)
+    assert(r.maintain().isEmpty)
+    // a non-aggregate recompute expression fails at create, not at maintain
+    intercept[Exception] {
+      MatView.create(spark, s"$dir/v2", base, Seq("source"),
+        recomputed = Seq("bad" -> "element_at(tokens, 1)"))
+    }
+  }
+
   test("late lower-lsn versions across maintains contribute nothing (LWW fold)") {
     val dir = tmpDir("mv7")
     val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
