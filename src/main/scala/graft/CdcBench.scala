@@ -35,10 +35,15 @@ object CdcBench {
     }
   }
 
-  /** Time one full replay into a fresh table; returns events/sec. */
+  /** Time one full replay into a fresh table; returns events/sec.
+    * `withView` attaches a per-source (cnt, sum n_tok) [[graft.lake.MatView]]
+    * maintained after every chunk — measures the derived-view tax on the
+    * ingest loop (SPARK_GRAFT_MATVIEW=1; recorded in BENCH/BASELINE.md).
+    */
   def replayThroughput(spark: SparkSession, cfg: FeedConfig,
                        chunks: Int, saltBuckets: Int,
-                       benchDir: Option[String] = None): Result = {
+                       benchDir: Option[String] = None,
+                       withView: Boolean = false): Result = {
     val rootPath = benchDir match {
       case Some(d) => Files.createTempDirectory(java.nio.file.Paths.get(d), "graft-bench-lake")
       case None => Files.createTempDirectory("graft-bench-lake")
@@ -50,6 +55,10 @@ object CdcBench {
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow,
       numBuckets = buckets)
+    val view =
+      if (withView) Some(graft.lake.MatView.create(spark, s"$root/v", table,
+        Seq("source"), Seq("sum_ntok" -> "n_tok"), numBuckets = 8))
+      else None
     val per = (cfg.numEvents + chunks - 1) / chunks
     val t0 = System.nanoTime()
     var c = 0
@@ -62,6 +71,7 @@ object CdcBench {
         spark.range(lo, hi).mapPartitions(_.map(i => graft.feed.EventGen.event(localCfg, i))).toDF()
       }
       CdcIngest.applyBatch(table, batch, epochId = c.toLong, saltBuckets = saltBuckets)
+      view.foreach(_.catchUp())
       c += 1
     }
     val sec = (System.nanoTime() - t0) / 1e9
@@ -74,6 +84,7 @@ object CdcBench {
     val cpusList = sys.env.getOrElse("SPARK_GRAFT_CPUS_LIST", "8,32")
       .split(",").map(_.trim.toInt).toSeq
     val salt = sys.env.getOrElse("SPARK_GRAFT_SALT", "0").toInt
+    val withView = sys.env.get("SPARK_GRAFT_MATVIEW").contains("1")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "8").toInt
     // tmpfs mode: put the lake table AND spark shuffle dirs on /dev/shm so
     // the two-core-count comparison measures compute scaling, not the
@@ -110,9 +121,9 @@ object CdcBench {
       spark.sparkContext.setLogLevel("WARN")
       if (warm) // small replay to JIT/codegen before the timed run
         replayThroughput(spark, cfg.copy(numEvents = math.min(500000L, nEvents / 10)),
-          chunks = 2, saltBuckets = salt, benchDir = benchDir)
+          chunks = 2, saltBuckets = salt, benchDir = benchDir, withView = withView)
       val r = replayThroughput(spark, cfg, chunks = chunks, saltBuckets = salt,
-        benchDir = benchDir)
+        benchDir = benchDir, withView = withView)
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
@@ -140,6 +151,7 @@ object CdcBench {
         r2.eps / ((c2.toDouble / c1) * r1.eps)
       } else Double.NaN
     println("{\"metric\":\"cdc_scaling\",\"salt\":" + salt +
+      ",\"matview\":" + withView +
       ",\"hot\":" + hotFraction +
       ",\"tmpfs\":" + tmpfs + ",\"chunks\":" + chunks +
       ",\"runs\":{" + parts + "},\"efficiency\":" + f3(eff) + "}")

@@ -743,7 +743,10 @@ object SparkEntry {
     "q85_matview" -> ((s, dir) => CdcQueries.matviewBySource(s, dir)),
     // non-decomposable twin: min/max/count-distinct via affected-group
     // recompute (deletes can RAISE a min — retraction arithmetic can't)
-    "q86_matview_minmax" -> ((s, dir) => CdcQueries.matviewMinMax(s, dir))
+    "q86_matview_minmax" -> ((s, dir) => CdcQueries.matviewMinMax(s, dir)),
+    // keyed enrichment view: two independently-replayed CDC tables
+    // assembled by incremental JoinView folds; oracle = the fresh join
+    "q87_joinview" -> ((s, dir) => CdcQueries.joinViewEnrich(s, dir))
   )
 
   /** DuckDB twin of [[graft.operators.DedupOps.hammingHex64]]: 16 fixed
@@ -1621,6 +1624,21 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q87_joinview" ->
+      """WITH d AS (SELECT * FROM
+           (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY event_id DESC) AS rn FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1 AND event_type <> 'error'),
+         s AS (SELECT * FROM
+           (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY event_id DESC) AS rn FROM events WHERE event_id % 2 = 1)
+           WHERE rn = 1 AND event_type <> 'error')
+         SELECT CAST(d.user_id AS VARCHAR) AS doc_id,
+           CAST(floor(d.value * 100) AS INT) AS tok0,
+           d.event_type AS source,
+           CAST(floor(s.value * 100) AS INT) AS quality,
+           s.event_type AS judge
+         FROM d LEFT JOIN s ON d.user_id = s.user_id"""
   )
 }

@@ -1,0 +1,183 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally maintained keyed LEFT-JOIN view over TWO [[LakeTable]]s
+  * sharing a key — the CDC "record assembly" pattern: a training record
+  * is the join of independently-ingested keyed tables (documents ⟕
+  * quality scores, docs ⟕ embeddings), and re-joining the full tables
+  * per refresh is a full-corpus shuffle every time. Here each maintain
+  * folds only the keys either side's snapshot range touched.
+  *
+  * Semantics: `SELECT l.key, l.payload…, r.payload… FROM left l LEFT
+  * JOIN right r USING (key)` over both tables' CURRENT merged states —
+  * a view row exists iff the left row exists (left deletions tombstone
+  * the view row; right deletions null the right columns).
+  *
+  * Incremental step:
+  *  1. affected keys = distinct keys in the left range (fromL, toL] ∪
+  *     the right range (fromR, toR] — even late-losing versions only
+  *     cause an idempotent rewrite of an unchanged row, never a wrong
+  *     one;
+  *  2. current winners of those keys from BOTH sides as-of their fold
+  *     targets (tombstones ride along on the left — they drive view
+  *     tombstones);
+  *  3. one bounded join (affected keys only) → upsert.
+  *
+  * Exactly-once across crashes WITHOUT a fused two-table transaction:
+  * the fold targets ride in the view's own snapshot `summary`
+  * (`jv.toL`/`jv.toR`), so a restarted maintainer re-derives its ranges
+  * from the last COMMITTED view snapshot — a replay after a successful
+  * commit sees empty ranges and no-ops; a crash before the commit left
+  * nothing behind. The view's epochs are a plain counter.
+  *
+  * Scale posture: per-maintain cost is two column-pruned merged scans
+  * (one per base — the same honest before-image price as
+  * [[MatView.maintain]]) plus work bounded by the affected keys. Both
+  * bases and the view bucket by the SAME key, so at matching bucket
+  * counts the join is bucket-aligned. Views that lag past either base's
+  * retention horizon fail loudly (changesBetween's expiry contract).
+  */
+final class JoinView private (
+    spark: SparkSession,
+    /** Backing table (maintenance ops — compaction, expiry — are safe). */
+    val table: LakeTable,
+    left: LakeTable,
+    right: LakeTable,
+    rightCols: Seq[String]) {
+
+  import JoinView.{SumLeft, SumRight}
+
+  private def frontier(which: String): Long =
+    table.snapshots.reverseIterator
+      .flatMap(_.summary.get(which))
+      .nextOption().map(_.toLong).getOrElse(-1L)
+
+  /** Fold both bases forward to their heads (bounded per side by
+    * `maxSnapshots`); returns the new (leftFrontier, rightFrontier) if
+    * anything was folded.
+    */
+  def maintain(maxSnapshots: Int = Int.MaxValue): Option[(Long, Long)] = {
+    require(maxSnapshots > 0, s"maxSnapshots must be positive: $maxSnapshots")
+    left.refresh(); right.refresh()
+    val key = left.keyCol
+    val (fromL, fromR) = (frontier(SumLeft), frontier(SumRight))
+    if (left.currentSnapshotId < 0) return None // no left rows → no view
+    val toL = math.min(left.currentSnapshotId, fromL + maxSnapshots.toLong)
+    val toR = math.min(right.currentSnapshotId, fromR + maxSnapshots.toLong)
+    if (toL <= fromL && toR <= fromR) return None
+
+    // 1. affected keys: every key either range touched. A fresh view
+    // (frontier −1) bootstraps from the side's LIVE key set instead of
+    // its changelog — same result, works on expired histories, and skips
+    // dead keys (a tombstone for a row the view never had is noise).
+    // A fresh RIGHT side contributes nothing to the key set: right rows
+    // only matter where a left row exists, and at bootstrap the left
+    // side enumerates those keys itself.
+    val keyType = left.currentSchema.sparkSchema(key).dataType
+    val none = spark.emptyDataFrame.select(lit(null).cast(keyType).as(key)).limit(0)
+    val bootstrap = fromL < 0 // a view always folds its left side first
+    val keysL =
+      if (bootstrap) left.readAt(toL).select(col(key))
+      else if (toL > fromL) left.changesBetween(fromL, toL).select(col(key))
+      else none
+    val keysR =
+      if (!bootstrap && toR > fromR) right.changesBetween(fromR, toR)
+        .select(col(right.keyCol).cast(keyType).as(key))
+      else none
+    val affected = keysL.unionByName(keysR).distinct()
+      .localCheckpoint() // bounded: changed keys
+    // 2. current winners of the affected keys, each side as-of its fold
+    // target. Left keeps tombstones (they become view tombstones).
+    val lw = left.mergedWinners(Some(toL))
+      .join(affected, Seq(key), "left_semi")
+      .drop(LakeTable.LsnCol)
+    val rw = right.readAt(toR)
+      .join(affected.select(col(key).as(right.keyCol)),
+        Seq(right.keyCol), "left_semi")
+    // 3. bounded join + upsert. A key in `affected` with no left row was
+    // never inserted (or expired history): emit nothing for it — the view
+    // can't have a row to retract, because view rows only ever came from
+    // left rows.
+    val joined = lw.join(
+      rw.select(col(right.keyCol).as(key) +: rightCols.map(col): _*),
+      Seq(key), "left")
+    val leftPayload = left.currentSchema.sparkSchema.fieldNames.filterNot(_ == key).toSeq
+    val outCols: Seq[Column] =
+      Seq(when(col(LakeTable.TombCol), "D").otherwise("U").as("op"),
+        col(key), lit(math.max(toL, toR)).as("lsn")) ++
+        leftPayload.map(col) ++ rightCols.map(col)
+    val rows = joined.select(outCols: _*)
+    table.upsert(rows, epochId = table.lastCommittedEpoch + 1, reduce = false,
+      summary = Map(SumLeft -> toL.toString, SumRight -> toR.toString))
+    affected.unpersist()
+    Some((toL, toR))
+  }
+
+  /** Loop [[maintain]] until both bases are drained. */
+  def catchUp(maxSnapshotsPerStep: Int = Int.MaxValue): (Long, Long) = {
+    var last = (frontier(SumLeft), frontier(SumRight))
+    var step = maintain(maxSnapshotsPerStep)
+    while (step.isDefined) { last = step.get; step = maintain(maxSnapshotsPerStep) }
+    last
+  }
+
+  /** Current view contents: key, left payload…, right payload…. */
+  def read(): DataFrame = table.read()
+}
+
+object JoinView {
+  private val SumLeft = "jv.toL"
+  private val SumRight = "jv.toR"
+
+  /** Create the view over `left ⟕ right` on their (shared-name) keys.
+    * `rightCols` selects which right payload columns ride along (default
+    * all); name collisions with left columns are rejected — alias on the
+    * right base's schema instead.
+    */
+  def create(spark: SparkSession, viewRoot: String,
+             left: LakeTable, right: LakeTable,
+             rightCols: Seq[String] = Seq.empty,
+             numBuckets: Int = 0): JoinView = {
+    require(sameKeyType(left, right),
+      s"key columns must share a type: ${left.keyCol} vs ${right.keyCol}")
+    val ls = left.currentSchema.sparkSchema
+    val rs = right.currentSchema.sparkSchema
+    val rc =
+      if (rightCols.nonEmpty) rightCols
+      else rs.fieldNames.filterNot(_ == right.keyCol).toSeq
+    rc.foreach(c => require(rs.fieldNames.contains(c),
+      s"right column '$c' is not in the right base schema"))
+    val collide = rc.toSet intersect ls.fieldNames.toSet
+    require(collide.isEmpty,
+      s"right columns collide with left schema: ${collide.mkString(", ")}")
+    val fields = ls.fields.toSeq ++ rc.map(c => rs(c).copy(nullable = true))
+    val buckets = if (numBuckets > 0) numBuckets else left.numBuckets
+    val table = LakeTable.create(spark, viewRoot, StructType(fields),
+      keyCol = left.keyCol, numBuckets = buckets)
+    table.fs.createDirectories(s"$viewRoot/aux")
+    table.fs.putStringAtomic(s"$viewRoot/aux/joindef.json",
+      s"""{"rightCols":[${rc.map(c => "\"" + c + "\"").mkString(",")}]}""",
+      createOnly = false)
+    new JoinView(spark, table, left, right, rc)
+  }
+
+  /** Load an existing join view from its persisted definition. */
+  def load(spark: SparkSession, viewRoot: String,
+           left: LakeTable, right: LakeTable): JoinView = {
+    val table = LakeTable.load(spark, viewRoot)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(table.fs.readString(s"$viewRoot/aux/joindef.json"))
+    import scala.jdk.CollectionConverters._
+    val rc = n.get("rightCols").elements().asScala.map(_.asText()).toSeq
+    new JoinView(spark, table, left, right, rc)
+  }
+
+  private def sameKeyType(left: LakeTable, right: LakeTable): Boolean = {
+    val lt = left.currentSchema.sparkSchema(left.keyCol).dataType
+    val rt = right.currentSchema.sparkSchema(right.keyCol).dataType
+    lt == rt
+  }
+}

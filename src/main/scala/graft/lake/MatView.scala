@@ -14,15 +14,22 @@ import org.apache.spark.sql.types._
   * each `maintain` call folds exactly the base snapshots in
   * `(viewFrontier, baseHead]` into it.
   *
-  * Semantics: `SELECT groups…, count(*) AS cnt, sum(exprᵢ) AS nameᵢ FROM
-  * base-current-state GROUP BY groups…` — kept equal to the full
-  * recompute after every maintain, under inserts, updates (including
-  * group-migrating updates: a key whose update moves it from group g₁ to
-  * g₂ retracts from g₁ and adds to g₂), and deletes. Sum expressions are
-  * evaluated per base row and cast to LONG (decomposable + exact across
-  * engines — the same rational-over-float choice as
-  * [[graft.operators.TermStats]]); rows where the expression is null
-  * contribute 0 (oracle form: `sum(coalesce(expr, 0))`).
+  * Semantics: `SELECT groups…, count(*) AS cnt, sum(exprᵢ) AS nameᵢ
+  * [, aggⱼ AS nameⱼ] FROM base-current-state GROUP BY groups…` — kept
+  * equal to the full recompute after every maintain, under inserts,
+  * updates (including group-migrating updates: a key whose update moves
+  * it from group g₁ to g₂ retracts from g₁ and adds to g₂), and deletes.
+  * Sum expressions are evaluated per base row and cast to LONG
+  * (decomposable + exact across engines — the same rational-over-float
+  * choice as [[graft.operators.TermStats]]); rows where the expression
+  * is null contribute 0 (oracle form: `sum(coalesce(expr, 0))`).
+  * Non-decomposable aggregates (min/max/count-distinct…) are declared
+  * separately as `recomputed` — they cannot be retracted (a delete can
+  * RAISE a min), so their presence switches maintenance to
+  * affected-group recompute: every group the range touched is
+  * re-aggregated from the base as-of the fold target. Cost ∝ the SIZE
+  * of the affected groups vs the decomposable path's changed-key cost —
+  * with few giant groups prefer sums-only views.
   *
   * Incremental step for range (from, to]:
   *  1. range winners: [[LakeTable.changesBetween]] rows, max-`_lsn`

@@ -167,6 +167,53 @@ object CdcQueries {
       col("min_tok0"), col("max_tok0"), col("n_docs"))
   }
 
+  /** Keyed enrichment view e2e: the events feed split by event-id parity
+    * into two independently-replayed CDC tables (docs / scores, both
+    * keyed user_id), assembled by a [[graft.lake.JoinView]] maintained
+    * incrementally between chunks. Oracle: the fresh left join of both
+    * sides' LWW winners.
+    */
+  def joinViewEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val isDel = col("event_type") === "error"
+    val docsFeed = eventsAsFeed(spark, dir).filter(col("lsn") % 2 === 0)
+    val scoresFeed = ev.filter(col("event_id") % 2 === 1).select(
+      when(isDel, "D").when(col("event_type") === "signup", "I").otherwise("U").as("op"),
+      col("user_id").cast("string").as("doc_id"),
+      col("event_id").as("lsn"),
+      when(isDel, lit(null)).otherwise(floor(col("value") * 100)).cast("int").as("quality"),
+      when(isDel, lit(null)).otherwise(col("event_type")).as("judge"))
+    val bounds = ev.agg(min("event_id"), max("event_id")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val chunks = 2
+    val root = s"${sys.props("java.io.tmpdir")}/graft-q-lake-" +
+      s"${spark.sparkContext.applicationId}-joinview-" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    val docs = LakeTable.create(spark, s"$root/d", Schemas.docRow, numBuckets = buckets)
+    val scores = LakeTable.create(spark, s"$root/s", StructType(Seq(
+      StructField("doc_id", StringType, nullable = false),
+      StructField("quality", IntegerType, nullable = true),
+      StructField("judge", StringType, nullable = true))), numBuckets = buckets)
+    var view: graft.lake.JoinView = null
+    val per = (hi - lo + chunks) / chunks
+    var c = 0
+    while (lo + c * per <= hi) {
+      val a = lo + c * per
+      val b = math.min(hi, a + per - 1)
+      CdcIngest.applyBatch(docs, docsFeed.filter(col("lsn").between(a, b)), epochId = c.toLong)
+      CdcIngest.applyBatch(scores, scoresFeed.filter(col("lsn").between(a, b)), epochId = c.toLong)
+      if (view == null)
+        view = graft.lake.JoinView.create(spark, s"$root/v", docs, scores)
+      view.catchUp() // chunk 0: bootstrap; later chunks: incremental folds
+      c += 1
+    }
+    view.read().select(col("doc_id"), element_at(col("tokens"), 1).as("tok0"),
+      col("source"), col("quality"), col("judge"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (!Files.exists(p)) return
     import scala.jdk.CollectionConverters._
