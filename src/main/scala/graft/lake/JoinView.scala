@@ -46,7 +46,7 @@ final class JoinView private (
     val table: LakeTable,
     left: LakeTable,
     right: LakeTable,
-    rightCols: Seq[String]) {
+    rightCols: Seq[String]) extends Maintainable {
 
   import JoinView.{SumLeft, SumRight}
 
@@ -123,6 +123,8 @@ final class JoinView private (
     while (step.isDefined) { last = step.get; step = maintain(maxSnapshotsPerStep) }
     last
   }
+
+  override def catchUpAll(): Unit = { catchUp(); () }
 
   /** Current view contents: key, left payload…, right payload…. */
   def read(): DataFrame = table.read()

@@ -82,7 +82,7 @@ final class MatView private (
     base: LakeTable,
     groupCols: Seq[String],
     sums: Seq[(String, String)],
-    recomputed: Seq[(String, String)]) {
+    recomputed: Seq[(String, String)]) extends Maintainable {
 
   import MatView.{CntCol, KeyCol}
 
@@ -250,6 +250,8 @@ final class MatView private (
     while (step.isDefined) { last = step.get; step = maintain(maxSnapshotsPerStep) }
     last
   }
+
+  override def catchUpAll(): Unit = { catchUp(); () }
 
   /** Current view contents: (groups…, cnt, sums…). */
   def read(): DataFrame = table.read().drop(KeyCol)

@@ -137,7 +137,9 @@ object CdcIngest {
     *   amortizes that to ~1/probeEvery, at the cost of reacting to a
     *   skew CHANGE up to probeEvery-1 batches late — salted == plain in
     *   results either way, so a stale route is only ever a speed issue.
-    * @param views [[graft.lake.MatView]]s over THIS table, caught up
+    * @param views [[graft.lake.Maintainable]] derived tables (aggregate
+    *   [[graft.lake.MatView]]s over THIS table, [[graft.lake.JoinView]]s
+    *   with this table on either side), caught up
     *   after every committed batch — derived aggregates stay fresh with
     *   the ingest, each fold bounded by the batch. View maintenance has
     *   its own exactly-once (view epochs = base snapshot ids), so a
@@ -155,7 +157,7 @@ object CdcIngest {
           feedOptions: Map[String, String] = Map.empty,
           schema: org.apache.spark.sql.types.StructType = Schemas.changeEvent,
           autoEvolve: Boolean = false,
-          views: Seq[graft.lake.MatView] = Seq.empty): StreamingQuery = {
+          views: Seq[graft.lake.Maintainable] = Seq.empty): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
@@ -207,7 +209,7 @@ object CdcIngest {
         // derived views fold forward after the base commit (catchUp also
         // heals any lag a previous crash left behind); a skipped replay
         // batch still catches up — the folds themselves are epoch-gated
-        views.foreach(_.catchUp())
+        views.foreach(_.catchUpAll())
         ()
       }
       .start()

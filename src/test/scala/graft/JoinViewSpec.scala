@@ -121,6 +121,59 @@ class JoinViewSpec extends SparkSpec {
     assert(got(stepped) == expected(docs, scores))
   }
 
+  test("views compose: per-judge stats MatView over the enrichment view's table") {
+    val dir = tmpDir("jv5")
+    val docs = LakeTable.create(spark, s"$dir/d", Schemas.docRow, numBuckets = 2)
+    val scores = LakeTable.create(spark, s"$dir/s", scoreSchema, numBuckets = 2)
+    docBatch(docs, Seq(("I", "a", 1L, Seq(5), "g1"), ("I", "b", 2L, Seq(7), "g1"),
+      ("I", "c", 3L, Seq(9), "g2")), 0L)
+    scoreBatch(scores, Seq(("I", "a", 1L, 90, "j0"), ("I", "b", 2L, 70, "j1")), 0L)
+    val jv = JoinView.create(spark, s"$dir/v", docs, scores)
+    jv.catchUpAll()
+    // a MatView whose BASE is the join view's backing table: the derived
+    // pipeline docs ⟕ scores → per-judge (cnt, sum quality) stays exact
+    // through further folds of the upstream pair
+    val stats = graft.lake.MatView.create(spark, s"$dir/vv", jv.table,
+      Seq("judge"), Seq("sum_q" -> "quality"))
+    stats.catchUpAll()
+    def expect: Set[(String, Long, Long)] =
+      jv.read().groupBy(col("judge"))
+        .agg(count(lit(1)).as("c"),
+          sum(coalesce(col("quality").cast("long"), lit(0L))).as("s"))
+        .as[(String, Long, Long)].collect().toSet
+    def actual: Set[(String, Long, Long)] =
+      stats.read().select(col("judge"), col("cnt"), col("sum_q"))
+        .as[(String, Long, Long)].collect().toSet
+    assert(actual == expect)
+    // upstream moves: judge reassignment + a left-side delete ripple
+    // through TWO view layers
+    scoreBatch(scores, Seq(("U", "a", 10L, 95, "j1")), 1L)
+    docBatch(docs, Seq(("D", "b", 10L, null, "g1")), 1L)
+    jv.catchUpAll()
+    stats.catchUpAll()
+    assert(actual == expect)
+    assert(actual == Set(("j1", 1L, 95L), (null, 1L, 0L)))
+  }
+
+  test("streaming ingest maintains an attached JoinView (Maintainable seam)") {
+    val dir = tmpDir("jv6")
+    val docs = LakeTable.create(spark, s"$dir/d", Schemas.docRow, numBuckets = 2)
+    val scores = LakeTable.create(spark, s"$dir/s", scoreSchema, numBuckets = 2)
+    scoreBatch(scores, Seq(("I", "a", 1L, 90, "j0"), ("I", "b", 2L, 70, "j1")), 0L)
+    val v = JoinView.create(spark, s"$dir/v", docs, scores)
+    // docs arrive via the streaming ingest loop with the view attached
+    val feed = Seq(("I", "a", 1L, Seq(5), "g1"), ("I", "b", 2L, Seq(7), "g1"))
+      .toDF("op", "doc_id", "lsn", "tokens", "source")
+      .select(col("op"), col("doc_id"), col("lsn"),
+        current_timestamp().as("ts"), col("tokens"),
+        size(col("tokens")).cast("int").as("n_tok"), col("source"))
+    feed.write.parquet(s"$dir/feed")
+    CdcIngest.run(spark, s"$dir/feed", docs, s"$dir/ckpt",
+      views = Seq(v)).awaitTermination()
+    assert(got(v) == expected(docs, scores))
+    assert(got(v).exists(t => t._1 == "a" && t._4 == "90"))
+  }
+
   test("name collisions and key-type mismatches are rejected at create") {
     val dir = tmpDir("jv4")
     val docs = LakeTable.create(spark, s"$dir/d", Schemas.docRow, numBuckets = 2)
