@@ -142,7 +142,7 @@ object JoinView {
   def create(spark: SparkSession, viewRoot: String,
              left: LakeTable, right: LakeTable,
              rightCols: Seq[String] = Seq.empty,
-             numBuckets: Int = 0): JoinView = {
+             numBuckets: Int = 0, fs: LakeFs = null): JoinView = {
     require(sameKeyType(left, right),
       s"key columns must share a type: ${left.keyCol} vs ${right.keyCol}")
     val ls = left.currentSchema.sparkSchema
@@ -158,7 +158,7 @@ object JoinView {
     val fields = ls.fields.toSeq ++ rc.map(c => rs(c).copy(nullable = true))
     val buckets = if (numBuckets > 0) numBuckets else left.numBuckets
     val table = LakeTable.create(spark, viewRoot, StructType(fields),
-      keyCol = left.keyCol, numBuckets = buckets)
+      keyCol = left.keyCol, numBuckets = buckets, fs = fs)
     table.fs.createDirectories(s"$viewRoot/aux")
     table.fs.putStringAtomic(s"$viewRoot/aux/joindef.json",
       s"""{"rightCols":[${rc.map(c => "\"" + c + "\"").mkString(",")}]}""",
@@ -168,8 +168,8 @@ object JoinView {
 
   /** Load an existing join view from its persisted definition. */
   def load(spark: SparkSession, viewRoot: String,
-           left: LakeTable, right: LakeTable): JoinView = {
-    val table = LakeTable.load(spark, viewRoot)
+           left: LakeTable, right: LakeTable, fs: LakeFs = null): JoinView = {
+    val table = LakeTable.load(spark, viewRoot, fs = fs)
     val n = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(table.fs.readString(s"$viewRoot/aux/joindef.json"))
     import scala.jdk.CollectionConverters._

@@ -278,7 +278,7 @@ object MatView {
   def create(spark: SparkSession, viewRoot: String, base: LakeTable,
              groupCols: Seq[String], sums: Seq[(String, String)] = Seq.empty,
              recomputed: Seq[(String, String)] = Seq.empty,
-             numBuckets: Int = 8): MatView = {
+             numBuckets: Int = 8, fs: LakeFs = null): MatView = {
     require(groupCols.nonEmpty, "at least one group column")
     val baseSchema = base.currentSchema.sparkSchema
     groupCols.foreach(g => require(baseSchema.fieldNames.contains(g),
@@ -305,7 +305,7 @@ object MatView {
             sums.map { case (n, _) => StructField(n, LongType, nullable = true) }) ++
           recFields)
     val table = LakeTable.create(spark, viewRoot, StructType(fields),
-      keyCol = KeyCol, numBuckets = numBuckets)
+      keyCol = KeyCol, numBuckets = numBuckets, fs = fs)
     table.fs.createDirectories(s"$viewRoot/aux")
     table.fs.putStringAtomic(s"$viewRoot/aux/viewdef.json",
       defJson(groupCols, sums, recomputed), createOnly = false)
@@ -313,8 +313,9 @@ object MatView {
   }
 
   /** Load an existing view from its persisted definition. */
-  def load(spark: SparkSession, viewRoot: String, base: LakeTable): MatView = {
-    val table = LakeTable.load(spark, viewRoot)
+  def load(spark: SparkSession, viewRoot: String, base: LakeTable,
+           fs: LakeFs = null): MatView = {
+    val table = LakeTable.load(spark, viewRoot, fs = fs)
     val n = mapper.readTree(table.fs.readString(s"$viewRoot/aux/viewdef.json"))
     import scala.jdk.CollectionConverters._
     def pairs(field: String): Seq[(String, String)] =

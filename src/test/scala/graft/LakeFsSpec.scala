@@ -74,6 +74,21 @@ class LakeFsSpec extends SparkSpec {
     assert(fs.calls.get() > 50, s"suspiciously few fs calls: ${fs.calls.get()}")
   }
 
+  test("derived views ride the injected LakeFs end to end") {
+    val fs = new RecordingFs
+    val dir = tmpDir("lakefs-views")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow,
+      numBuckets = 2, fs = fs)
+    CdcIngest.applyBatch(base, batch(0L, 100L, "s0"), epochId = 0L)
+    val before = fs.calls.get()
+    val v = graft.lake.MatView.create(spark, s"$dir/v", base,
+      Seq("source"), Seq("s" -> "n_tok"), fs = fs)
+    v.catchUpAll()
+    assert(fs.calls.get() > before, "view metadata IO bypassed the injected fs")
+    val reload = graft.lake.MatView.load(spark, s"$dir/v", base, fs = fs)
+    assert(reload.maintain().isEmpty) // frontier read through the same fs
+  }
+
   test("putStringAtomic createOnly is a CAS: exactly one writer wins, content is the winner's") {
     val dir = tmpDir("lakefs-cas")
     val p = s"$dir/snap-0.json"
