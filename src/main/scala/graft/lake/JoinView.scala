@@ -53,7 +53,17 @@ final class JoinView private (
   private def frontier(which: String): Long =
     table.snapshots.reverseIterator
       .flatMap(_.summary.get(which))
-      .nextOption().map(_.toLong).getOrElse(-1L)
+      .nextOption().map(_.toLong).getOrElse {
+        // the frontiers live in upsert snapshot summaries; if maintenance
+        // (compact + expireSnapshots) erased every one of them, a silent
+        // −1 would RE-BOOTSTRAP over live view rows — stale rows whose
+        // left key was deleted in the lost range would never be retracted
+        require(table.currentSnapshotId < 0,
+          "join-view frontier lost (all summary-carrying snapshots " +
+            "expired) — rebuild the view from scratch instead of " +
+            "re-bootstrapping over existing rows")
+        -1L
+      }
 
   /** Fold both bases forward to their heads (bounded per side by
     * `maxSnapshots`); returns the new (leftFrontier, rightFrontier) if
