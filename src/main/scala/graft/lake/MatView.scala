@@ -126,6 +126,19 @@ final class MatView private (
       df.withColumn(s"$SumValPrefix$i", coalesce(expr(e).cast(LongType), lit(0L)))
     }
 
+  /** Base columns the view actually reads: groups + every attribute the
+    * sum/recompute expressions reference — the projection handed to the
+    * pruned winner merges. */
+  private def neededBaseCols: Seq[String] = {
+    val fromExprs = (sums ++ recomputed).flatMap { case (_, e) =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }
+    }
+    (groupCols ++ fromExprs).distinct
+  }
+
   /** Fold base snapshots `(viewFrontier, min(baseHead, frontier +
     * maxSnapshots)]` into the view; returns the new frontier if anything
     * was folded. First call on a fresh view bootstraps with a full
@@ -139,8 +152,11 @@ final class MatView private (
     val head = base.currentSnapshotId
     if (head < 0 || head <= from) return None
 
-    if (from < 0) { // bootstrap: full recompute at head
-      val full = base.read()
+    if (from < 0) { // bootstrap: full recompute at head (projected —
+      // the scan never reads columns the view doesn't aggregate; pinned
+      // to `head` so a concurrent base writer can't smear the snapshot)
+      val full = base.mergedWinners(Some(head), neededBaseCols)
+        .filter(!col(LakeTable.TombCol))
         .groupBy(groupCols.map(col): _*)
         .agg(fullAggs.head, fullAggs.tail: _*)
       val cols: Seq[Column] =
@@ -167,8 +183,10 @@ final class MatView private (
     // winners INCLUDED — their lsn must keep guarding against late
     // lower-lsn resurrection, exactly as in the base's own merge. One
     // left join does both the key restriction and the pairing (a
-    // separate semi-join would scan the merged state twice).
-    val beforeAll = withSumVals(base.mergedWinners(Some(from)))
+    // separate semi-join would scan the merged state twice). The merge
+    // is PROJECTED to the view-relevant columns — a (source, n_tok) view
+    // over a token-array table never drags the arrays through the fold.
+    val beforeAll = withSumVals(base.mergedWinners(Some(from), neededBaseCols))
     val bCols = beforeAll.columns.filterNot(_ == key).toSeq
     val joined = rangeW.join(
       beforeAll.select(col(key) +: bCols.map(c => col(c).as(s"_b_$c")): _*),
@@ -198,7 +216,9 @@ final class MatView private (
       val affected = contribs.select(groupCols.map(col): _*).distinct()
         .withColumn(KeyCol, gkey)
         .localCheckpoint() // bounded: distinct touched groups
-      val rec = base.readAt(to)
+      val rec = base.mergedWinners(Some(to), neededBaseCols)
+        .filter(!col(LakeTable.TombCol))
+        .drop(LakeTable.LsnCol, LakeTable.TombCol)
         .withColumn(KeyCol, gkey)
         .join(affected.select(col(KeyCol)), Seq(KeyCol), "left_semi")
         .groupBy(col(KeyCol))

@@ -1,0 +1,97 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.lake.{LakeTable, MatView}
+import graft.model.Schemas
+import graft.stream.CdcIngest
+
+/** Derived-view scale smoke: replay SPARK_GRAFT_EVENTS (default 12M)
+  * events chunk by chunk with BOTH view families attached and folded per
+  * chunk — a per-source aggregate MatView (decomposable + recompute
+  * aggs) — then verify the final view EXACTLY equals the from-scratch
+  * groupBy over the merged table: cnt, sum, min, max per group, at
+  * 3 orders of magnitude beyond the sbt-test sizes. Prints one JSON
+  * line with the replay throughput and the verification verdict.
+  */
+object ViewSmoke {
+  def main(args: Array[String]): Unit = {
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_EVENTS", "12000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "8").toInt
+    val tmpfs = sys.env.get("SPARK_GRAFT_TMPFS").contains("1")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    if (tmpfs) b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cfg = graft.feed.FeedConfig(seed = 42L, numEvents = nEvents,
+      numDocs = math.max(1000L, nEvents / 10), deletePct = 5, maxTokens = 64)
+    val root = (if (tmpfs) Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft-viewsmoke")
+      else Files.createTempDirectory("graft-viewsmoke")).toString
+    // mode "sums" = decomposable-only (changed-key cost — the right
+    // config for few giant groups); "recompute" adds min/max (affected-
+    // group recompute — here 3 giant groups, i.e. the documented
+    // full-re-agg-per-fold worst case, kept measurable on purpose)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_VIEW_MODE", "sums")
+    val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = 32)
+    val view = MatView.create(spark, s"$root/v", table, Seq("source"),
+      sums = Seq("sum_ntok" -> "n_tok"),
+      recomputed =
+        if (mode == "recompute")
+          Seq("min_ntok" -> "min(n_tok)", "max_ntok" -> "max(n_tok)")
+        else Seq.empty)
+    val per = (nEvents + chunks - 1) / chunks
+    val t0 = System.nanoTime()
+    var c = 0
+    while (c * per < nEvents) {
+      val lo = c * per
+      val hi = math.min(nEvents, lo + per)
+      val batch = spark.range(lo, hi)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
+      view.catchUpAll()
+      c += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val aggs = count(lit(1)).as("cnt") +:
+      (sum(coalesce(col("n_tok").cast("long"), lit(0L))).as("sum_ntok") +:
+        (if (mode == "recompute")
+          Seq(min(col("n_tok")).as("min_ntok"), max(col("n_tok")).as("max_ntok"))
+        else Seq.empty))
+    val want = table.read().groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(_.toString).sorted.toSeq
+    val outCols = Seq("source", "cnt", "sum_ntok") ++
+      (if (mode == "recompute") Seq("min_ntok", "max_ntok") else Seq.empty)
+    val got = view.read()
+      .select(outCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val ok = want == got
+    println(s"""{"metric":"view_smoke","mode":"$mode","events":$nEvents,""" +
+      s""""chunks":$chunks,"events_per_sec":${(nEvents / sec).toLong},""" +
+      s""""groups":${got.size},"exact_match":$ok}""")
+    CdcBenchCleanup.delete(root)
+    if (!ok) {
+      System.err.println(s"view:\n${got.mkString("\n")}\nrecompute:\n${want.mkString("\n")}")
+      sys.exit(1)
+    }
+    spark.stop()
+  }
+}
+
+private object CdcBenchCleanup {
+  def delete(root: String): Unit =
+    graft.CdcBench.deleteRecursively(java.nio.file.Paths.get(root))
+}

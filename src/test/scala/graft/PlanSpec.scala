@@ -18,6 +18,33 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("projected merged winners prune unrequested columns from the scan") {
+    import graft.lake.LakeTable
+    import graft.model.Schemas
+    val dir = tmpDir("plan-projwin")
+    val table = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    (0 to 1).foreach { e => // two snapshots → the real winner-merge path
+      graft.stream.CdcIngest.applyBatch(table,
+        spark.range(e * 50L, e * 50L + 50).selectExpr("'U' AS op",
+          "CAST(id % 20 AS STRING) AS doc_id", "id AS lsn",
+          "current_timestamp() AS ts", "array(CAST(id AS INT)) AS tokens",
+          "1 AS n_tok", "'s' AS source"), epochId = e.toLong)
+    }
+    val projected = table.mergedWinners(None, Seq("source", "n_tok"))
+    val schemaLine = planOf(projected).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // the view-fold scan must not drag the token arrays off disk
+    assert(!schemaLine.contains("tokens") && schemaLine.contains("n_tok"),
+      schemaLine)
+    // and the projection changes no winner: values match the full merge
+    val full = table.mergedWinners(None)
+      .select("doc_id", "source", "n_tok", LakeTable.LsnCol, LakeTable.TombCol)
+    assert(projected.select("doc_id", "source", "n_tok",
+        LakeTable.LsnCol, LakeTable.TombCol)
+      .collect().map(_.toString).sorted.toSeq ==
+      full.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("filter + projection push down to the parquet scan (q01)") {
     val df = SparkEntry.queries("q01_agg_filter")(spark, sfDir)
     val plan = planOf(df)
