@@ -90,7 +90,8 @@ final class JoinView private (
     val none = spark.emptyDataFrame.select(lit(null).cast(keyType).as(key)).limit(0)
     val bootstrap = fromL < 0 // a view always folds its left side first
     val keysL =
-      if (bootstrap) left.readAt(toL).select(col(key))
+      if (bootstrap) left.mergedWinners(Some(toL), Seq(key))
+        .filter(!col(LakeTable.TombCol)).select(col(key))
       else if (toL > fromL) left.changesBetween(fromL, toL).select(col(key))
       else none
     val keysR =
@@ -104,7 +105,9 @@ final class JoinView private (
     val lw = left.mergedWinners(Some(toL))
       .join(affected, Seq(key), "left_semi")
       .drop(LakeTable.LsnCol)
-    val rw = right.readAt(toR)
+    val rw = right.mergedWinners(Some(toR), rightCols)
+      .filter(!col(LakeTable.TombCol))
+      .drop(LakeTable.LsnCol, LakeTable.TombCol)
       .join(affected.select(col(key).as(right.keyCol)),
         Seq(right.keyCol), "left_semi")
     // 3. bounded join + upsert. A key in `affected` with no left row was

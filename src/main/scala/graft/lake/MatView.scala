@@ -173,7 +173,12 @@ final class MatView private (
     // 1. after-images: per-key winner WITHIN the range (tombstones ride
     // along). This is only a candidate — late data means a range winner
     // can still lose to the pre-range state on lsn (step 3).
-    val delta = base.changesBetween(from, to)
+    // the range read projects to the view-relevant columns before the
+    // winner agg — like the before-image merge, the changelog scan never
+    // hauls payload the view doesn't aggregate
+    val delta = base.changesBetween(from, to).select(
+      (key +: (neededBaseCols :+ LakeTable.LsnCol :+ LakeTable.TombCol))
+        .distinct.map(col): _*)
     val payload = delta.columns.filterNot(_ == key).toSeq
     val rangeW = withSumVals(delta
       .groupBy(col(key))
