@@ -42,8 +42,11 @@ object ViewSmoke {
     // mode "sums" = decomposable-only (changed-key cost — the right
     // config for few giant groups); "recompute" adds min/max (affected-
     // group recompute — here 3 giant groups, i.e. the documented
-    // full-re-agg-per-fold worst case, kept measurable on purpose)
+    // full-re-agg-per-fold worst case, kept measurable on purpose);
+    // "join" = two independently-replayed tables assembled by a JoinView
+    // folded per chunk, verified against the fresh join
     val mode = sys.env.getOrElse("SPARK_GRAFT_VIEW_MODE", "sums")
+    if (mode == "join") { joinSmoke(spark, cfg, root, chunks); return }
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = 32)
     val view = MatView.create(spark, s"$root/v", table, Seq("source"),
       sums = Seq("sum_ntok" -> "n_tok"),
@@ -87,6 +90,58 @@ object ViewSmoke {
       System.err.println(s"view:\n${got.mkString("\n")}\nrecompute:\n${want.mkString("\n")}")
       sys.exit(1)
     }
+    spark.stop()
+  }
+
+  /** Two tables from one feed (even/odd lsn split), each replayed chunk
+    * by chunk with a [[graft.lake.JoinView]] catching up after every
+    * pair of commits; final view checked EXACTLY against the fresh
+    * left join of both merged states.
+    */
+  private def joinSmoke(spark: SparkSession, cfg: graft.feed.FeedConfig,
+                        root: String, chunks: Int): Unit = {
+    import spark.implicits._
+    import graft.lake.JoinView
+    val nEvents = cfg.numEvents
+    val docs = LakeTable.create(spark, s"$root/d", Schemas.docRow, numBuckets = 32)
+    val scoreSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("quality",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    val scores = LakeTable.create(spark, s"$root/s", scoreSchema, numBuckets = 32)
+    var view: JoinView = null
+    val per = (nEvents + chunks - 1) / chunks
+    val t0 = System.nanoTime()
+    var c = 0
+    while (c * per < nEvents) {
+      val lo = c * per
+      val hi = math.min(nEvents, lo + per)
+      val batch = spark.range(lo, hi)
+        .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
+        .localCheckpoint() // both splits read it; one generator pass
+      CdcIngest.applyBatch(docs, batch.filter(col("lsn") % 2 === 0), epochId = c.toLong)
+      CdcIngest.applyBatch(scores,
+        batch.filter(col("lsn") % 2 === 1).select(col("op"), col("doc_id"),
+          col("lsn"), col("n_tok").as("quality")), epochId = c.toLong)
+      if (view == null) view = JoinView.create(spark, s"$root/v", docs, scores)
+      view.catchUpAll()
+      batch.unpersist()
+      c += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val want = docs.read().join(scores.read(), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("source"), col("quality"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = view.read()
+      .select(col("doc_id"), col("n_tok"), col("source"), col("quality"))
+      .collect().map(_.toString).sorted.toSeq
+    val ok = want == got
+    println(s"""{"metric":"view_smoke","mode":"join","events":$nEvents,""" +
+      s""""chunks":$chunks,"events_per_sec":${(nEvents / sec).toLong},""" +
+      s""""rows":${got.size},"exact_match":$ok}""")
+    CdcBenchCleanup.delete(root)
+    if (!ok) sys.exit(1)
     spark.stop()
   }
 }
