@@ -118,12 +118,18 @@ final class JoinView private (
       rw.select(col(right.keyCol).as(key) +: rightCols.map(col): _*),
       Seq(key), "left")
     val leftPayload = left.currentSchema.sparkSchema.fieldNames.filterNot(_ == key).toSeq
+    // the view rows' lsn is the view's own (strictly increasing) epoch —
+    // NOT max(toL, toR), which repeats when one base is static (a later
+    // fold's rewrite would then TIE the old row in the view's max_by
+    // merge and an arbitrary winner could resurrect stale payloads or
+    // undead a deleted key)
+    val epoch = table.lastCommittedEpoch + 1
     val outCols: Seq[Column] =
       Seq(when(col(LakeTable.TombCol), "D").otherwise("U").as("op"),
-        col(key), lit(math.max(toL, toR)).as("lsn")) ++
+        col(key), lit(epoch).as("lsn")) ++
         leftPayload.map(col) ++ rightCols.map(col)
     val rows = joined.select(outCols: _*)
-    table.upsert(rows, epochId = table.lastCommittedEpoch + 1, reduce = false,
+    table.upsert(rows, epochId = epoch, reduce = false,
       summary = Map(SumLeft -> toL.toString, SumRight -> toR.toString))
     affected.unpersist()
     Some((toL, toR))
@@ -173,22 +179,38 @@ object JoinView {
     val table = LakeTable.create(spark, viewRoot, StructType(fields),
       keyCol = left.keyCol, numBuckets = buckets, fs = fs)
     table.fs.createDirectories(s"$viewRoot/aux")
-    table.fs.putStringAtomic(s"$viewRoot/aux/joindef.json",
-      s"""{"rightCols":[${rc.map(c => "\"" + c + "\"").mkString(",")}]}""",
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("rightCols")
+    rc.foreach(arr.add)
+    table.fs.putStringAtomic(s"$viewRoot/aux/joindef.json", o.toString,
       createOnly = false)
     new JoinView(spark, table, left, right, rc)
   }
 
-  /** Load an existing join view from its persisted definition. */
+  /** Load an existing join view from its persisted definition. Repeats
+    * create()'s base validation: a load with swapped or wrong bases must
+    * fail here, not silently null-fill the view on the next maintain.
+    */
   def load(spark: SparkSession, viewRoot: String,
            left: LakeTable, right: LakeTable, fs: LakeFs = null): JoinView = {
     val table = LakeTable.load(spark, viewRoot, fs = fs)
-    val n = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(table.fs.readString(s"$viewRoot/aux/joindef.json"))
+    val n = mapper.readTree(table.fs.readString(s"$viewRoot/aux/joindef.json"))
     import scala.jdk.CollectionConverters._
     val rc = n.get("rightCols").elements().asScala.map(_.asText()).toSeq
+    require(sameKeyType(left, right),
+      s"key columns must share a type: ${left.keyCol} vs ${right.keyCol}")
+    val rs = right.currentSchema.sparkSchema
+    rc.foreach(c => require(rs.fieldNames.contains(c),
+      s"persisted right column '$c' is not in the right base schema — " +
+        "wrong (or swapped) base tables?"))
+    val vs = table.currentSchema.sparkSchema
+    (left.currentSchema.sparkSchema.fieldNames ++ rc).foreach(c =>
+      require(vs.fieldNames.contains(c),
+        s"base column '$c' is not in the view schema — wrong base tables?"))
     new JoinView(spark, table, left, right, rc)
   }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def sameKeyType(left: LakeTable, right: LakeTable): Boolean = {
     val lt = left.currentSchema.sparkSchema(left.keyCol).dataType

@@ -174,6 +174,31 @@ class JoinViewSpec extends SparkSpec {
     assert(got(v).exists(t => t._1 == "a" && t._4 == "90"))
   }
 
+  test("static right at a HIGH snapshot id: successive folds never tie in the view merge") {
+    // regression: view-row lsn was max(toL, toR); with the right base
+    // parked at snapshot 5 every fold stamped lsn=5, so a later fold's
+    // rewrite TIED its own stale predecessor in the view's max_by merge —
+    // updates could read stale and left-deletes could fail to delete
+    val dir = tmpDir("jv7")
+    val docs = LakeTable.create(spark, s"$dir/d", Schemas.docRow, numBuckets = 2)
+    val scores = LakeTable.create(spark, s"$dir/s", scoreSchema, numBuckets = 2)
+    (0 until 6).foreach { e => // park the right side at snapshot id 5
+      scoreBatch(scores, Seq(("U", "a", e * 10L + 1, e * 10, s"j$e")), e.toLong)
+    }
+    docBatch(docs, Seq(("I", "a", 1L, Seq(5), "g1"), ("I", "b", 2L, Seq(7), "g1")), 0L)
+    val v = JoinView.create(spark, s"$dir/v", docs, scores)
+    assert(v.maintain().isDefined) // bootstrap
+    // fold 2: update a, delete b — right untouched
+    docBatch(docs, Seq(("U", "a", 10L, Seq(9), "g2"), ("D", "b", 11L, null, "g1")), 1L)
+    assert(v.maintain().isDefined)
+    assert(got(v) == expected(docs, scores))
+    assert(got(v) == Set(("a", "9", "g2", "50", "j5")))
+    // fold 3: delete a too — the view must end empty
+    docBatch(docs, Seq(("D", "a", 20L, null, "g2")), 2L)
+    assert(v.maintain().isDefined)
+    assert(v.read().isEmpty)
+  }
+
   test("name collisions and key-type mismatches are rejected at create") {
     val dir = tmpDir("jv4")
     val docs = LakeTable.create(spark, s"$dir/d", Schemas.docRow, numBuckets = 2)
