@@ -68,6 +68,22 @@ object ViewSmoke {
     }
     val sec = (System.nanoTime() - t0) / 1e9
 
+    // tail phase: small batches against the big table — the realistic
+    // continuous-ingest shape, where a fold's changed-key side is tiny
+    // and the per-fold price is dominated by the (column-pruned)
+    // before-image merge over the full table
+    val tailSize = sys.env.getOrElse("SPARK_GRAFT_TAIL", "20000").toLong
+    val tailBatches = 8
+    val t1 = System.nanoTime()
+    (0 until tailBatches).foreach { i =>
+      val lo = nEvents + i * tailSize
+      val batch = spark.range(lo, lo + tailSize)
+        .mapPartitions(_.map(j => graft.feed.EventGen.event(cfg, j))).toDF()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong + i)
+      view.catchUpAll()
+    }
+    val tailSec = (System.nanoTime() - t1) / 1e9
+
     val aggs = count(lit(1)).as("cnt") +:
       (sum(coalesce(col("n_tok").cast("long"), lit(0L))).as("sum_ntok") +:
         (if (mode == "recompute")
@@ -84,6 +100,7 @@ object ViewSmoke {
     val ok = want == got
     println(s"""{"metric":"view_smoke","mode":"$mode","events":$nEvents,""" +
       s""""chunks":$chunks,"events_per_sec":${(nEvents / sec).toLong},""" +
+      s""""tail_batch":$tailSize,"tail_sec_per_fold":${"%.2f".format(tailSec / tailBatches)},""" +
       s""""groups":${got.size},"exact_match":$ok}""")
     CdcBenchCleanup.delete(root)
     if (!ok) {
@@ -130,6 +147,26 @@ object ViewSmoke {
       c += 1
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    // tail: small paired batches against the bulk-built tables — the
+    // incremental case the per-chunk bulk phase (all keys touched every
+    // fold) deliberately does not show
+    val tailSize = sys.env.getOrElse("SPARK_GRAFT_TAIL", "20000").toLong
+    val tailBatches = 8
+    val t1 = System.nanoTime()
+    (0 until tailBatches).foreach { i =>
+      val lo = nEvents + i * tailSize
+      val batch = spark.range(lo, lo + tailSize)
+        .mapPartitions(_.map(j => graft.feed.EventGen.event(cfg, j))).toDF()
+        .localCheckpoint()
+      CdcIngest.applyBatch(docs, batch.filter(col("lsn") % 2 === 0),
+        epochId = c.toLong + i)
+      CdcIngest.applyBatch(scores,
+        batch.filter(col("lsn") % 2 === 1).select(col("op"), col("doc_id"),
+          col("lsn"), col("n_tok").as("quality")), epochId = c.toLong + i)
+      view.catchUpAll()
+      batch.unpersist()
+    }
+    val tailSec = (System.nanoTime() - t1) / 1e9
     val want = docs.read().join(scores.read(), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"), col("source"), col("quality"))
       .collect().map(_.toString).sorted.toSeq
@@ -139,6 +176,7 @@ object ViewSmoke {
     val ok = want == got
     println(s"""{"metric":"view_smoke","mode":"join","events":$nEvents,""" +
       s""""chunks":$chunks,"events_per_sec":${(nEvents / sec).toLong},""" +
+      s""""tail_batch":$tailSize,"tail_sec_per_fold":${"%.2f".format(tailSec / tailBatches)},""" +
       s""""rows":${got.size},"exact_match":$ok}""")
     CdcBenchCleanup.delete(root)
     if (!ok) sys.exit(1)
