@@ -404,6 +404,92 @@ class LakeTable private (
     winnersOver(entries, target)
   }
 
+  // ---- writer-captured preimages (the CDF analog) ----
+
+  private[graft] def preimageDir(epochId: Long): String =
+    f"$root/preimages/epoch-$epochId%012d"
+
+  /** Capture the CURRENT winners (tombstones included, `_lsn`/`_tomb`
+    * kept, full width) of `batchKeys` into `preimages/epoch-<E>` —
+    * called by the ingest BEFORE the epoch's upsert commits, so the file
+    * holds each key's pre-batch state. Deterministic on crash-replay:
+    * the pre-state is identical (the epoch never committed), so the
+    * rewrite is byte-stable; visibility follows the COMMIT via the
+    * [[LakeTable.PreimagesKey]] summary flag, never the file's
+    * existence. One merged-scan per captured batch — paid ONCE at
+    * ingest and amortized across every attached view's folds
+    * ([[beforeImages]]), instead of once per view per fold.
+    */
+  def capturePreimages(batchKeys: DataFrame, epochId: Long): String =
+    capturePreimages(batchKeys, epochId, Seq.empty)
+
+  /** Projected capture: only `columns` (+ key + hidden) are scanned and
+    * stored — a narrow capture costs a NARROW merged scan (the wide
+    * capture was measured 4x slower than the per-view narrow scan it
+    * replaces, defeating the point for single narrow views). Returns the
+    * summary value to commit under [[LakeTable.PreimagesKey]]: "*" for
+    * full width, else the captured column list — [[beforeImages]] trusts
+    * a capture only when it covers the requested columns.
+    */
+  def capturePreimages(batchKeys: DataFrame, epochId: Long,
+                       columns: Seq[String]): String = {
+    val keyType = currentSchema.sparkSchema(keyCol).dataType
+    val keys = batchKeys.select(col(keyCol).cast(keyType).as(keyCol)).distinct()
+    mergedWinners(None, columns)
+      .join(keys, Seq(keyCol), "left_semi")
+      .write.mode("overwrite").parquet(preimageDir(epochId))
+    if (columns.isEmpty) "*"
+    else columns.filterNot(_ == keyCol).distinct.sorted.mkString(",")
+  }
+
+  /** Exact before-images (as-of `from`) of every key the upsert
+    * snapshots in `(from, to]` touched, assembled from captured
+    * preimages — O(range) file reads, NO base scan. A key's before-image
+    * is its preimage at the FIRST range snapshot that touched it
+    * (nothing earlier in the range touched it, so that capture saw the
+    * as-of-`from` state). Returns None when any upsert snapshot in the
+    * range lacks capture — callers fall back to the merged-scan path.
+    * Files written under older schema versions union by name with
+    * missing columns nulled.
+    */
+  def beforeImages(fromSnapshotId: Long, toSnapshotId: Long,
+                   columns: Seq[String] = Seq.empty): Option[DataFrame] = {
+    val range = snapshots.filter(s =>
+      s.snapshotId > fromSnapshotId && s.snapshotId <= toSnapshotId &&
+        s.summary.get("operation").contains("upsert"))
+    val schema = currentSchema.sparkSchema
+    val needed =
+      if (columns.isEmpty) schema.fieldNames.toSeq
+      else (keyCol +: columns).distinct
+    val hidden = Seq(LsnCol, TombCol)
+    if (range.isEmpty)
+      return Some(mergedWinners(Some(fromSnapshotId), needed.filterNot(_ == keyCol))
+        .limit(0))
+    // every range snapshot must have captured AT LEAST the needed
+    // columns — a narrower capture cannot serve this view (its nulls
+    // would be wrong values, not missing data), so fall back to the scan
+    val neededPayload = needed.filterNot(_ == keyCol).toSet
+    val covered = range.forall(_.summary.get(PreimagesKey).exists { v =>
+      v == "true" || v == "*" || neededPayload.subsetOf(v.split(",").toSet)
+    })
+    if (!covered) return None
+    val frames = range.map { s =>
+      val df = spark.read.parquet(preimageDir(s.epochId))
+      val cols = needed.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(schema(c).dataType).as(c)
+      } ++ hidden.map(col) :+ lit(s.snapshotId).as("_ps")
+      df.select(cols: _*)
+    }
+    val all = frames.reduce(_ unionByName _)
+    val payload = (needed.filterNot(_ == keyCol) ++ hidden) :+ "_ps"
+    Some(all
+      .groupBy(col(keyCol))
+      .agg(min_by(struct(payload.map(col): _*), col("_ps")).as("_w"))
+      .select(col(keyCol) +: payload.filterNot(_ == "_ps")
+        .map(c => col(s"_w.$c").as(c)): _*))
+  }
+
   private def schemaFor(files: Seq[FileEntry], asOf: Option[Long]): LakeSchema =
     asOf match {
       case None => currentSchema
@@ -1701,6 +1787,10 @@ object LakeTable {
   val CheckpointInterval = 16
 
   val LsnCol = "_lsn"
+
+  /** Snapshot-summary flag: this upsert's pre-batch key states were
+    * captured to `preimages/epoch-<E>` before the commit. */
+  val PreimagesKey = "preimages"
   val TombCol = "_tomb"
   val SrcMinCol = "_src_min"
   val SrcMaxCol = "_src_max"

@@ -186,12 +186,16 @@ final class MatView private (
       .select(col(key) +: payload.map(c => col(s"_w.$c").as(c)): _*))
     // 2. before-images: pre-range winners of the changed keys, tombstone
     // winners INCLUDED — their lsn must keep guarding against late
-    // lower-lsn resurrection, exactly as in the base's own merge. One
-    // left join does both the key restriction and the pairing (a
-    // separate semi-join would scan the merged state twice). The merge
-    // is PROJECTED to the view-relevant columns — a (source, n_tok) view
-    // over a token-array table never drags the arrays through the fold.
-    val beforeAll = withSumVals(base.mergedWinners(Some(from), neededBaseCols))
+    // lower-lsn resurrection, exactly as in the base's own merge.
+    // Writer-captured preimages ([[LakeTable.beforeImages]]) serve this
+    // O(range) with NO base scan when the ingest ran with
+    // `capturePreimages` — the batch-proportional fold. Otherwise ONE
+    // left join does both the key restriction and the pairing, with the
+    // merge PROJECTED to the view-relevant columns — a (source, n_tok)
+    // view over a token-array table never drags the arrays through it.
+    val beforeAll = withSumVals(
+      base.beforeImages(from, to, neededBaseCols)
+        .getOrElse(base.mergedWinners(Some(from), neededBaseCols)))
     val bCols = beforeAll.columns.filterNot(_ == key).toSeq
     val joined = rangeW.join(
       beforeAll.select(col(key) +: bCols.map(c => col(c).as(s"_b_$c")): _*),

@@ -41,7 +41,9 @@ object CdcIngest {
   def applyBatch(table: LakeTable, batch: DataFrame, epochId: Long,
                  saltBuckets: Int = 0, dedup: Boolean = false,
                  quarantine: Boolean = false,
-                 autoEvolve: Boolean = false): Option[graft.lake.Snapshot] = {
+                 autoEvolve: Boolean = false,
+                 capturePreimages: Boolean = false,
+                 preimageColumns: Seq[String] = Seq.empty): Option[graft.lake.Snapshot] = {
     // schema follows the feed (merge-schema): new payload columns append,
     // widenable types widen, BEFORE the projection that would otherwise
     // silently drop them ([[graft.lake.LakeTable.mergeSchemaFrom]]); a
@@ -64,6 +66,18 @@ object CdcIngest {
         (sp.clean, () => sp.release())
       }
     try {
+      // writer-captured preimages (CDF analog): the batch keys' pre-state
+      // lands in preimages/epoch-<E> BEFORE the commit, and the commit's
+      // summary flag makes it visible — one merged scan per batch,
+      // amortized across every attached view's folds (the alternative is
+      // one scan per view per fold). Replayed epochs skip: the commit
+      // already carries (or doesn't carry) the flag.
+      val preSummary: Map[String, String] =
+        if (capturePreimages && epochId > table.lastCommittedEpoch)
+          Map(LakeTable.PreimagesKey ->
+            table.capturePreimages(src.select(table.keyCol), epochId, preimageColumns))
+        else if (capturePreimages) Map(LakeTable.PreimagesKey -> "*")
+        else Map.empty
       val snap =
         if (saltBuckets == Lww.AutoSalt) {
           // pre-shuffle projection, same as upsert's reduce path: event-time
@@ -82,12 +96,13 @@ object CdcIngest {
             // the route rides in the snapshot summary: durable lineage,
             // and the sticky router in run() reads it back
             table.upsert(reduced, epochId, reduce = false,
-              summary = Map("autoSalt" -> salted.toString))
+              summary = preSummary + ("autoSalt" -> salted.toString))
           } finally slim.unpersist(blocking = false)
         } else if (saltBuckets > 1)
-          table.upsert(Lww.reduceSalted(src, saltBuckets), epochId, reduce = false)
+          table.upsert(Lww.reduceSalted(src, saltBuckets), epochId,
+            reduce = false, summary = preSummary)
         else
-          table.upsert(src, epochId, reduce = true)
+          table.upsert(src, epochId, reduce = true, summary = preSummary)
       // per-partition lineage comes free from the parquet footer stats of
       // the just-written delta files (rows + lsn range per bucket) — zero
       // extra Spark jobs per batch; the whole batch is ONE job
@@ -137,6 +152,9 @@ object CdcIngest {
     *   amortizes that to ~1/probeEvery, at the cost of reacting to a
     *   skew CHANGE up to probeEvery-1 batches late — salted == plain in
     *   results either way, so a stale route is only ever a speed issue.
+    * @param capturePreimages capture each batch's pre-state
+    *   ([[graft.lake.LakeTable.capturePreimages]]) so attached views fold
+    *   batch-proportionally (one capture scan amortized across all views)
     * @param views [[graft.lake.Maintainable]] derived tables (aggregate
     *   [[graft.lake.MatView]]s over THIS table, [[graft.lake.JoinView]]s
     *   with this table on either side), caught up
@@ -157,7 +175,9 @@ object CdcIngest {
           feedOptions: Map[String, String] = Map.empty,
           schema: org.apache.spark.sql.types.StructType = Schemas.changeEvent,
           autoEvolve: Boolean = false,
-          views: Seq[graft.lake.Maintainable] = Seq.empty): StreamingQuery = {
+          views: Seq[graft.lake.Maintainable] = Seq.empty,
+          capturePreimages: Boolean = false,
+          preimageColumns: Seq[String] = Seq.empty): StreamingQuery = {
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
@@ -185,7 +205,8 @@ object CdcIngest {
           else if (saltedRoute) Lww.DefaultSaltBuckets
           else 0
         val committed = applyBatch(table, batch, epochId, effSalt,
-          dedup = false, quarantine = quarantine, autoEvolve = autoEvolve)
+          dedup = false, quarantine = quarantine, autoEvolve = autoEvolve,
+          capturePreimages = capturePreimages, preimageColumns = preimageColumns)
         if (saltBuckets == Lww.AutoSalt && committed.isDefined) {
           if (effSalt == Lww.AutoSalt) {
             // the probe's decision rides in the snapshot summary

@@ -46,6 +46,7 @@ object ViewSmoke {
     // "join" = two independently-replayed tables assembled by a JoinView
     // folded per chunk, verified against the fresh join
     val mode = sys.env.getOrElse("SPARK_GRAFT_VIEW_MODE", "sums")
+    val preimages = sys.env.get("SPARK_GRAFT_PREIMAGES").contains("1")
     if (mode == "join") { joinSmoke(spark, cfg, root, chunks); return }
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = 32)
     val view = MatView.create(spark, s"$root/v", table, Seq("source"),
@@ -54,6 +55,14 @@ object ViewSmoke {
         if (mode == "recompute")
           Seq("min_ntok" -> "min(n_tok)", "max_ntok" -> "max(n_tok)")
         else Seq.empty)
+    // nViews > 1 attaches extra aggregate views over the same captured
+    // columns — the amortization case: ONE capture scan at ingest serves
+    // every view's fold
+    val nViews = sys.env.getOrElse("SPARK_GRAFT_NVIEWS", "1").toInt
+    val extraViews = (1 until nViews).map(i =>
+      MatView.create(spark, s"$root/v$i", table, Seq("n_tok"),
+        sums = Seq("cnt_src" -> s"length(source) + $i")))
+    val allViews = view +: extraViews
     val per = (nEvents + chunks - 1) / chunks
     val t0 = System.nanoTime()
     var c = 0
@@ -62,8 +71,10 @@ object ViewSmoke {
       val hi = math.min(nEvents, lo + per)
       val batch = spark.range(lo, hi)
         .mapPartitions(_.map(i => graft.feed.EventGen.event(cfg, i))).toDF()
-      CdcIngest.applyBatch(table, batch, epochId = c.toLong)
-      view.catchUpAll()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong,
+        capturePreimages = preimages,
+        preimageColumns = Seq("source", "n_tok"))
+      allViews.foreach(_.catchUpAll())
       c += 1
     }
     val sec = (System.nanoTime() - t0) / 1e9
@@ -79,8 +90,10 @@ object ViewSmoke {
       val lo = nEvents + i * tailSize
       val batch = spark.range(lo, lo + tailSize)
         .mapPartitions(_.map(j => graft.feed.EventGen.event(cfg, j))).toDF()
-      CdcIngest.applyBatch(table, batch, epochId = c.toLong + i)
-      view.catchUpAll()
+      CdcIngest.applyBatch(table, batch, epochId = c.toLong + i,
+        capturePreimages = preimages,
+        preimageColumns = Seq("source", "n_tok"))
+      allViews.foreach(_.catchUpAll())
     }
     val tailSec = (System.nanoTime() - t1) / 1e9
 
@@ -98,7 +111,7 @@ object ViewSmoke {
       .select(outCols.map(col): _*)
       .collect().map(_.toString).sorted.toSeq
     val ok = want == got
-    println(s"""{"metric":"view_smoke","mode":"$mode","events":$nEvents,""" +
+    println(s"""{"metric":"view_smoke","mode":"$mode","preimages":$preimages,"views":$nViews,"events":$nEvents,""" +
       s""""chunks":$chunks,"events_per_sec":${(nEvents / sec).toLong},""" +
       s""""tail_batch":$tailSize,"tail_sec_per_fold":${"%.2f".format(tailSec / tailBatches)},""" +
       s""""groups":${got.size},"exact_match":$ok}""")

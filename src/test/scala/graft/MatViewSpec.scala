@@ -161,6 +161,74 @@ class MatViewSpec extends SparkSpec {
     }
   }
 
+  test("writer-captured preimages: batch-proportional folds, no base scan") {
+    val dir = tmpDir("mv9")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val feed = spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed")
+    val per = math.max(1L, (cfg.numEvents + 3) / 4)
+    def chunk(c: Int) = feed.filter(col("lsn").between(c * per, (c + 1) * per - 1))
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    (0 until 3).foreach { c =>
+      CdcIngest.applyBatch(base, chunk(c), epochId = c.toLong,
+        capturePreimages = true)
+      assert(v.maintain().contains(base.currentSnapshotId))
+      assert(viewSet(v) == recompute(base))
+    }
+    // the fold's before-image frame reads ONLY preimage files — the
+    // proof the fold never scanned the base
+    val bi = base.beforeImages(base.snapshots.head.snapshotId,
+      base.currentSnapshotId, Seq("source", "tokens"))
+    assert(bi.isDefined)
+    assert(bi.get.inputFiles.nonEmpty &&
+      bi.get.inputFiles.forall(_.contains("/preimages/")), bi.get.inputFiles.toSeq)
+    // first-touch stitching: the before-image equals the true as-of state
+    val from = base.snapshots.head.snapshotId
+    val viaScan = base.mergedWinners(Some(from), Seq("source"))
+      .join(base.changesBetween(from, base.currentSnapshotId)
+        .select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .collect().map(_.toString).sorted.toSeq
+    val viaPre = base.beforeImages(from, base.currentSnapshotId, Seq("source"))
+      .get.collect().map(_.toString).sorted.toSeq
+    assert(viaPre == viaScan)
+    // a batch ingested WITHOUT capture poisons the range → loud fallback
+    // to the scan path, results still exact
+    CdcIngest.applyBatch(base, chunk(3), epochId = 3L)
+    assert(base.beforeImages(from, base.currentSnapshotId).isEmpty)
+    assert(v.maintain().contains(base.currentSnapshotId))
+    assert(viewSet(v) == recompute(base))
+  }
+
+  test("projected preimage capture: narrower than the view's needs → fallback") {
+    val dir = tmpDir("mv10")
+    ChangeFeed.writeFeed(spark, cfg.copy(numEvents = 2000L), s"$dir/feed", chunks = 2)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    val feed = spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed")
+    CdcIngest.applyBatch(base, feed.filter(col("lsn") < 1000), epochId = 0L,
+      capturePreimages = true, preimageColumns = Seq("source", "n_tok"))
+    val snap0 = base.currentSnapshotId
+    CdcIngest.applyBatch(base, feed.filter(col("lsn") >= 1000), epochId = 1L,
+      capturePreimages = true, preimageColumns = Seq("source", "n_tok"))
+    // covered request: served from preimage files
+    val ok = base.beforeImages(snap0, base.currentSnapshotId, Seq("source", "n_tok"))
+    assert(ok.isDefined && ok.get.inputFiles.forall(_.contains("/preimages/")))
+    // tokens was NOT captured — nulls there would be wrong VALUES, so the
+    // request must refuse preimages entirely
+    assert(base.beforeImages(snap0, base.currentSnapshotId,
+      Seq("source", "tokens")).isEmpty)
+    // and a view over the captured columns stays exact end to end
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("s_ntok" -> "n_tok"))
+    v.catchUpAll()
+    val want = base.read().groupBy(col("source"))
+      .agg(count(lit(1)).as("c"),
+        sum(coalesce(col("n_tok").cast("long"), lit(0L))).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(v.read().select(col("source"), col("cnt"), col("s_ntok"))
+      .collect().map(_.toString).sorted.toSeq == want)
+  }
+
   test("late lower-lsn versions across maintains contribute nothing (LWW fold)") {
     val dir = tmpDir("mv7")
     val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
