@@ -89,7 +89,14 @@ object Bench {
       ",\"sec\":" + f3(cdc.sec) +
       ",\"events_per_sec\":" + f3(cdc.eps) +
       ",\"cpus\":" + cpus + "}}"
+    // print the line TWICE back-to-back: the driver parses a bounded TAIL
+    // of the stdout capture, and with 87 per-query entries one copy can
+    // straddle the window edge (BENCH_r05 "parsed": null — tail started
+    // mid-JSON). Two adjacent copies guarantee one complete line in any
+    // window longer than a single copy.
     println(json)
+    println(json)
+    System.out.flush()
     // ALSO land the line in a file: sbt prefixes stdout with "[info] ",
     // which a strict JSON parser on the driver side chokes on — the file
     // is the clean structured handoff (BENCH_r04 had "parsed": null)

@@ -1611,7 +1611,7 @@ object SparkEntry {
          FROM pairs WHERE floor((dab / sqrt(daa * dbb))*10000 + 0.5)/10000 >= 0.75""",
     "q85_matview" ->
       """SELECT event_type AS source, count(*) AS cnt,
-           sum(CAST(floor(value * 100) AS BIGINT)) AS sum_tok0
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_tok0
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error'

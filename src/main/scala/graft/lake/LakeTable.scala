@@ -409,6 +409,18 @@ class LakeTable private (
   private[graft] def preimageDir(epochId: Long): String =
     f"$root/preimages/epoch-$epochId%012d"
 
+  /** The epoch's full batch-key SET (one column, distinct) — written by
+    * [[capturePreimages]] alongside the pre-state capture. The capture
+    * file alone cannot distinguish "key had no winner before this batch"
+    * (absent row) from "key untouched by this batch" (also absent), so a
+    * multi-snapshot fold that trusted a later snapshot's capture for a
+    * key first CREATED earlier in the range would read an intra-range
+    * state as the before-image. The key set makes absence explicit:
+    * key ∈ keys ∧ key ∉ capture ⇒ no before-image existed.
+    */
+  private[graft] def preimageKeysDir(epochId: Long): String =
+    f"$root/preimages/keys-epoch-$epochId%012d"
+
   /** Capture the CURRENT winners (tombstones included, `_lsn`/`_tomb`
     * kept, full width) of `batchKeys` into `preimages/epoch-<E>` —
     * called by the ingest BEFORE the epoch's upsert commits, so the file
@@ -435,8 +447,13 @@ class LakeTable private (
                        columns: Seq[String]): String = {
     val keyType = currentSchema.sparkSchema(keyCol).dataType
     val keys = batchKeys.select(col(keyCol).cast(keyType).as(keyCol)).distinct()
+    // land the key set FIRST, then join against the written copy: one
+    // upstream evaluation of the batch, and the two files are consistent
+    // by construction (the semi-join side IS the persisted key set)
+    keys.write.mode("overwrite").parquet(preimageKeysDir(epochId))
+    val keysBack = spark.read.parquet(preimageKeysDir(epochId))
     mergedWinners(None, columns)
-      .join(keys, Seq(keyCol), "left_semi")
+      .join(keysBack, Seq(keyCol), "left_semi")
       .write.mode("overwrite").parquet(preimageDir(epochId))
     if (columns.isEmpty) "*"
     else columns.filterNot(_ == keyCol).distinct.sorted.mkString(",")
@@ -445,12 +462,18 @@ class LakeTable private (
   /** Exact before-images (as-of `from`) of every key the upsert
     * snapshots in `(from, to]` touched, assembled from captured
     * preimages — O(range) file reads, NO base scan. A key's before-image
-    * is its preimage at the FIRST range snapshot that touched it
-    * (nothing earlier in the range touched it, so that capture saw the
-    * as-of-`from` state). Returns None when any upsert snapshot in the
-    * range lacks capture — callers fall back to the merged-scan path.
-    * Files written under older schema versions union by name with
-    * missing columns nulled.
+    * comes ONLY from the FIRST range snapshot that touched it (nothing
+    * earlier in the range touched it, so that capture saw the
+    * as-of-`from` state) — and when that first-touching capture has no
+    * row for the key (the batch CREATED it), the key has NO before-image
+    * and is excluded, never served from a later snapshot's capture
+    * (which would be an intra-range state, not the as-of-`from` one).
+    * Requires each range snapshot's persisted batch-key set
+    * ([[preimageKeysDir]]) to make that absence explicit. Returns None
+    * when any upsert snapshot in the range lacks capture or a key set
+    * (captures from before the key-set format) — callers fall back to
+    * the merged-scan path. Files written under older schema versions
+    * union by name with missing columns nulled.
     */
   def beforeImages(fromSnapshotId: Long, toSnapshotId: Long,
                    columns: Seq[String] = Seq.empty): Option[DataFrame] = {
@@ -473,21 +496,32 @@ class LakeTable private (
       v == "true" || v == "*" || neededPayload.subsetOf(v.split(",").toSet)
     })
     if (!covered) return None
+    // pre-key-set captures can't distinguish created-in-range keys from
+    // untouched ones — a correct fold is impossible from them, fall back
+    if (!range.forall(s => fs.exists(preimageKeysDir(s.epochId)))) return None
     val frames = range.map { s =>
-      val df = spark.read.parquet(preimageDir(s.epochId))
+      val pre = spark.read.parquet(preimageDir(s.epochId))
       val cols = needed.map { c =>
-        if (df.columns.contains(c)) col(c)
+        if (pre.columns.contains(c)) col(c)
         else lit(null).cast(schema(c).dataType).as(c)
-      } ++ hidden.map(col) :+ lit(s.snapshotId).as("_ps")
-      df.select(cols: _*)
+      } ++ hidden.map(col)
+      // batch keys ⟕ capture: a key the batch touched but the capture
+      // lacks had no winner before the batch — an explicit absent marker
+      // (TombCol is non-null on every captured row, so null ⇔ absent)
+      spark.read.parquet(preimageKeysDir(s.epochId))
+        .join(pre.select(cols: _*), Seq(keyCol), "left_outer")
+        .withColumn("_absent", col(TombCol).isNull)
+        .withColumn("_ps", lit(s.snapshotId))
     }
     val all = frames.reduce(_ unionByName _)
-    val payload = (needed.filterNot(_ == keyCol) ++ hidden) :+ "_ps"
+    val payload = (needed.filterNot(_ == keyCol) ++ hidden) :+ "_absent"
     Some(all
       .groupBy(col(keyCol))
-      .agg(min_by(struct(payload.map(col): _*), col("_ps")).as("_w"))
-      .select(col(keyCol) +: payload.filterNot(_ == "_ps")
-        .map(c => col(s"_w.$c").as(c)): _*))
+      .agg(min_by(struct((payload :+ "_ps").map(col): _*), col("_ps")).as("_w"))
+      .select(col(keyCol) +: payload
+        .map(c => col(s"_w.$c").as(c)): _*)
+      .filter(!col("_absent"))
+      .drop("_absent"))
   }
 
   private def schemaFor(files: Seq[FileEntry], asOf: Option[Long]): LakeSchema =
@@ -1612,6 +1646,27 @@ class LakeTable private (
     val latestCkpt = ckptIds.max
     val horizon = math.min(upToSnapshotId, latestCkpt)
     var deleted = 0
+    // GC preimage captures the expiry makes useless: beforeImages can only
+    // serve ranges whose snapshots survive in the log, so a capture whose
+    // upsert snapshot falls at/below the horizon (or was expired by an
+    // earlier call — sweep by epoch, not by this call's range) can never
+    // be read again. Never touch epochs above the committed one: an
+    // in-flight writer may be capturing the next epoch right now.
+    // Retention coupling: preimage retention == snapshot retention.
+    locally {
+      val surviving = snapshots.filter(s => s.snapshotId > horizon &&
+        s.summary.get("operation").contains("upsert")).map(_.epochId).toSet
+      val preRoot = s"$root/preimages"
+      if (fs.exists(preRoot)) fs.list(preRoot).foreach { p =>
+        val name = LakeFs.fileName(p)
+        val ep = name.stripPrefix("keys-").stripPrefix("epoch-")
+        if ((name.startsWith("epoch-") || name.startsWith("keys-epoch-")) &&
+            ep.forall(_.isDigit) && ep.nonEmpty &&
+            ep.toLong <= stateEpoch && !surviving.contains(ep.toLong)) {
+          fs.deleteRecursively(p); deleted += 1
+        }
+      }
+    }
     (0L to horizon).foreach { id =>
       if (fs.deleteIfExists(f"$metaDir/snap-$id%012d.json")) deleted += 1
     }

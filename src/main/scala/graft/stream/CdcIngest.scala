@@ -72,11 +72,14 @@ object CdcIngest {
       // amortized across every attached view's folds (the alternative is
       // one scan per view per fold). Replayed epochs skip: the commit
       // already carries (or doesn't carry) the flag.
+      // replayed epochs (epochId <= lastCommittedEpoch) pass Map.empty:
+      // upsert no-ops on them and keeps the ORIGINAL commit's summary, so
+      // stamping a claimed capture here would be a lie waiting for a
+      // future change to that gating to believe it
       val preSummary: Map[String, String] =
         if (capturePreimages && epochId > table.lastCommittedEpoch)
           Map(LakeTable.PreimagesKey ->
             table.capturePreimages(src.select(table.keyCol), epochId, preimageColumns))
-        else if (capturePreimages) Map(LakeTable.PreimagesKey -> "*")
         else Map.empty
       val snap =
         if (saltBuckets == Lww.AutoSalt) {

@@ -229,6 +229,75 @@ class MatViewSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("key created then updated across two captured snapshots, ONE fold: " +
+      "its absence of a before-image is explicit, never a later capture") {
+    val dir = tmpDir("mv11")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    def apply(rows: Seq[(String, String, Long, Seq[Int], String)], e: Long): Unit = {
+      val df = rows.toDF("op", "doc_id", "lsn", "tokens", "source")
+        .select(col("op"), col("doc_id"), col("lsn"),
+          current_timestamp().as("ts"), col("tokens"),
+          size(col("tokens")).cast("int").as("n_tok"), col("source"))
+      CdcIngest.applyBatch(base, df, epochId = e, capturePreimages = true)
+    }
+    // snap 1: background rows the view bootstraps over
+    apply(Seq(("I", "a", 1L, Seq(10), "s1"), ("I", "b", 2L, Seq(20), "s2")), 0L)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    v.maintain()
+    assert(viewSet(v) == Set(("s1", 1L, 10L), ("s2", 1L, 20L)))
+    // snap 2 CREATES x in s2; snap 3 UPDATES x (still s2). The view does
+    // NOT maintain between them — one fold spans both snapshots. x's
+    // before-image as-of the frontier does not exist; snap 3's capture
+    // holds x@snap2 (an intra-range state) and must NOT be used as one —
+    // a fold that retracts it drives s2's cnt to 0 and tombstones the
+    // whole group (the round-5 ADVICE repro).
+    apply(Seq(("I", "x", 10L, Seq(5), "s2")), 1L)
+    apply(Seq(("U", "x", 11L, Seq(7), "s2")), 2L)
+    // the fold must come from preimages (captures cover the range)…
+    val from = v.table.lastCommittedEpoch
+    val bi = base.beforeImages(from, base.currentSnapshotId, Seq("source", "tokens"))
+    assert(bi.isDefined &&
+      bi.get.inputFiles.forall(_.contains("/preimages/")))
+    // …and x must have NO before-image row in it
+    assert(bi.get.filter(col("doc_id") === "x").isEmpty)
+    v.maintain()
+    assert(viewSet(v) == Set(("s1", 1L, 10L), ("s2", 2L, 27L)))
+    assert(viewSet(v) == recompute(base))
+  }
+
+  test("expireSnapshots garbage-collects preimage captures below the horizon") {
+    val dir = tmpDir("mv12")
+    ChangeFeed.writeFeed(spark, cfg.copy(numEvents = 2000L), s"$dir/feed", chunks = 4)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    val feed = spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed")
+    val chunks = 20 // past CheckpointInterval, so expiry has a checkpoint
+    val per = 100L
+    (0 until chunks).foreach { c =>
+      CdcIngest.applyBatch(base,
+        feed.filter(col("lsn").between(c * per, (c + 1) * per - 1)),
+        epochId = c.toLong, capturePreimages = true)
+    }
+    val preRoot = new java.io.File(s"$dir/t/preimages")
+    assert(preRoot.listFiles().count(_.getName.startsWith("epoch-")) == chunks)
+    base.expireSnapshots(base.currentSnapshotId - 3)
+    val left = preRoot.listFiles().map(_.getName).toSet
+    // epochs of surviving upsert snapshots keep BOTH dirs; expired lose both
+    val surviving = base.snapshots
+      .filter(s => s.summary.get("operation").contains("upsert"))
+      .map(_.epochId).toSet
+    assert(left.count(_.startsWith("epoch-")) == surviving.size)
+    assert(left.count(_.startsWith("keys-epoch-")) == surviving.size)
+    left.foreach { n =>
+      val ep = n.stripPrefix("keys-").stripPrefix("epoch-").toLong
+      assert(surviving.contains(ep), s"unexpired garbage: $n")
+    }
+    // the surviving range still serves beforeImages from preimages
+    val from = base.snapshots.head.snapshotId
+    val bi = base.beforeImages(from, base.currentSnapshotId, Seq("source"))
+    assert(bi.isDefined && bi.get.inputFiles.forall(_.contains("/preimages/")))
+  }
+
   test("late lower-lsn versions across maintains contribute nothing (LWW fold)") {
     val dir = tmpDir("mv7")
     val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
