@@ -33,12 +33,16 @@ import org.apache.spark.sql.types._
   * commit sees empty ranges and no-ops; a crash before the commit left
   * nothing behind. The view's epochs are a plain counter.
   *
-  * Scale posture: per-maintain cost is two column-pruned merged scans
-  * (one per base — the same honest before-image price as
-  * [[MatView.maintain]]) plus work bounded by the affected keys. Both
-  * bases and the view bucket by the SAME key, so at matching bucket
-  * counts the join is bucket-aligned. Views that lag past either base's
-  * retention horizon fail loudly (changesBetween's expiry contract).
+  * Scale posture: when the affected-key set is bounded (every steady-
+  * state fold), both winner reads are FILE-PRUNED to the keys' buckets'
+  * bloom-surviving files ([[LakeTable.winnersForKeySubset]]) — per-fold
+  * IO scales with the batch, not the table. The full column-pruned
+  * merged scans remain only for the bootstrap and for folds whose key
+  * set exceeds [[JoinView.MaxPrunedKeys]] (where pruning wouldn't skip
+  * much anyway). Both bases and the view bucket by the SAME key, so at
+  * matching bucket counts the join is bucket-aligned. Views that lag
+  * past either base's retention horizon fail loudly (changesBetween's
+  * expiry contract).
   */
 final class JoinView private (
     spark: SparkSession,
@@ -49,6 +53,11 @@ final class JoinView private (
     rightCols: Seq[String]) extends Maintainable {
 
   import JoinView.{SumLeft, SumRight}
+
+  /** (leftFilesOpened, rightFilesOpened) by the last maintain's winner
+    * reads — observability for the file-pruned fold path (specs pin that
+    * a small-batch fold on a multi-file base opens a strict subset). */
+  private[graft] var lastFoldFiles: Option[(Int, Int)] = None
 
   private def frontier(which: String): Long =
     table.snapshots.reverseIterator
@@ -102,10 +111,32 @@ final class JoinView private (
       .localCheckpoint() // bounded: changed keys
     // 2. current winners of the affected keys, each side as-of its fold
     // target. Left keeps tombstones (they become view tombstones).
-    val lw = left.mergedWinners(Some(toL))
+    // ACCESS PATH: when the affected-key set is bounded (every steady-
+    // state fold; the bootstrap and all-keys batches are not), the keys
+    // are collected driver-side and the winner reads open ONLY the keys'
+    // buckets' files, bloom-skipped within each bucket
+    // ([[LakeTable.winnersForKeySubset]]) — the fold's IO scales with
+    // the BATCH, not the table. Beyond the cap the full merged scan is
+    // the better plan anyway (most files would survive pruning).
+    val probe = affected.limit(JoinView.MaxPrunedKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    val prunable = probe.nonEmpty && probe.length <= JoinView.MaxPrunedKeys
+    val lwAll =
+      if (probe.isEmpty) left.mergedWinners(Some(toL)).limit(0)
+      else if (prunable) left.winnersForKeySubset(probe, Some(toL))
+      else left.mergedWinners(Some(toL))
+    val rwAll =
+      if (probe.isEmpty) right.mergedWinners(Some(toR), rightCols).limit(0)
+      else if (prunable) right.winnersForKeySubset(probe, Some(toR), rightCols)
+      else right.mergedWinners(Some(toR), rightCols)
+    lastFoldFiles = Some((lwAll.inputFiles.length, rwAll.inputFiles.length))
+    // row restriction to the affected keys stays a semi-join either way —
+    // winnersForKeySubset's contract: winners are exact only for the
+    // probe keys, so pruned reads MUST be key-restricted before use
+    val lw = lwAll
       .join(affected, Seq(key), "left_semi")
       .drop(LakeTable.LsnCol)
-    val rw = right.mergedWinners(Some(toR), rightCols)
+    val rw = rwAll
       .filter(!col(LakeTable.TombCol))
       .drop(LakeTable.LsnCol, LakeTable.TombCol)
       .join(affected.select(col(key).as(right.keyCol)),
@@ -152,6 +183,13 @@ final class JoinView private (
 object JoinView {
   private val SumLeft = "jv.toL"
   private val SumRight = "jv.toR"
+
+  /** Driver-side cap on the collected affected-key set that unlocks the
+    * file-pruned fold: 64k keys is a few MB on the driver (same bound
+    * philosophy as [[graft.stream.DedupIngest.MaxProbeKeys]]); a fold
+    * touching more keys than this reads most buckets anyway, so the full
+    * merged scan is the better plan. */
+  val MaxPrunedKeys = 65536
 
   /** Create the view over `left ⟕ right` on their (shared-name) keys.
     * `rightCols` selects which right payload columns ride along (default

@@ -611,6 +611,56 @@ class LakeTable private (
       .drop(LsnCol, TombCol)
   }
 
+  /** [[mergedWinners]] whose FILE SET is pruned to a driver-known key
+    * subset — [[lookupAll]]'s access path (bucket union + bucket-scoped
+    * bloom skip) but returning the full merge state (tombstone winners
+    * and `_lsn` kept) projected to `columns`, for maintainers that fold
+    * a bounded changed-key set against current state
+    * ([[JoinView.maintain]]). Contract: winners are exact ONLY for keys
+    * in `keyValues` — a key outside the set may have versions in skipped
+    * files, so callers MUST row-restrict (semi-join / isin) to the same
+    * keys before use. Reference analog: access-path selection over the
+    * native store's key-led indexes (repository.clj:131-136).
+    */
+  def winnersForKeySubset(keyValues: Seq[Any], asOf: Option[Long] = None,
+                          columns: Seq[String] = Seq.empty): DataFrame = {
+    require(keyValues.nonEmpty, "empty key set")
+    val entries = liveEntries(asOf)
+    val schema = schemaFor(entries.map(_.file), asOf)
+    val target =
+      if (columns.isEmpty) schema
+      else {
+        val want = (keyCol +: columns).toSet
+        val missing = want -- schema.fields.map(_.name).toSet
+        require(missing.isEmpty,
+          s"projected columns not in schema: ${missing.mkString(", ")}")
+        LakeSchema(schema.schemaId, schema.fields.filter(f => want.contains(f.name)))
+      }
+    val subset = layoutOf(entries) match {
+      case Some(layout) =>
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
+        val dt = schema.fields.find(_.name == keyCol)
+          .map(_.dataType).getOrElse(StringType)
+        val attr = AttributeReference(keyCol, dt, nullable = false)()
+        val internals = keyValues.map(kv =>
+          Cast(Literal(kv), dt, Some("UTC")).eval())
+        val byBucket = internals.groupBy(
+          org.apache.spark.sql.execution.datasources.BucketingUtils
+            .getBucketIdFromValue(attr, layout, _))
+        val inBuckets = entries.filter(e => byBucket.contains(e.file.bucket))
+        if (keyBloomBits > 0) {
+          val probesByBucket = byBucket.map { case (b, ks) =>
+            b -> ks.map(LakeTable.bloomPositionsFor(_, dt, keyBloomBits))
+          }
+          inBuckets.filter(e => e.file.keyBloom.forall(blm =>
+            probesByBucket(e.file.bucket)
+              .exists(LakeTable.bloomMightContain(blm, _))))
+        } else inBuckets
+      case None => entries
+    }
+    winnersOver(subset, target)
+  }
+
   /** Time travel addressed by EPOCH (the input stream's coordinate)
     * instead of snapshot id: the state as of the newest snapshot whose
     * epoch is ≤ `epochId` — "what did the table say after batch N", the

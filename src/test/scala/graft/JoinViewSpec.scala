@@ -199,6 +199,38 @@ class JoinViewSpec extends SparkSpec {
     assert(v.read().isEmpty)
   }
 
+  test("small-batch fold opens a strict file subset of a multi-file base " +
+      "(bucket + bloom pruned winner reads)") {
+    val dir = tmpDir("jv8")
+    val docs = LakeTable.create(spark, s"$dir/d", Schemas.docRow, numBuckets = 4)
+    val scores = LakeTable.create(spark, s"$dir/s", scoreSchema, numBuckets = 4)
+    // many small batches → several live files per bucket on both sides
+    (0 until 8).foreach { e =>
+      docBatch(docs, (0 until 8).map(i =>
+        ("I", s"d${e}_$i", e * 100L + i, Seq(e + i), s"g${i % 3}")), e.toLong)
+      scoreBatch(scores, (0 until 8).map(i =>
+        ("I", s"d${e}_$i", e * 100L + i, Integer.valueOf(e * 10 + i), s"j${i % 2}")),
+        e.toLong)
+    }
+    val v = JoinView.create(spark, s"$dir/v", docs, scores)
+    v.catchUpAll() // bootstrap (all keys)
+    val totalL = docs.mergedWinners(None).inputFiles.length
+    val totalR = scores.mergedWinners(None).inputFiles.length
+    assert(totalL >= 8 && totalR >= 8, s"base not multi-file: $totalL/$totalR")
+    // steady state: touch ONE key per side — the fold's winner reads must
+    // open only those keys' buckets' bloom-surviving files
+    docBatch(docs, Seq(("U", "d3_4", 9999L, Seq(42), "g0")), 8L)
+    scoreBatch(scores, Seq(("U", "d5_6", 9998L, Integer.valueOf(77), "j0")), 8L)
+    assert(v.maintain().isDefined)
+    val (fl, fr) = v.lastFoldFiles.get
+    assert(fl > 0 && fl < totalL, s"left fold opened $fl of $totalL files")
+    assert(fr > 0 && fr < totalR, s"right fold opened $fr of $totalR files")
+    assert(got(v) == expected(docs, scores))
+    // and the pruned fold saw BOTH touched keys' new values
+    assert(got(v).exists(t => t._1 == "d3_4" && t._2 == "42"))
+    assert(got(v).exists(t => t._1 == "d5_6" && t._4 == "77"))
+  }
+
   test("name collisions and key-type mismatches are rejected at create") {
     val dir = tmpDir("jv4")
     val docs = LakeTable.create(spark, s"$dir/d", Schemas.docRow, numBuckets = 2)
