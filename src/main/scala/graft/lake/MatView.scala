@@ -94,17 +94,45 @@ final class MatView private (
     to_json(struct(groupCols.map(g => col(g).as(g)): _*),
       Map("ignoreNullFields" -> "false"))
 
-  /** A ±(groups…, cnt, sums…) contribution struct over pre-evaluated
-    * value columns (`valPrefix` selects the after / before side). */
-  private def contribStruct(prefix: String, sign: Int): Column =
+  /** A ±(groups…, cnt, sums…[, mm values…]) contribution struct over
+    * pre-evaluated value columns (`valPrefix` selects the after / before
+    * side); `mmCount` rides the min/max hybrid path's raw values along
+    * (sign-independent — the SIGN is readable from the struct's cnt). */
+  private def contribStruct(prefix: String, sign: Int, mmCount: Int = 0): Column =
     struct(
       groupCols.map(g => col(s"$prefix$g").as(g)) ++
         (lit(sign.toLong).as(CntCol) +:
           sums.zipWithIndex.map { case ((n, _), i) =>
             (lit(sign.toLong) * col(s"$prefix$SumValPrefix$i")).as(n)
-          }): _*)
+          }) ++
+        (0 until mmCount).map(i =>
+          col(s"$prefix$MmValPrefix$i").as(s"$MmValPrefix$i")): _*)
 
   private val SumValPrefix = "_sv_"
+  private val MmValPrefix = "_mmv_"
+
+  /** `recomputed` parsed as plain min/max aggregates — `(name, isMin,
+    * innerExprSql)` for every entry, or None when ANY entry is something
+    * else (count distinct, …), which keeps the full affected-group
+    * recompute path. */
+  private lazy val minMaxOnly: Option[Seq[(String, Boolean, String)]] =
+    MatView.parseMinMax(spark, recomputed)
+
+  /** Pre-evaluate the min/max INNER expressions per row (cast to the
+    * view's stored column type so decomposable folds compare and union
+    * against stored extremes exactly). */
+  private def withMmVals(images: DataFrame,
+                         mm: Seq[(String, Boolean, String)]): DataFrame =
+    mm.zipWithIndex.foldLeft(images) { case (df, ((n, _, inner), i)) =>
+      df.withColumn(s"$MmValPrefix$i",
+        expr(inner).cast(table.currentSchema.sparkSchema(n).dataType))
+    }
+
+  /** Groups the last maintain re-aggregated from base (0 on every
+    * insert-only or below-extreme fold on the min/max hybrid path; every
+    * touched group on the legacy path) — observability for the specs and
+    * smoke probes. */
+  private[graft] var lastRecomputedGroups: Long = -1L
 
   /** Output column names in view-schema order (after the groups). */
   private def aggNames: Seq[String] =
@@ -176,11 +204,21 @@ final class MatView private (
     // the range read projects to the view-relevant columns before the
     // winner agg — like the before-image merge, the changelog scan never
     // hauls payload the view doesn't aggregate
+    // min/max-only recompute lists ride the HYBRID path: extremes are
+    // decomposable under inserts (least/greatest against the stored
+    // value), and only a retraction AT a group's stored extreme forces
+    // that one group's re-aggregation — an insert-only fold never
+    // touches the base at all
+    val mm: Seq[(String, Boolean, String)] =
+      if (recomputed.nonEmpty) minMaxOnly.getOrElse(Seq.empty) else Seq.empty
+    val hybrid = mm.nonEmpty
+    def withVals(df: DataFrame): DataFrame =
+      if (hybrid) withMmVals(withSumVals(df), mm) else withSumVals(df)
     val delta = base.changesBetween(from, to).select(
       (key +: (neededBaseCols :+ LakeTable.LsnCol :+ LakeTable.TombCol))
         .distinct.map(col): _*)
     val payload = delta.columns.filterNot(_ == key).toSeq
-    val rangeW = withSumVals(delta
+    val rangeW = withVals(delta
       .groupBy(col(key))
       .agg(max_by(struct(payload.map(col): _*), col(LakeTable.LsnCol)).as("_w"))
       .select(col(key) +: payload.map(c => col(s"_w.$c").as(c)): _*))
@@ -193,7 +231,7 @@ final class MatView private (
     // left join does both the key restriction and the pairing, with the
     // merge PROJECTED to the view-relevant columns — a (source, n_tok)
     // view over a token-array table never drags the arrays through it.
-    val beforeAll = withSumVals(
+    val beforeAll = withVals(
       base.beforeImages(from, to, neededBaseCols)
         .getOrElse(base.mergedWinners(Some(from), neededBaseCols)))
     val bCols = beforeAll.columns.filterNot(_ == key).toSeq
@@ -209,11 +247,93 @@ final class MatView private (
     val contribs = joined
       .filter(blsn.isNull || col(LakeTable.LsnCol) > blsn)
       .select(explode(array(
-        when(!col(LakeTable.TombCol), contribStruct("", +1)),
+        when(!col(LakeTable.TombCol), contribStruct("", +1, mm.size)),
         when(blsn.isNotNull && !col(s"_b_${LakeTable.TombCol}"),
-          contribStruct("_b_", -1)))).as("_c"))
+          contribStruct("_b_", -1, mm.size)))).as("_c"))
       .filter(col("_c").isNotNull)
       .select(col("_c.*"))
+    if (hybrid) {
+      // HYBRID: per group, fold cnt/sum deltas decomposably AND track the
+      // inserted-side / retracted-side extremes of every min/max agg.
+      // Zero-net groups are KEPT when any extreme value moved (a value-
+      // only update can shift a min without touching cnt or sums).
+      val insRet: Seq[Column] = mm.zipWithIndex.flatMap { case ((n, isMin, _), i) =>
+        val v = col(s"$MmValPrefix$i")
+        val ins = when(col(CntCol) > 0, v)
+        val ret = when(col(CntCol) < 0, v)
+        Seq((if (isMin) min(ins) else max(ins)).as(s"_ins_$n"),
+          (if (isMin) min(ret) else max(ret)).as(s"_ret_$n"))
+      }
+      val aggs = (sum(CntCol).as(CntCol) +:
+        sums.map(s => sum(s._1).as(s._1))) ++ insRet
+      val touched = mm.map(m => col(s"_ins_${m._1}").isNotNull ||
+          col(s"_ret_${m._1}").isNotNull)
+        .foldLeft(sums.map(s => col(s._1) =!= 0)
+          .foldLeft(col(CntCol) =!= 0)(_ || _))(_ || _)
+      val gdelta = contribs
+        .groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(touched)
+        .withColumn(KeyCol, gkey)
+      val curCols: Seq[Column] =
+        Seq(col(KeyCol), col(CntCol).as("_oc")) ++
+          sums.map(s => col(s._1).as(s"_o_${s._1}")) ++
+          mm.map(m => col(m._1).as(s"_om_${m._1}"))
+      val cur = table.read().select(curCols: _*)
+      // a group needs recomputing ONLY when a retraction's value reaches
+      // its stored extreme (removing the possible last witness of the
+      // min/max) — or, defensively, when a retraction exists with no
+      // stored row to compare against. Groups whose cnt reaches 0 are
+      // tombstoned outright, no recompute needed.
+      val needRec = mm.map { case (n, isMin, _) =>
+        val ret = col(s"_ret_$n"); val stored = col(s"_om_$n")
+        ret.isNotNull && (stored.isNull ||
+          (if (isMin) ret <= stored else ret >= stored))
+      }.reduce(_ || _)
+      val classified = gdelta.join(cur, Seq(KeyCol), "left")
+        .withColumn("_newCnt", coalesce(col("_oc"), lit(0L)) + col(CntCol))
+        .withColumn("_rec", needRec && col("_newCnt") =!= 0)
+        .localCheckpoint() // bounded: distinct touched groups
+      lastRecomputedGroups = classified.filter(col("_rec")).count()
+      val decCols: Seq[Column] =
+        Seq(when(col("_newCnt") === 0, "D").otherwise("U").as("op"),
+          col(KeyCol), lit(to).as("lsn")) ++
+          groupCols.map(col) ++
+          Seq(col("_newCnt").as(CntCol)) ++
+          sums.map(s =>
+            (coalesce(col(s"_o_${s._1}"), lit(0L)) + col(s._1)).as(s._1)) ++
+          mm.map { case (n, isMin, _) =>
+            // least/greatest skip nulls: a fresh group takes the inserted
+            // extreme, an untouched-extreme group keeps the stored one
+            val comb = if (isMin) least(col(s"_om_$n"), col(s"_ins_$n"))
+              else greatest(col(s"_om_$n"), col(s"_ins_$n"))
+            when(col("_newCnt") === 0, lit(null)).otherwise(comb).as(n)
+          }
+      val decRows = classified.filter(!col("_rec")).select(decCols: _*)
+      val rows =
+        if (lastRecomputedGroups == 0) decRows
+        else {
+          val recKeys = classified.filter(col("_rec"))
+            .select(col(KeyCol) +: groupCols.map(col): _*)
+          val rec = base.mergedWinners(Some(to), neededBaseCols)
+            .filter(!col(LakeTable.TombCol))
+            .drop(LakeTable.LsnCol, LakeTable.TombCol)
+            .withColumn(KeyCol, gkey)
+            .join(recKeys.select(col(KeyCol)), Seq(KeyCol), "left_semi")
+            .groupBy(col(KeyCol))
+            .agg(fullAggs.head, fullAggs.tail: _*)
+          val recCols: Seq[Column] =
+            Seq(when(col(CntCol).isNull, "D").otherwise("U").as("op"),
+              col(KeyCol), lit(to).as("lsn")) ++
+              groupCols.map(col) ++ aggNames.map(col)
+          decRows.unionByName(
+            recKeys.join(rec, Seq(KeyCol), "left").select(recCols: _*))
+        }
+      table.upsert(rows, epochId = to, reduce = false,
+        summary = Map("matview" -> s"($from,$to] hybrid"))
+      classified.unpersist()
+      return Some(to)
+    }
     if (recomputed.nonEmpty) {
       // affected-group recompute: non-decomposable aggregates (min/max/
       // distinct) cannot be retracted, so every group TOUCHED by the
@@ -225,6 +345,7 @@ final class MatView private (
       val affected = contribs.select(groupCols.map(col): _*).distinct()
         .withColumn(KeyCol, gkey)
         .localCheckpoint() // bounded: distinct touched groups
+      lastRecomputedGroups = affected.count()
       val rec = base.mergedWinners(Some(to), neededBaseCols)
         .filter(!col(LakeTable.TombCol))
         .drop(LakeTable.LsnCol, LakeTable.TombCol)
@@ -243,6 +364,7 @@ final class MatView private (
       return Some(to)
     }
 
+    lastRecomputedGroups = 0L // decomposable: never re-aggregates from base
     val gdelta = contribs
       .groupBy(groupCols.map(col): _*)
       .agg(sum(CntCol).as(CntCol),
@@ -288,6 +410,31 @@ final class MatView private (
 
 object MatView {
   private[lake] val KeyCol = "_g"
+
+  /** Parse a `recomputed` list as plain min/max aggregates: Some((name,
+    * isMin, innerSql)) for every entry iff EVERY entry is a bare
+    * `min(expr)` / `max(expr)` (no DISTINCT, no FILTER, one argument) —
+    * anything else (count distinct, …) returns None, keeping the full
+    * affected-group recompute path. Parse failures also return None:
+    * the hybrid path is an optimization, never a semantics change. */
+  private[lake] def parseMinMax(spark: SparkSession,
+      recomputed: Seq[(String, String)]): Option[Seq[(String, Boolean, String)]] = {
+    if (recomputed.isEmpty) return None
+    val parser = spark.sessionState.sqlParser
+    val parsed: Seq[Option[(String, Boolean, String)]] =
+      recomputed.map { case (n, sql) =>
+        try parser.parseExpression(sql) match {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if !f.isDistinct && f.filter.isEmpty && f.arguments.size == 1 &&
+                f.nameParts.size == 1 &&
+                Set("min", "max").contains(f.nameParts.head.toLowerCase) =>
+            Some((n, f.nameParts.head.equalsIgnoreCase("min"),
+              f.arguments.head.sql))
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
+  }
 
   /** Always-maintained row count per group (drives tombstoning). */
   val CntCol = "cnt"

@@ -372,4 +372,109 @@ class MatViewSpec extends SparkSpec {
     v.maintain()
     assert(viewSet(v) == Set(("g", 2L, 37L)))
   }
+
+  test("hybrid min/max: insert-only and below-extreme folds never touch base; " +
+      "at-extreme retractions recompute ONLY the hit group") {
+    val dir = tmpDir("mv11")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    val mk = (op: String, id: String, lsn: Long, tok: Int, src: String) =>
+      (op, id, lsn, Seq(tok), src)
+    def apply(rows: Seq[(String, String, Long, Seq[Int], String)], e: Long): Unit = {
+      val df = rows.toDF("op", "doc_id", "lsn", "tokens", "source")
+        .select(col("op"), col("doc_id"), col("lsn"),
+          current_timestamp().as("ts"), col("tokens"),
+          size(col("tokens")).cast("int").as("n_tok"), col("source"))
+      CdcIngest.applyBatch(base, df, epochId = e)
+    }
+    def mmSet(v: MatView): Set[(String, Long, Int, Int)] =
+      v.read().select(col("source"), col("cnt"), col("mn"), col("mx"))
+        .as[(String, Long, Int, Int)].collect().toSet
+
+    // g1: {10, 20, 30}   g2: {5, 7}
+    apply(Seq(mk("I", "a", 1L, 10, "g1"), mk("I", "b", 2L, 20, "g1"),
+      mk("I", "c", 3L, 30, "g1"), mk("I", "d", 4L, 5, "g2"),
+      mk("I", "e", 5L, 7, "g2")), 0L)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      recomputed = Seq("mn" -> "min(element_at(tokens, 1))",
+        "mx" -> "max(element_at(tokens, 1))"))
+    v.maintain() // bootstrap
+    assert(mmSet(v) == Set(("g1", 3L, 10, 30), ("g2", 2L, 5, 7)))
+
+    // insert-only fold: extremes decomposable, ZERO base re-aggregation
+    apply(Seq(mk("I", "f", 6L, 2, "g1"), mk("I", "g", 7L, 9, "g2")), 1L)
+    v.maintain()
+    assert(v.lastRecomputedGroups == 0L)
+    assert(mmSet(v) == Set(("g1", 4L, 2, 30), ("g2", 3L, 5, 9)))
+
+    // delete strictly inside (20 ∈ g1 is neither min nor max): no recompute
+    apply(Seq(mk("D", "b", 8L, 20, "g1")), 2L)
+    v.maintain()
+    assert(v.lastRecomputedGroups == 0L)
+    assert(mmSet(v) == Set(("g1", 3L, 2, 30), ("g2", 3L, 5, 9)))
+
+    // delete g1's max holder: recompute exactly ONE group (g2 untouched)
+    apply(Seq(mk("D", "c", 9L, 30, "g1")), 3L)
+    v.maintain()
+    assert(v.lastRecomputedGroups == 1L)
+    assert(mmSet(v) == Set(("g1", 2L, 2, 10), ("g2", 3L, 5, 9)))
+
+    // value-only update moving a min DOWN (7→3; neither old nor new value
+    // is at a stored extreme): insert side absorbs it, no recompute
+    apply(Seq(mk("U", "e", 10L, 3, "g2")), 4L)
+    v.maintain()
+    assert(v.lastRecomputedGroups == 0L)
+    assert(mmSet(v) == Set(("g1", 2L, 2, 10), ("g2", 3L, 3, 9)))
+
+    // value-only update of the min holder UP (3→8): retraction at the
+    // stored extreme → that one group recomputes (the old witness is gone)
+    apply(Seq(mk("U", "e", 11L, 8, "g2")), 5L)
+    v.maintain()
+    assert(v.lastRecomputedGroups == 1L)
+    assert(mmSet(v) == Set(("g1", 2L, 2, 10), ("g2", 3L, 5, 9)))
+
+    // group vanishes entirely via deletes: tombstoned without recompute
+    apply(Seq(mk("D", "a", 12L, 2, "g1"), mk("D", "f", 13L, 2, "g1")), 6L)
+    v.maintain()
+    assert(v.lastRecomputedGroups == 0L)
+    assert(mmSet(v) == Set(("g2", 3L, 5, 9)))
+
+    // a reloaded view keeps the hybrid behavior (def round-trips)
+    apply(Seq(mk("I", "h", 14L, 4, "g2")), 7L)
+    val r = MatView.load(spark, s"$dir/v", base)
+    r.maintain()
+    assert(r.lastRecomputedGroups == 0L)
+    assert(mmSet(r) == Set(("g2", 4L, 4, 9)))
+  }
+
+  test("hybrid stays exact on the generative feed (deletes + group migration)") {
+    val dir = tmpDir("mv12")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      sums = Seq("sum_tok0" -> "element_at(tokens, 1)"),
+      recomputed = Seq("min_tok0" -> "min(element_at(tokens, 1))",
+        "max_ntok" -> "max(n_tok)"))
+    def expected: Set[(String, Long, Long, Int, Int)] =
+      base.read().groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(element_at(col("tokens"), 1).cast("long"), lit(0L))).as("s"),
+          min(element_at(col("tokens"), 1)).as("mn"),
+          max(col("n_tok")).as("mx"))
+        .as[(String, Long, Long, Int, Int)].collect().toSet
+    def got: Set[(String, Long, Long, Int, Int)] =
+      v.read().select(col("source"), col("cnt"), col("sum_tok0"),
+          col("min_tok0"), col("max_ntok"))
+        .as[(String, Long, Long, Int, Int)].collect().toSet
+    (0 until 4).foreach { c =>
+      replayChunks(dir, base, chunks = 4, from = c, until = c + 1)
+      assert(v.maintain().contains(base.currentSnapshotId))
+      assert(got == expected)
+    }
+    // mixed min/max + count-distinct still routes to the legacy full
+    // recompute path (count distinct cannot ride the hybrid fold)
+    val v2 = MatView.create(spark, s"$dir/v2", base, Seq("source"),
+      recomputed = Seq("mn" -> "min(n_tok)", "nd" -> "count(distinct doc_id)"))
+    v2.maintain()
+    assert(v2.lastRecomputedGroups == -1L) // bootstrap, not a fold
+  }
 }
