@@ -328,15 +328,33 @@ object DedupIngest {
     survivors
   }
 
+  /** Where [[run]] keeps the band table when the caller doesn't name a
+    * root: under the index's own `aux/` dir (the lake's convention for
+    * derived side-state — readers never descend into it), so the probe
+    * layout travels with the index it serves.
+    */
+  def defaultBandRoot(indexRoot: String): String = s"$indexRoot/aux/bands"
+
   /** The streaming runner: every micro-batch flows through
     * [[admitBatch]]; the index's epoch check plus the streaming
     * checkpoint give end-to-end exactly-once admission across crashes.
+    *
+    * The band-keyed probe layout is the DEFAULT (`bandIndex = true`,
+    * band table at [[defaultBandRoot]] unless `bandRoot` overrides): a
+    * steady-state trigger probes a few band-range files instead of
+    * scanning the whole admitted index (ref analog: index config is the
+    * repository default, repository.clj:131-136). An index that
+    * previously ran without the layout backfills on first run via
+    * [[ensureBandTable]]'s gap repair. `bandIndex = false` opts out
+    * (full-scan probe — the right call only when batches routinely
+    * exceed [[MaxProbeKeys]] distinct bands, where pruning cannot win).
     */
   def run(docs: DataFrame, indexRoot: String, checkpointDir: String,
           numBuckets: Int = 8, maxLen: Int = 64, maxDist: Int = 3,
           docsRoot: Option[String] = None,
           maxFilesPerBucket: Int = 0,
           bandRoot: Option[String] = None,
+          bandIndex: Boolean = true,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
     // create the sinks once, up front — a first-batch race between the
@@ -349,7 +367,8 @@ object DedupIngest {
     // dominates small micro-batches)
     val out = docsRoot.map(r => docsLakeTable(spark, r, docsSchema, numBuckets))
     val idx = indexTable(spark, indexRoot, numBuckets)
-    val bands = bandRoot.map(r => ensureBandTable(spark, idx, r))
+    val bands = bandRoot.orElse(if (bandIndex) Some(defaultBandRoot(indexRoot)) else None)
+      .map(r => ensureBandTable(spark, idx, r))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
