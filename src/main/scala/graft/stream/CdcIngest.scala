@@ -161,11 +161,23 @@ object CdcIngest {
     * @param views [[graft.lake.Maintainable]] derived tables (aggregate
     *   [[graft.lake.MatView]]s over THIS table, [[graft.lake.JoinView]]s
     *   with this table on either side), caught up
-    *   after every committed batch — derived aggregates stay fresh with
-    *   the ingest, each fold bounded by the batch. View maintenance has
-    *   its own exactly-once (view epochs = base snapshot ids), so a
-    *   crash between the base commit and a view fold self-heals on the
-    *   next batch, and a replayed batch never double-folds.
+    *   on the [[run]]'s `maintainEvery` cadence — derived aggregates stay
+    *   fresh with the ingest, each fold bounded by the folded range. View
+    *   maintenance has its own exactly-once (view epochs = base snapshot
+    *   ids), so a crash between the base commit and a view fold
+    *   self-heals on the next maintenance point, and a replayed batch
+    *   never double-folds.
+    * @param maintainEvery fold attached views forward every this-many
+    *   batches (default 1 = after every batch). A fold has a fixed
+    *   per-maintain floor (metadata read, winner pairing) on top of its
+    *   O(range) term, so at small-batch cadence K-batch folding amortizes
+    *   the floor K× while the view lags the base by at most K−1 batches —
+    *   the bounded-staleness policy knob. Catch-up folds the WHOLE
+    *   accrued range in one maintain (multi-snapshot before-images), and
+    *   the lag never extends past the stream: call `catchUpAll()` after
+    *   `awaitTermination` for a final sync, or rely on the next run's
+    *   first maintenance point (catch-up heals any lag, including
+    *   crash-left lag).
     */
   def run(spark: SparkSession, feedDir: String, table: LakeTable,
           checkpointDir: String, maxFilesPerTrigger: Int = 4,
@@ -179,8 +191,10 @@ object CdcIngest {
           schema: org.apache.spark.sql.types.StructType = Schemas.changeEvent,
           autoEvolve: Boolean = false,
           views: Seq[graft.lake.Maintainable] = Seq.empty,
+          maintainEvery: Int = 1,
           capturePreimages: Boolean = false,
           preimageColumns: Seq[String] = Seq.empty): StreamingQuery = {
+    require(maintainEvery > 0, s"maintainEvery must be positive: $maintainEvery")
     // feed codec by explicit format, else extension sniff (S3 registry);
     // maxFilesPerTrigger is the bounded-buffer backpressure knob — the
     // recast of the reference's 32-slot parse queue (io.clj:649-650)
@@ -195,6 +209,9 @@ object CdcIngest {
     // never trusts a stale decision)
     var saltedRoute = false
     var sinceProbe = Int.MaxValue
+    // views cadence state (driver-side; resets on restart — the first
+    // maintenance point after a resume heals any accrued lag via catchUp)
+    var sinceMaintain = 0
     deduped.writeStream
       .queryName("graft-cdc-ingest")
       .option("checkpointLocation", checkpointDir)
@@ -230,10 +247,16 @@ object CdcIngest {
           val victims = table.compactionCandidates(maxFilesPerBucket)
           if (victims.nonEmpty) table.compactBuckets(victims)
         }
-        // derived views fold forward after the base commit (catchUp also
-        // heals any lag a previous crash left behind); a skipped replay
-        // batch still catches up — the folds themselves are epoch-gated
-        views.foreach(_.catchUpAll())
+        // derived views fold forward on the maintainEvery cadence
+        // (catchUp also heals any lag a previous crash left behind); a
+        // skipped replay batch still counts toward the cadence — the
+        // folds themselves are epoch-gated, so an extra catch-up is at
+        // worst a no-op, never a double fold
+        sinceMaintain += 1
+        if (sinceMaintain >= maintainEvery) {
+          views.foreach(_.catchUpAll())
+          sinceMaintain = 0
+        }
         ()
       }
       .start()

@@ -351,6 +351,46 @@ class MatViewSpec extends SparkSpec {
     assert(viewSet(v) == recompute(base))
   }
 
+  test("maintainEvery=4: view folds on the cadence, lands fold-oracle exact") {
+    val dir = tmpDir("mv13")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 8)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("sum_tok0" -> "element_at(tokens, 1)"))
+    // one file per micro-batch; K=4 → the view maintains once per FOUR
+    // base commits (each maintenance point = ONE multi-snapshot fold),
+    // not once per batch
+    CdcIngest.run(spark, s"$dir/feed", base, s"$dir/ckpt",
+      maxFilesPerTrigger = 1, views = Seq(v), maintainEvery = 4)
+      .awaitTermination()
+    val nb = base.snapshots.size
+    assert(nb >= 8, s"need enough batches to see the cadence, got $nb")
+    assert(v.table.snapshots.size == nb / 4,
+      s"K=4 over $nb batches must fold ${nb / 4} times, " +
+        s"got ${v.table.snapshots.size}")
+    if (nb % 4 == 0)
+      assert(v.table.lastCommittedEpoch == base.currentSnapshotId)
+    else // bounded staleness: at most K−1 batches behind, healed on demand
+      assert(v.table.lastCommittedEpoch < base.currentSnapshotId)
+    v.catchUpAll()
+    assert(viewSet(v) == recompute(base))
+    // restart with ONE more feed file: under K=4 the lone batch is below
+    // the cadence, the view stays lagging, and an explicit catchUp syncs
+    ChangeFeed.writeFeed(spark,
+      cfg.copy(seed = 9L, numEvents = 400L), s"$dir/feed2", chunks = 1)
+    spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed2")
+      .withColumn("lsn", col("lsn") + lit(cfg.numEvents))
+      .coalesce(1).write.mode("append").parquet(s"$dir/feed")
+    CdcIngest.run(spark, s"$dir/feed", base, s"$dir/ckpt",
+      maxFilesPerTrigger = 1, views = Seq(v), maintainEvery = 4)
+      .awaitTermination()
+    assert(base.snapshots.size == nb + 1, "exactly one new batch expected")
+    assert(v.table.lastCommittedEpoch < base.currentSnapshotId,
+      "1 batch under K=4 must leave the view lagging (bounded staleness)")
+    v.catchUpAll()
+    assert(viewSet(v) == recompute(base))
+  }
+
   test("value-only update (same group, same count) still moves the sum") {
     val dir = tmpDir("mv5")
     val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
