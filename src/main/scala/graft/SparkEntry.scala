@@ -608,6 +608,38 @@ object SparkEntry {
         concat(lit("http://example.org/source/"), col("source")).as("source"))
       Turtle.serializeTrig(stmts, m)
     }),
+    "q88_typed_rdf" -> ((s, dir) => { implicit val sp = s
+      // TYPED statement model end-to-end (the constructs of the
+      // reference's rdf-types.ttl / 1.nt fixtures over real table data;
+      // Rio term model io.clj:649-678): documents → typed statements
+      // (IRI objects, xsd:integer-typed literals, language-tagged
+      // literals) → N-Triples serialisation → parse — the full
+      // parse ∘ serialise loop, gate-verified against the oracle's
+      // direct reconstruction of the typed columns
+      val d = t(dir, "documents")
+      def subj = concat(lit("http://example.org/doc/"), col("doc_id"))
+      val xsd = graft.sources.RdfTerms.XsdNs
+      def nul = lit(null).cast("string")
+      val stmts = d.select(subj.as("subject"),
+          lit("http://purl.org/dc/terms/language").as("predicate"),
+          concat(lit("http://lexvo.org/id/iso639-1/"), col("lang")).as("object"),
+          lit("iri").as("okind"), nul.as("lang"), nul.as("datatype"))
+        .unionAll(d.select(subj.as("subject"),
+          lit("http://example.org/meta#n_chars").as("predicate"),
+          col("n_chars").cast("string").as("object"),
+          lit("literal").as("okind"), nul.as("lang"),
+          lit(xsd + "integer").as("datatype")))
+        .unionAll(d.select(subj.as("subject"),
+          lit("http://purl.org/dc/terms/title").as("predicate"),
+          substring(col("text"), 1, 8).as("object"),
+          lit("literal").as("okind"), col("lang").as("lang"),
+          nul.as("datatype")))
+      val root = s"${sys.props("java.io.tmpdir")}/graft-q88-" +
+        s"${s.sparkContext.applicationId}-" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.NQuads.write(stmts, s"$root/out.nt")
+      graft.sources.NQuads.read(s, s"$root/out.nt")
+        .select("subject", "predicate", "object", "okind", "lang", "datatype")
+    }),
     "q80_jsonld" -> ((s, dir) => { implicit val sp = s
       // JSON-LD flat line serialisation (formats.clj:8-19 :jsonld):
       // triple nodes + @graph-wrapped quad nodes, escaping shared with
@@ -697,6 +729,9 @@ object SparkEntry {
           "dct" -> "http://purl.org/dc/terms/"))
       try
         graft.sources.Http.read(s, srv.url, accept = Seq("text/turtle"))
+          // plain-literal feed: project the legacy statement columns (the
+          // typed okind/lang/datatype model is oracled by q88)
+          .select("subject", "predicate", "object")
           .localCheckpoint() // materialise before the server stops
       finally srv.stop()
     }),
@@ -1509,6 +1544,24 @@ object SparkEntry {
            replace(replace(replace(replace(replace(lang,
              '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
            || '" . }' AS value FROM documents""",
+    "q88_typed_rdf" ->
+      """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS subject,
+           'http://purl.org/dc/terms/language' AS predicate,
+           'http://lexvo.org/id/iso639-1/' || lang AS object,
+           'iri' AS okind, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS VARCHAR) AS datatype
+         FROM documents
+         UNION ALL
+         SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR),
+           'http://example.org/meta#n_chars', CAST(n_chars AS VARCHAR),
+           'literal', CAST(NULL AS VARCHAR),
+           'http://www.w3.org/2001/XMLSchema#integer'
+         FROM documents
+         UNION ALL
+         SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR),
+           'http://purl.org/dc/terms/title', substr(text, 1, 8),
+           'literal', lang, CAST(NULL AS VARCHAR)
+         FROM documents""",
     "q80_jsonld" ->
       """SELECT '{"@id":"http://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
            '","http://purl.org/dc/terms/language":[{"@value":"' ||

@@ -65,15 +65,19 @@ object NQuads {
 
   /** One N-Quads / N-Triples line per statement row. Frames without a
     * `source` column — or rows whose source is null — emit triple lines.
+    * Typed statement frames (carrying [[RdfTerms.TypedCols]]) render IRI
+    * objects, bnodes and language/datatype literal suffixes; legacy
+    * frames render plain quoted literals exactly as before.
     */
   def serialize(statements: DataFrame): DataFrame = {
     val head = concat(
-      lit("<"), col("subject"), lit("> <"), col("predicate"),
-      lit("> \""), esc(col("object")), lit("\""))
+      RdfTerms.renderResource(col("subject")), lit(" <"), col("predicate"),
+      lit("> "), RdfTerms.renderObject(statements))
     val line =
       if (!statements.columns.contains("source")) concat(head, lit(" ."))
       else when(col("source").isNull, concat(head, lit(" .")))
-        .otherwise(concat(head, lit(" <"), col("source"), lit("> .")))
+        .otherwise(concat(head, lit(" "),
+          RdfTerms.renderResource(col("source")), lit(" .")))
     statements.select(line.as("value"))
   }
 
@@ -103,9 +107,18 @@ object NQuads {
         lines.mkString("", "\n", "\n"))
     }
 
-  private val QuadLine = "^<([^>]*)> <([^>]*)> \"(.*)\" <([^>]*)> \\.$"
-  private val TripleLine = "^<([^>]*)> <([^>]*)> \"(.*)\" \\.$"
-  private[sources] val PrefixLine = "^@prefix ([^:]+): <([^>]*)> \\.$"
+  // full N-Triples/N-Quads term grammar: bnode subjects/graphs, and the
+  // complete object-term alternation (IRI / bnode / plain / @lang /
+  // ^^<datatype> literal) from [[RdfTerms.objTokenPat]]. Groups: subject,
+  // predicate-IRI, object token[, graph].
+  private val ResTok = "(<[^>]*>|_:\\S+)"
+  private val QuadLine =
+    s"^$ResTok <([^>]*)> (${RdfTerms.objTokenPat(turtle = false)}) $ResTok \\.$$"
+  private val TripleLine =
+    s"^$ResTok <([^>]*)> (${RdfTerms.objTokenPat(turtle = false)}) \\.$$"
+  // prefix names may be EMPTY (`@prefix : <ns> .` — the default
+  // namespace, the reference fixtures' own shape)
+  private[sources] val PrefixLine = "^@prefix ([^:\\s]*): <([^>]*)> \\.$"
 
   /** Comment handling (C2 — the reference strips `#` comments from query
     * text before processing, `strip-comments`
@@ -144,10 +157,14 @@ object NQuads {
       .otherwise(line)
   }
 
-  /** Parse an N-Quads/N-Triples file back into a statement frame. Triple
-    * lines surface with `source = null` (triple = quad with nil context).
-    * `@prefix` header lines are metadata, not data — dropped here, read
-    * via [[readPrefixes]]. Comment lines and grammar-guarded trailing
+  /** Parse an N-Quads/N-Triples file back into a TYPED statement frame
+    * `(subject, predicate, object, okind, lang, datatype, source)` —
+    * the full term grammar: IRI / bnode / language-tagged / datatyped
+    * objects ([[RdfTerms.parseObject]]), bnode subjects and graphs
+    * (riding as their raw `_:label` token). Triple lines surface with
+    * `source = null` (triple = quad with nil context). `@prefix` header
+    * lines are metadata, not data — dropped here, read via
+    * [[readPrefixes]]. Comment lines and grammar-guarded trailing
     * comments are stripped (C2, [[stripTrailingComment]]). Malformed
     * lines surface as all-null rows — distinguishable from data, since
     * regexp_extract alone would return empty strings (route them through
@@ -158,20 +175,29 @@ object NQuads {
     val isQuad = col("value").rlike(QuadLine)
     val isTriple = col("value").rlike(TripleLine)
     def grp(pattern: String, i: Int): Column = regexp_extract(col("value"), pattern, i)
-    def pick(i: Int): Column =
+    def tok(i: Int): Column =
       when(isQuad, grp(QuadLine, i))
         .when(isTriple && lit(i) <= 3, grp(TripleLine, i))
         .otherwise(lit(null).cast("string"))
+    // `<iri>` unwraps; `_:label` rides raw (self-describing — IRIs can
+    // never start with `_:`)
+    def res(c: Column): Column =
+      when(c.startsWith("<"), c.substr(lit(2), length(c) - 2)).otherwise(c)
+    val parsedObj = RdfTerms.parseObject(tok(3))
     spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0) // blank lines are not statements
       .filter(!col("value").rlike(FullLineComment))
       .select(stripTrailingComment(col("value"),
         Seq(QuadLine, TripleLine, PrefixLine)).as("value"))
       .filter(!col("value").rlike(PrefixLine))
       .select(
-        pick(1).as("subject"),
-        pick(2).as("predicate"),
-        unesc(pick(3)).as("object"),
-        pick(4).as("source"))
+        res(tok(1)).as("subject"),
+        tok(2).as("predicate"),
+        parsedObj(0).as("object"),
+        parsedObj(1).as("okind"),
+        parsedObj(2).as("lang"),
+        parsedObj(3).as("datatype"),
+        res(tok(4)).as("source"))
   }
 
   /** The prefix header of a written statement file (empty map when none).

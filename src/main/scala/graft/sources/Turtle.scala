@@ -60,17 +60,24 @@ object Turtle {
   /** THE statement-line body — one definition shared by the Turtle and
     * TriG serialisers so escaping/CURIE fixes cannot drift between the
     * two formats (the same single-definition rule as
-    * [[NQuads.writePrefixHeader]]).
+    * [[NQuads.writePrefixHeader]]). Typed statement frames render IRI
+    * objects as CURIE-compacted terms, bnodes raw, and literal
+    * `@lang`/`^^dt` suffixes (datatypes CURIE-compacted too); legacy
+    * frames render plain quoted literals exactly as before.
     */
-  private def lineBody(prefixes: Map[String, String]): Column = concat(
-    iriTerm(col("subject"), prefixes), lit(" "),
-    predicateTerm(col("predicate"), prefixes), lit(" \""),
-    NQuads.esc(col("object")), lit("\" ."))
+  private def lineBody(statements: DataFrame,
+                       prefixes: Map[String, String]): Column = {
+    val compact = Some((c: Column) => iriTerm(c, prefixes))
+    concat(
+      RdfTerms.renderResource(col("subject"), compact), lit(" "),
+      predicateTerm(col("predicate"), prefixes), lit(" "),
+      RdfTerms.renderObject(statements, compact), lit(" ."))
+  }
 
   /** One Turtle statement line per (subject, predicate, object) row. */
   def serialize(statements: DataFrame,
                 prefixes: Map[String, String] = Map.empty): DataFrame =
-    statements.select(lineBody(prefixes).as("value"))
+    statements.select(lineBody(statements, prefixes).as("value"))
 
   /** Distributed text write with the `@prefix` header file (same
     * name-sorts-first mechanics as [[NQuads.write]]).
@@ -92,9 +99,11 @@ object Turtle {
                     prefixes: Map[String, String] = Map.empty): DataFrame = {
     if (!statements.columns.contains("source"))
       return serialize(statements, prefixes) // all-triple frame = Turtle
-    val body = lineBody(prefixes)
+    val body = lineBody(statements, prefixes)
     val line = when(col("source").isNull, body)
-      .otherwise(concat(iriTerm(col("source"), prefixes), lit(" { "),
+      .otherwise(concat(
+        RdfTerms.renderResource(col("source"),
+          Some((c: Column) => iriTerm(c, prefixes))), lit(" { "),
         body, lit(" }")))
     statements.select(line.as("value"))
   }
@@ -134,7 +143,10 @@ object Turtle {
       when(isQuad, f(g(TrigLine, quadIdx)))
         .when(isTriple && lit(tripleIdx) > 0, f(g(Line, tripleIdx)))
         .otherwise(lit(null).cast("string"))
+    val parsedObj = RdfTerms.parseObject(pick(4, 3)(identity),
+      turtle = true, prefixes = prefixes)
     spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0) // blank lines are not statements
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"),
         Seq(TrigLine, Line, PrefixLine)).as("value"))
@@ -142,34 +154,60 @@ object Turtle {
       .select(
         pick(2, 1)(resolve).as("subject"),
         pick(3, 2)(pred).as("predicate"),
-        pick(4, 3)(NQuads.unesc).as("object"),
+        parsedObj(0).as("object"),
+        parsedObj(1).as("okind"),
+        parsedObj(2).as("lang"),
+        parsedObj(3).as("datatype"),
         pick(1, -1)(resolve).as("source"))
   }
 
-  private val Line = "^(\\S+) (\\S+) \"(.*)\" \\.$"
-  private val TrigLine = "^(\\S+) \\{ (\\S+) (\\S+) \"(.*)\" \\. \\}$"
-  private val PrefixLine = "^@prefix ([^:]+): <([^>]*)> \\.$"
+  // full Turtle object-term alternation ([[RdfTerms.objTokenPat]]):
+  // quoted literals (escape-aware) with @lang / ^^<iri> / ^^curie
+  // suffixes, <iri>, _:bnode, and the bare shorthands (boolean /
+  // integer / decimal / double / CURIE)
+  private val Line = s"^(\\S+) (\\S+) (${RdfTerms.objTokenPat(turtle = true)}) \\.$$"
+  private val TrigLine =
+    s"^(\\S+) \\{ (\\S+) (\\S+) (${RdfTerms.objTokenPat(turtle = true)}) \\. \\}$$"
+  private val PrefixLine = NQuads.PrefixLine
 
-  /** Parse a Turtle file written by [[write]] back into a statement
-    * frame, resolving CURIEs against the file's own `@prefix` header
-    * (read driver-side first — bounded by the prefix count) and `a` back
-    * to rdf:type. Malformed lines surface as all-null rows, same
-    * contract as [[NQuads.read]].
+  /** Parse a Turtle file back into a TYPED statement frame `(subject,
+    * predicate, object, okind, lang, datatype)`, resolving CURIEs
+    * against the file's own `@prefix` header (read driver-side first —
+    * bounded by the prefix count) and `a` back to rdf:type. Beyond the
+    * engine's own output, this reads the single-line constructs of
+    * third-party Turtle — IRI/CURIE objects, language tags, typed
+    * literals (`^^xsd:…` or `^^<…>`), bare boolean/integer/decimal/
+    * double shorthands, bnode subjects/objects (the reference's own
+    * fixtures `rdf-types.ttl`, `1.nt`, `bnodes.nt` — FormatSpec reads
+    * them verbatim). Multiline literals, predicate/object lists and
+    * bnode property paths are NOT line-expressible: such lines surface
+    * as all-null rows, same contract as [[NQuads.read]].
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val prefixes = NQuads.readPrefixes(spark, path)
     def grp(i: Int): Column = regexp_extract(col("value"), Line, i)
     def resolve(t: Column): Column = resolveTerm(t, prefixes)
     val ok = col("value").rlike(Line)
+    def tok(i: Int): Column =
+      when(ok, grp(i)).otherwise(lit(null).cast("string"))
+    val parsedObj = RdfTerms.parseObject(tok(3),
+      turtle = true, prefixes = prefixes)
     spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0) // blank lines are not statements
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"),
         Seq(Line, PrefixLine)).as("value"))
       .filter(!col("value").rlike(PrefixLine))
       .select(
-        when(ok, resolve(grp(1))).otherwise(lit(null).cast("string")).as("subject"),
-        when(ok, resolvePred(grp(2), prefixes))
-          .otherwise(lit(null).cast("string")).as("predicate"),
-        when(ok, NQuads.unesc(grp(3))).otherwise(lit(null).cast("string")).as("object"))
+        tok(1).cast("string").as("_s"),
+        tok(2).cast("string").as("_p"),
+        parsedObj(0).as("object"),
+        parsedObj(1).as("okind"),
+        parsedObj(2).as("lang"),
+        parsedObj(3).as("datatype"))
+      .select(
+        resolve(col("_s")).as("subject"),
+        resolvePred(col("_p"), prefixes).as("predicate"),
+        col("object"), col("okind"), col("lang"), col("datatype"))
   }
 }

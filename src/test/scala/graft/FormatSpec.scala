@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
+
 import graft.sources.{BinaryRdf, JsonLd, NQuads, RdfJson, RdfXml, StatementFormats, Trix, Turtle}
 
 /** Round-trip and escaping behavior of the round-5 format additions
@@ -42,6 +44,7 @@ class FormatSpec extends SparkSpec {
     val dir2 = tmpDir("jsonld-nq")
     NQuads.write(quadFrame, s"$dir2/out.nq")
     val viaNq = NQuads.read(spark, s"$dir2/out.nq")
+      .select("subject", "predicate", "object", "source")
     assert(back.exceptAll(viaNq).isEmpty && viaNq.exceptAll(back).isEmpty)
   }
 
@@ -96,6 +99,7 @@ class FormatSpec extends SparkSpec {
     val dir2 = tmpDir("trix-nq")
     NQuads.write(quadFrame, s"$dir2/out.nq")
     val viaNq = NQuads.read(spark, s"$dir2/out.nq")
+      .select("subject", "predicate", "object", "source")
     assert(back.exceptAll(viaNq).isEmpty && viaNq.exceptAll(back).isEmpty)
   }
 
@@ -198,5 +202,92 @@ class FormatSpec extends SparkSpec {
         want.exceptAll(gotAligned).isEmpty,
         s"format $fmt did not round-trip over HTTP")
     } finally srv.stop()
+  }
+
+  // ---- the reference's own fixtures (grafter.io/dev/resources/grafter/
+  // rdf/{1.nt, bnodes.nt, rdf-types.ttl}) — IRI objects, bnodes, typed
+  // literals, the constructs a grafter user's FIRST real input carries ----
+
+  private val RefRdf = "/root/reference/grafter.io/dev/resources/grafter/rdf"
+  private def refFixture(name: String): String = {
+    val p = s"$RefRdf/$name"
+    assume(new java.io.File(p).exists(), s"reference fixture $p not present")
+    p
+  }
+  private val Xsd = "http://www.w3.org/2001/XMLSchema#"
+
+  test("reference fixture 1.nt: IRI object parses as okind=iri") {
+    val one = NQuads.read(spark, refFixture("1.nt")).collect()
+    assert(one.length == 1)
+    val r = one(0)
+    assert(r.getString(0) == "http://one" && r.getString(1) == "http://lonely")
+    assert(r.getString(2) == "http://triple" && r.getString(3) == "iri")
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("reference fixture bnodes.nt: bnode object AND subject round-trip") {
+    val rows = NQuads.read(spark, refFixture("bnodes.nt"))
+    assert(rows.count() == 2)
+    val byKind = rows.collect().map(r => r.getString(3) ->
+      (r.getString(0), r.getString(2))).toMap
+    assert(byKind("bnode") == ("http://foo", "_:bnode1"))
+    assert(byKind("iri") == ("_:bnode1", "http://bar"))
+    // round-trip: serialise the typed frame and parse it back identically
+    val dir = tmpDir("refbn")
+    NQuads.write(rows, s"$dir/out.nt")
+    val back = NQuads.read(spark, s"$dir/out.nt")
+    assert(back.exceptAll(rows).isEmpty && rows.exceptAll(back).isEmpty)
+  }
+
+  test("reference fixture rdf-types.ttl: every typed-literal construct") {
+    val rows = Turtle.read(spark, refFixture("rdf-types.ttl"))
+    val got = rows.collect().map(r => r.getString(0) ->
+      (r.getString(2), r.getString(3), Option(r.getString(5)))).toMap
+    assert(got.size == 7, got.mkString("\n"))
+    // CURIE subjects/predicates expand against the DEFAULT (empty) prefix
+    assert(got("http://example/boolean") ==
+      (("true", "literal", Some(s"${Xsd}boolean"))))
+    assert(got("http://example/date") ==
+      (("2015-01-01T00:00:00Z", "literal", Some(s"${Xsd}dateTime"))))
+    assert(got("http://example/decimal") ==
+      (("1.2", "literal", Some(s"${Xsd}decimal"))))
+    assert(got("http://example/double") ==
+      (("1.0e6", "literal", Some(s"${Xsd}double"))))
+    assert(got("http://example/float") ==
+      (("0.4", "literal", Some(s"${Xsd}float"))))
+    assert(got("http://example/integer") ==
+      (("10", "literal", Some(s"${Xsd}integer"))))
+    assert(got("http://example/string") == (("hello", "literal", None)))
+    // round-trip through the N-family (typed literals as "lex"^^<dt>)
+    val dir = tmpDir("reftypes")
+    NQuads.write(rows.withColumn("source", lit(null).cast("string")),
+      s"$dir/out.nt")
+    val back = NQuads.read(spark, s"$dir/out.nt").drop("source")
+    assert(back.exceptAll(rows).isEmpty && rows.exceptAll(back).isEmpty)
+    // and through Turtle itself with CURIE-compacted datatypes
+    Turtle.write(rows, s"$dir/out.ttl", Map("xsd" -> Xsd, "" -> "http://example/"))
+    val lines = spark.read.text(s"$dir/out.ttl").collect().map(_.getString(0))
+    assert(lines.exists(_.contains("\"1.2\"^^xsd:decimal")), lines.mkString("\n"))
+    val viaTtl = Turtle.read(spark, s"$dir/out.ttl")
+    assert(viaTtl.exceptAll(rows).isEmpty && rows.exceptAll(viaTtl).isEmpty)
+  }
+
+  test("lang-tagged literals round-trip through N-Triples and Turtle") {
+    val dir = tmpDir("langlit")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "in.nt"),
+      "<http://d1> <http://p> \"bonjour\"@fr .\n" +
+        "<http://d1> <http://p> \"hello\"@en-GB .\n")
+    val rows = NQuads.read(spark, s"$dir/in.nt")
+    assert(rows.select("lang").as[String].collect().toSet == Set("fr", "en-GB"))
+    assert(rows.select("okind").distinct().as[String].collect().toSeq ==
+      Seq("literal"))
+    NQuads.write(rows, s"$dir/out.nt")
+    val back = NQuads.read(spark, s"$dir/out.nt")
+    assert(back.exceptAll(rows).isEmpty && rows.exceptAll(back).isEmpty)
+    Turtle.write(rows.drop("source"), s"$dir/out.ttl")
+    val viaTtl = Turtle.read(spark, s"$dir/out.ttl")
+    assert(viaTtl.exceptAll(rows.drop("source")).isEmpty &&
+      rows.drop("source").exceptAll(viaTtl).isEmpty)
   }
 }

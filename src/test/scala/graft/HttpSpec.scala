@@ -36,15 +36,20 @@ class HttpSpec extends SparkSpec {
 
   test("negotiation: Accept picks the served format; Content-Type drives the parse") {
     withServer() { srv =>
+      // typed-model columns ride along; negotiation compares the legacy
+      // statement columns
+      def legacy(df: org.apache.spark.sql.DataFrame) =
+        df.select(df.columns.filterNot(
+          graft.sources.RdfTerms.TypedCols.contains).map(col): _*)
       // quads ask → quads back, graph column intact
-      val nq = Http.read(spark, srv.url, accept = Seq("application/n-quads"))
+      val nq = legacy(Http.read(spark, srv.url, accept = Seq("application/n-quads")))
       assert(nq.exceptAll(stmts).isEmpty && stmts.exceptAll(nq).isEmpty)
       // turtle ask → triples back (turtle carries no graph), CURIEs resolved
-      val ttl = Http.read(spark, srv.url, accept = Seq("text/turtle"))
+      val ttl = legacy(Http.read(spark, srv.url, accept = Seq("text/turtle")))
       val expected = stmts.drop("source")
       assert(ttl.exceptAll(expected).isEmpty && expected.exceptAll(ttl).isEmpty)
       // trig ask → quads back through the Turtle term model
-      val trig = Http.read(spark, srv.url, accept = Seq("application/trig"))
+      val trig = legacy(Http.read(spark, srv.url, accept = Seq("application/trig")))
       assert(trig.exceptAll(stmts).isEmpty && stmts.exceptAll(trig).isEmpty)
     }
   }
