@@ -621,6 +621,16 @@ class LakeTable private (
     * files, so callers MUST row-restrict (semi-join / isin) to the same
     * keys before use. Reference analog: access-path selection over the
     * native store's key-led indexes (repository.clj:131-136).
+    *
+    * SELECTIVITY GATE: the bucket/bloom math is driver-side metadata
+    * work, so the pruned plan is chosen only after seeing what it
+    * actually skips — when the surviving file set is most of the table
+    * (a uniform probe set larger than the bucket count hits every
+    * bucket, and a compacted bucket's one file contains every probe),
+    * the full scan is returned instead: same result, none of the
+    * per-key probe overhead. Pruning pays off exactly when probe keys ≲
+    * buckets — the small-batch steady state on a wide production layout
+    * (10^3–10^4 buckets), pinned by JoinViewSpec's one-key fold.
     */
   def winnersForKeySubset(keyValues: Seq[Any], asOf: Option[Long] = None,
                           columns: Seq[String] = Seq.empty): DataFrame = {
@@ -636,6 +646,12 @@ class LakeTable private (
           s"projected columns not in schema: ${missing.mkString(", ")}")
         LakeSchema(schema.schemaId, schema.fields.filter(f => want.contains(f.name)))
       }
+    // early-out before any per-key math: with far more probe keys than
+    // live files, per-file bloom skipping is statistically hopeless (a
+    // file holding a uniform key slice almost surely contains one of
+    // thousands of probes) — the full scan is the plan
+    if (keyValues.length > 4 * entries.size)
+      return winnersOver(entries, target)
     val subset = layoutOf(entries) match {
       case Some(layout) =>
         import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
@@ -658,7 +674,11 @@ class LakeTable private (
         } else inBuckets
       case None => entries
     }
-    winnersOver(subset, target)
+    // the gate: pruning that keeps ≥80% of the files is pure overhead —
+    // serve the plain full-scan plan instead (identical winners, and
+    // exact for EVERY key, which satisfies the subset contract trivially)
+    if (subset.size * 5 >= entries.size * 4) winnersOver(entries, target)
+    else winnersOver(subset, target)
   }
 
   /** Time travel addressed by EPOCH (the input stream's coordinate)
