@@ -640,6 +640,37 @@ object SparkEntry {
       graft.sources.NQuads.read(s, s"$root/out.nt")
         .select("subject", "predicate", "object", "okind", "lang", "datatype")
     }),
+    "q89_typed_native" -> ((s, dir) => { implicit val sp = s
+      // typed-literal → NATIVE value bridge (Coerce.typedValue over the
+      // typed statement model; reference io.clj:60-100 backend→grafter
+      // type mapping): the q88 typed frame routed back into relational
+      // aggregation — xsd:integer literals summed as numbers, language
+      // tags counted — proving the okind/datatype columns carry usable
+      // semantics, not just lexical round-trip fidelity
+      val d = t(dir, "documents")
+      def subj = concat(lit("http://example.org/doc/"), col("doc_id"))
+      val xsd = graft.sources.RdfTerms.XsdNs
+      def nul = lit(null).cast("string")
+      val stmts = d.select(subj.as("subject"),
+          lit("http://purl.org/dc/terms/language").as("predicate"),
+          concat(lit("http://lexvo.org/id/iso639-1/"), col("lang")).as("object"),
+          lit("iri").as("okind"), nul.as("lang"), nul.as("datatype"))
+        .unionAll(d.select(subj.as("subject"),
+          lit("http://example.org/meta#n_chars").as("predicate"),
+          col("n_chars").cast("string").as("object"),
+          lit("literal").as("okind"), nul.as("lang"),
+          lit(xsd + "integer").as("datatype")))
+        .unionAll(d.select(subj.as("subject"),
+          lit("http://purl.org/dc/terms/title").as("predicate"),
+          substring(col("text"), 1, 8).as("object"),
+          lit("literal").as("okind"), col("lang").as("lang"),
+          nul.as("datatype")))
+      stmts.groupBy(col("predicate")).agg(
+        count(lit(1)).as("cnt"),
+        sum(graft.coerce.Coerce.typedValue(col("object"), col("datatype"),
+          xsd + "integer")).cast("long").as("sum_int"),
+        count(col("lang")).as("n_lang"))
+    }),
     "q80_jsonld" -> ((s, dir) => { implicit val sp = s
       // JSON-LD flat line serialisation (formats.clj:8-19 :jsonld):
       // triple nodes + @graph-wrapped quad nodes, escaping shared with
@@ -1562,6 +1593,16 @@ object SparkEntry {
            'http://purl.org/dc/terms/title', substr(text, 1, 8),
            'literal', lang, CAST(NULL AS VARCHAR)
          FROM documents""",
+    "q89_typed_native" ->
+      """SELECT 'http://purl.org/dc/terms/language' AS predicate,
+           count(*) AS cnt, CAST(NULL AS BIGINT) AS sum_int,
+           CAST(0 AS BIGINT) AS n_lang FROM documents
+         UNION ALL
+         SELECT 'http://example.org/meta#n_chars', count(*),
+           CAST(sum(n_chars) AS BIGINT), CAST(0 AS BIGINT) FROM documents
+         UNION ALL
+         SELECT 'http://purl.org/dc/terms/title', count(*),
+           CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT) FROM documents""",
     "q80_jsonld" ->
       """SELECT '{"@id":"http://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
            '","http://purl.org/dc/terms/language":[{"@value":"' ||

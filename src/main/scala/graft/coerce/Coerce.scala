@@ -131,4 +131,55 @@ object Coerce {
 
   def coerce(datatype: String, c: Column): Column =
     registry.getOrElse(datatype, identity[Column] _)(c)
+
+  // ---- typed statement model bridge (round 6) ----
+
+  /** Full XSD datatype IRI (the typed statement model's `datatype`
+    * column, [[graft.sources.RdfTerms]]) → registry key: the XSD
+    * namespace maps to the registry's `xsd:` shorthand; any other IRI
+    * passes through unchanged so full-IRI registry extensions resolve
+    * too — the reference's unknown-datatype passthrough
+    * (io.clj:176-181).
+    */
+  def registryKey(datatypeIri: String): String =
+    if (datatypeIri.startsWith(graft.sources.RdfTerms.XsdNs))
+      "xsd:" + datatypeIri.stripPrefix(graft.sources.RdfTerms.XsdNs)
+    else datatypeIri
+
+  /** Native value of rows whose `datatype` column equals `xsdIri`
+    * (other datatypes → null): the lexical form routed through the
+    * coercion matrix, statically typed per extraction — the columnar
+    * recast of the reference's dynamically-typed object position
+    * (backend→grafter mapping io.clj:60-100). Use one call per target
+    * type; Spark columns are monomorphic by design.
+    */
+  def typedValue(value: Column, datatype: Column, xsdIri: String): Column =
+    when(datatype === xsdIri, coerce(registryKey(xsdIri), value))
+
+  /** The whole value lattice at once: a sparse struct with one field
+    * per primary XSD type, exactly one of which is non-null per row
+    * (plus `string` for plain literals — null datatype). The dynamic
+    * typing of the reference's object position, expressed as a struct
+    * column instead of a sum type.
+    *
+    * Apply over a MATERIALIZED typed frame, not fused onto a reader's
+    * parse chain: ten lattice fields × the readers' classification
+    * whens exceeds the JVM's 64 KB method limit and drops the stage to
+    * interpreted mode. For single-type extraction prefer [[typedValue]]
+    * (one field, codegen-friendly anywhere).
+    */
+  def nativeStruct(value: Column, datatype: Column): Column = {
+    val ns = graft.sources.RdfTerms.XsdNs
+    struct(
+      typedValue(value, datatype, s"${ns}boolean").as("bool"),
+      typedValue(value, datatype, s"${ns}integer").as("integer"),
+      typedValue(value, datatype, s"${ns}long").as("long"),
+      typedValue(value, datatype, s"${ns}int").as("int"),
+      typedValue(value, datatype, s"${ns}decimal").as("decimal"),
+      typedValue(value, datatype, s"${ns}double").as("double"),
+      typedValue(value, datatype, s"${ns}float").as("float"),
+      typedValue(value, datatype, s"${ns}dateTime").as("dateTime"),
+      typedValue(value, datatype, s"${ns}date").as("date"),
+      when(datatype.isNull || datatype === s"${ns}string", value).as("string"))
+  }
 }

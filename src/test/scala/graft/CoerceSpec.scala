@@ -102,6 +102,34 @@ class CoerceSpec extends SparkSpec {
     Coerce.registry.remove("test:upper")
   }
 
+  test("typed statement model bridges into the coercion matrix " +
+      "(reference rdf-types.ttl → native values)") {
+    val fixture =
+      "/root/reference/grafter.io/dev/resources/grafter/rdf/rdf-types.ttl"
+    assume(new java.io.File(fixture).exists(), s"fixture $fixture not present")
+    val rows = graft.sources.Turtle.read(spark, fixture)
+      .select(col("subject"), Coerce.nativeStruct(col("object"), col("datatype")).as("v"))
+    def row(s: String) = rows.filter(col("subject") === s"http://example/$s")
+    // every fixture construct lands as its native Spark value
+    assert(row("boolean").select($"v.bool").head.getBoolean(0))
+    assert(row("integer").select($"v.integer".cast("long")).head.getLong(0) == 10L)
+    assert(row("decimal").select($"v.decimal".cast("double")).head.getDouble(0) == 1.2)
+    assert(row("double").select($"v.double").head.getDouble(0) == 1.0e6)
+    assert(row("float").select($"v.float").head.getFloat(0) == 0.4f)
+    assert(row("date").select(date_format($"v.dateTime", "yyyy-MM-dd HH:mm"))
+      .head.getString(0) == "2015-01-01 00:00")
+    assert(row("string").select($"v.string").head.getString(0) == "hello")
+    // sparse: exactly one lattice field non-null per row
+    val nonNull = rows.select((0 until 10).map(i =>
+      when($"v".getField(rows.select($"v.*").columns(i)).isNotNull, 1)
+        .otherwise(0)).reduce(_ + _).as("n"))
+    assert(nonNull.filter(col("n") =!= 1).isEmpty)
+    // unknown datatype IRIs pass through the registry key unchanged
+    assert(Coerce.registryKey("http://example/custom") == "http://example/custom")
+    assert(Coerce.registryKey(
+      "http://www.w3.org/2001/XMLSchema#integer") == "xsd:integer")
+  }
+
   test("batch splits match the reference's exact arithmetic: [3 3 3 1]") {
     assert(Batching.splitSizes(10, 3) == Seq(3L, 3L, 3L, 1L))
     assert(Batching.splitSizes(10, 5) == Seq(5L, 5L))
