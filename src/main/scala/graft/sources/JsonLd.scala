@@ -43,12 +43,29 @@ object JsonLd {
     */
   private val Str = "((?:[^\"\\\\]|\\\\.)*)"
 
+  /** The object-position JSON term (typed model, round 6): a literal
+    * `{"@value":…}` with optional `@language`/`@type`, or an IRI/bnode
+    * `{"@id":…}` — captured whole by the line grammars, classified by
+    * the `J*` patterns below. Non-capturing inside, so line-group
+    * numbering is stable.
+    */
+  private val StrNc = "(?:[^\"\\\\]|\\\\.)*"
+  private val ObjTok =
+    s"(\\{\"@(?:value|id)\":\"$StrNc\"" +
+      s"(?:,\"@(?:language|type)\":\"$StrNc\")?\\})"
+
   private val TripleLine =
-    s"^\\{\"@id\":\"$Str\",\"$Str\":\\[\\{\"@value\":\"$Str\"\\}\\]\\}$$"
+    s"^\\{\"@id\":\"$Str\",\"$Str\":\\[$ObjTok\\]\\}$$"
   private val QuadLine =
     s"^\\{\"@id\":\"$Str\",\"@graph\":\\[\\{\"@id\":\"$Str\",\"$Str\":" +
-      s"\\[\\{\"@value\":\"$Str\"\\}\\]\\}\\]\\}$$"
+      s"\\[$ObjTok\\]\\}\\]\\}$$"
   private val ContextLine = "^\\{\"@context\":\\{.*\\}\\}$"
+
+  private val JId = s"^\\{\"@id\":\"$Str\"\\}$$"
+  private val JLang =
+    s"^\\{\"@value\":\"$Str\",\"@language\":\"([A-Za-z][A-Za-z0-9-]*)\"\\}$$"
+  private val JType = s"^\\{\"@value\":\"$Str\",\"@type\":\"$Str\"\\}$$"
+  private val JPlain = s"^\\{\"@value\":\"$Str\"\\}$$"
 
   /** One flat JSON-LD node line per statement row; frames without a
     * `source` column — or rows with a null source — emit bare node
@@ -57,10 +74,30 @@ object JsonLd {
     */
   def serialize(statements: DataFrame): DataFrame = {
     def e(c: Column): Column = NQuads.esc(c)
+    // typed frames render JSON-LD's native object terms: {"@id":…} for
+    // IRIs and bnodes (bnode tokens already carry their `_:`),
+    // @language / @type members for tagged/typed literals; legacy
+    // frames emit the plain {"@value":…} byte-for-byte as before
+    val plainObj = concat(lit("{\"@value\":\""), e(col("object")), lit("\"}"))
+    val obj =
+      if (!statements.columns.contains("okind")) plainObj
+      else {
+        val hasLang = statements.columns.contains("lang")
+        val hasDt = statements.columns.contains("datatype")
+        val lit0 = concat(lit("{\"@value\":\""), e(col("object")),
+          when(lit(hasLang) && col("lang").isNotNull,
+            concat(lit("\",\"@language\":\""), col("lang")))
+            .when(lit(hasDt) && col("datatype").isNotNull,
+              concat(lit("\",\"@type\":\""), e(col("datatype"))))
+            .otherwise(lit("")),
+          lit("\"}"))
+        when(col("okind") === "iri" || col("okind") === "bnode",
+          concat(lit("{\"@id\":\""), e(col("object")), lit("\"}")))
+          .otherwise(lit0)
+      }
     val node = concat(
       lit("{\"@id\":\""), e(col("subject")), lit("\",\""),
-      e(col("predicate")), lit("\":[{\"@value\":\""), e(col("object")),
-      lit("\"}]}"))
+      e(col("predicate")), lit("\":["), obj, lit("]}"))
     val line =
       if (!statements.columns.contains("source")) node
       else when(col("source").isNull, node)
@@ -94,11 +131,28 @@ object JsonLd {
     val isQuad = col("value").rlike(QuadLine)
     val isTriple = col("value").rlike(TripleLine)
     def grp(p: String, i: Int): Column = regexp_extract(col("value"), p, i)
-    def pick(quadIdx: Int, tripleIdx: Int): Column =
-      when(isQuad, NQuads.unesc(grp(QuadLine, quadIdx)))
-        .when(isTriple && lit(tripleIdx) > 0,
-          NQuads.unesc(grp(TripleLine, tripleIdx)))
+    def rawPick(quadIdx: Int, tripleIdx: Int): Column =
+      when(isQuad, grp(QuadLine, quadIdx))
+        .when(isTriple && lit(tripleIdx) > 0, grp(TripleLine, tripleIdx))
         .otherwise(lit(null).cast("string"))
+    def pick(quadIdx: Int, tripleIdx: Int): Column =
+      NQuads.unesc(rawPick(quadIdx, tripleIdx))
+    // classify the captured object term (typed model)
+    val tok = rawPick(4, 3)
+    def t(p: String, i: Int): Column = regexp_extract(tok, p, i)
+    val idVal = NQuads.unesc(t(JId, 1))
+    val objectC =
+      when(tok.rlike(JId), idVal)
+        .when(tok.rlike(JLang), NQuads.unesc(t(JLang, 1)))
+        .when(tok.rlike(JType), NQuads.unesc(t(JType, 1)))
+        .when(tok.rlike(JPlain), NQuads.unesc(t(JPlain, 1)))
+    val okindC =
+      when(tok.rlike(JId),
+        when(idVal.startsWith("_:"), lit("bnode")).otherwise(lit("iri")))
+        .when(tok.rlike(JLang) || tok.rlike(JType) || tok.rlike(JPlain),
+          lit("literal"))
+    val langC = when(tok.rlike(JLang), t(JLang, 2))
+    val dtC = when(tok.rlike(JType), NQuads.unesc(t(JType, 2)))
     spark.read.text(path)
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"),
@@ -108,7 +162,10 @@ object JsonLd {
       .select(
         pick(2, 1).as("subject"),
         pick(3, 2).as("predicate"),
-        pick(4, 3).as("object"),
+        objectC.as("object"),
+        okindC.as("okind"),
+        langC.as("lang"),
+        dtC.as("datatype"),
         pick(1, -1).as("source"))
   }
 

@@ -34,9 +34,28 @@ object RdfJson {
     */
   private val Str = "((?:[^\"\\\\]|\\\\.)*)"
 
+  /** The W3C RDF/JSON object term (typed model, round 6):
+    * `"type":"literal"|"uri"|"bnode"` with optional `"lang"` /
+    * `"datatype"` members — the note's own vocabulary, so typed frames
+    * serialise to REAL RDF/JSON rather than a private literal-only
+    * subset. Captured whole by the line grammar (non-capturing inside),
+    * classified by the `J*` patterns.
+    */
+  private val StrNc = "(?:[^\"\\\\]|\\\\.)*"
+  private val ObjTok =
+    s"(\\{\"value\":\"$StrNc\",\"type\":\"(?:literal|uri|bnode)\"" +
+      s"(?:,\"(?:lang|datatype)\":\"$StrNc\")?\\})"
+
   private val TripleLine =
-    s"^\\{\"$Str\":\\{\"$Str\":\\[\\{\"value\":\"$Str\"," +
-      "\"type\":\"literal\"\\}\\]\\}\\}$$"
+    s"^\\{\"$Str\":\\{\"$Str\":\\[$ObjTok\\]\\}\\}$$"
+
+  private val JPlain = s"^\\{\"value\":\"$Str\",\"type\":\"literal\"\\}$$"
+  private val JLang = s"^\\{\"value\":\"$Str\",\"type\":\"literal\"," +
+    "\"lang\":\"([A-Za-z][A-Za-z0-9-]*)\"\\}$$"
+  private val JDt = s"^\\{\"value\":\"$Str\",\"type\":\"literal\"," +
+    s"\"datatype\":\"$Str\"\\}$$"
+  private val JUri = s"^\\{\"value\":\"$Str\",\"type\":\"uri\"\\}$$"
+  private val JBnode = s"^\\{\"value\":\"$Str\",\"type\":\"bnode\"\\}$$"
 
   /** One RDF/JSON subject-object line per statement row (triples only —
     * callers route quads through a quad-capable format; the registry's
@@ -44,10 +63,30 @@ object RdfJson {
     */
   def serialize(statements: DataFrame): DataFrame = {
     def e(c: org.apache.spark.sql.Column) = NQuads.esc(c)
+    val plainObj = concat(lit("{\"value\":\""), e(col("object")),
+      lit("\",\"type\":\"literal\"}"))
+    val obj =
+      if (!statements.columns.contains("okind")) plainObj
+      else {
+        val hasLang = statements.columns.contains("lang")
+        val hasDt = statements.columns.contains("datatype")
+        val lit0 = concat(lit("{\"value\":\""), e(col("object")),
+          lit("\",\"type\":\"literal\""),
+          when(lit(hasLang) && col("lang").isNotNull,
+            concat(lit(",\"lang\":\""), col("lang"), lit("\"")))
+            .when(lit(hasDt) && col("datatype").isNotNull,
+              concat(lit(",\"datatype\":\""), e(col("datatype")), lit("\"")))
+            .otherwise(lit("")),
+          lit("}"))
+        when(col("okind") === "iri", concat(lit("{\"value\":\""),
+          e(col("object")), lit("\",\"type\":\"uri\"}")))
+          .when(col("okind") === "bnode", concat(lit("{\"value\":\""),
+            e(col("object")), lit("\",\"type\":\"bnode\"}")))
+          .otherwise(lit0)
+      }
     statements.select(concat(
       lit("{\""), e(col("subject")), lit("\":{\""), e(col("predicate")),
-      lit("\":[{\"value\":\""), e(col("object")),
-      lit("\",\"type\":\"literal\"}]}}")).as("value"))
+      lit("\":["), obj, lit("]}}")).as("value"))
   }
 
   /** Distributed text write of the line profile. */
@@ -63,6 +102,20 @@ object RdfJson {
     def grp(i: Int) =
       when(isTriple, NQuads.unesc(regexp_extract(col("value"), TripleLine, i)))
         .otherwise(lit(null).cast("string"))
+    val tok = when(isTriple, regexp_extract(col("value"), TripleLine, 3))
+      .otherwise(lit(null).cast("string"))
+    def t(p: String, i: Int) = NQuads.unesc(regexp_extract(tok, p, i))
+    val objectC =
+      when(tok.rlike(JUri), t(JUri, 1))
+        .when(tok.rlike(JBnode), t(JBnode, 1))
+        .when(tok.rlike(JLang), t(JLang, 1))
+        .when(tok.rlike(JDt), t(JDt, 1))
+        .when(tok.rlike(JPlain), t(JPlain, 1))
+    val okindC =
+      when(tok.rlike(JUri), lit("iri"))
+        .when(tok.rlike(JBnode), lit("bnode"))
+        .when(tok.rlike(JLang) || tok.rlike(JDt) || tok.rlike(JPlain),
+          lit("literal"))
     spark.read.text(path)
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"), Seq(TripleLine))
@@ -71,7 +124,10 @@ object RdfJson {
       .select(
         grp(1).as("subject"),
         grp(2).as("predicate"),
-        grp(3).as("object"),
+        objectC.as("object"),
+        okindC.as("okind"),
+        when(tok.rlike(JLang), regexp_extract(tok, JLang, 2)).as("lang"),
+        when(tok.rlike(JDt), t(JDt, 2)).as("datatype"),
         lit(null).cast("string").as("source"))
   }
 }

@@ -39,6 +39,7 @@ class FormatSpec extends SparkSpec {
       Map("doc" -> "http://e.org/"))
     // parse ∘ serialise = id on the 4-column statement frame
     val back = JsonLd.read(spark, s"$dir/out.jsonld")
+      .select("subject", "predicate", "object", "source")
     assert(back.exceptAll(quadFrame).isEmpty && quadFrame.exceptAll(back).isEmpty)
     // cross-format agreement with the NQuads quad path
     val dir2 = tmpDir("jsonld-nq")
@@ -114,13 +115,14 @@ class FormatSpec extends SparkSpec {
     // the adversarial object mimicking the grammar's own tail survives
     assert(lines.contains("""{"http://e.org/d3":{"http://e.org/p":""" +
       """[{"value":"evil\"}]}","type":"literal"}]}}"""))
-    val back = RdfJson.read(spark, s"$dir/out.rj").drop("source")
+    val back = RdfJson.read(spark, s"$dir/out.rj")
+      .select("subject", "predicate", "object")
     assert(back.exceptAll(stmts).isEmpty && stmts.exceptAll(back).isEmpty)
     // malformed line → all-null row, never garbage terms
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "bad.rj"),
       "{\"s\":{\"p\":[{\"value\":\"missing type\"}]}}\n")
     val mal = RdfJson.read(spark, s"$dir/bad.rj").collect()
-    assert(mal.length == 1 && (0 to 3).forall(mal.head.isNullAt))
+    assert(mal.length == 1 && (0 to 6).forall(mal.head.isNullAt))
   }
 
   test("brf: binary records carry what every text dialect must escape") {
@@ -270,6 +272,51 @@ class FormatSpec extends SparkSpec {
     assert(lines.exists(_.contains("\"1.2\"^^xsd:decimal")), lines.mkString("\n"))
     val viaTtl = Turtle.read(spark, s"$dir/out.ttl")
     assert(viaTtl.exceptAll(rows).isEmpty && rows.exceptAll(viaTtl).isEmpty)
+  }
+
+  test("typed objects round-trip through JSON-LD and RDF/JSON " +
+      "(their native term vocabularies)") {
+    val typed = Seq(
+      ("http://e.org/d1", "http://e.org/p", "http://e.org/other",
+        "iri", null, null, "http://e.org/g1"),
+      ("http://e.org/d2", "http://e.org/p", "_:b7",
+        "bnode", null, null, null),
+      ("http://e.org/d3", "http://e.org/p", "bonjour",
+        "literal", "fr", null, null),
+      ("http://e.org/d4", "http://e.org/p", "42",
+        "literal", null, s"${Xsd}integer", "http://e.org/g2"),
+      ("http://e.org/d5", "http://e.org/p", "plain \"q\"\n",
+        "literal", null, null, null)
+    ).toDF("subject", "predicate", "object", "okind", "lang", "datatype", "source")
+    // JSON-LD: @id objects, @language, @type
+    val jd = tmpDir("jsonld-typed")
+    JsonLd.write(typed, s"$jd/out.jsonld")
+    val jl = spark.read.text(s"$jd/out.jsonld").collect().map(_.getString(0)).toSet
+    assert(jl.exists(_.contains("""[{"@id":"http://e.org/other"}]""")), jl.mkString("\n"))
+    assert(jl.exists(_.contains("""[{"@value":"bonjour","@language":"fr"}]""")))
+    assert(jl.exists(_.contains(
+      """[{"@value":"42","@type":"http://www.w3.org/2001/XMLSchema#integer"}]""")))
+    val jback = JsonLd.read(spark, s"$jd/out.jsonld")
+    assert(jback.exceptAll(typed).isEmpty && typed.exceptAll(jback).isEmpty)
+    // RDF/JSON: type uri/bnode/literal, lang, datatype (triple format)
+    val tripleTyped = typed.drop("source")
+    val rd = tmpDir("rj-typed")
+    RdfJson.write(tripleTyped, s"$rd/out.rj")
+    val rl = spark.read.text(s"$rd/out.rj").collect().map(_.getString(0)).toSet
+    assert(rl.exists(_.contains("""{"value":"http://e.org/other","type":"uri"}""")),
+      rl.mkString("\n"))
+    assert(rl.exists(_.contains("""{"value":"_:b7","type":"bnode"}""")))
+    assert(rl.exists(_.contains(""","type":"literal","lang":"fr"}""")))
+    assert(rl.exists(_.contains(
+      ""","type":"literal","datatype":"http://www.w3.org/2001/XMLSchema#integer"}""")))
+    val rback = RdfJson.read(spark, s"$rd/out.rj").drop("source")
+    assert(rback.exceptAll(tripleTyped).isEmpty &&
+      tripleTyped.exceptAll(rback).isEmpty)
+    // cross-format agreement: both equal the N-Quads path on the same frame
+    val nd = tmpDir("nq-typed")
+    NQuads.write(typed, s"$nd/out.nq")
+    val viaNq = NQuads.read(spark, s"$nd/out.nq")
+    assert(jback.exceptAll(viaNq).isEmpty && viaNq.exceptAll(jback).isEmpty)
   }
 
   test("lang-tagged literals round-trip through N-Triples and Turtle") {
