@@ -96,19 +96,51 @@ object RdfXml {
     */
   private val LocalName = "([A-Za-z_][A-Za-z0-9_.-]*)$"
 
-  /** One RDF/XML `Description` line per (subject, predicate, object). */
+  /** One RDF/XML `Description` line per (subject, predicate, object).
+    * Typed statement frames (round 6) use RDF/XML's own attribute
+    * vocabulary: `rdf:resource` for IRI objects, `rdf:nodeID` for
+    * bnodes (both on an empty property element), `xml:lang` and
+    * `rdf:datatype` on literals; bnode SUBJECTS render as
+    * `rdf:nodeID` in place of `rdf:about` (any frame — `_:` tokens are
+    * self-describing). Legacy frames serialise byte-identically.
+    */
   def serialize(statements: DataFrame): DataFrame = {
     val local = regexp_extract(col("predicate"), LocalName, 1)
     val ns = col("predicate").substr(lit(1),
       length(col("predicate")) - length(local))
+    val open = concat(lit("<"), local, lit(" xmlns=\""), xmlEsc(ns), lit("\""))
+    def close(extraAttr: Column): Column = concat(open, extraAttr,
+      lit(">"), xmlEsc(col("object")), lit("</"), local, lit(">"))
+    val prop =
+      if (!statements.columns.contains("okind")) close(lit(""))
+      else {
+        val hasLang = statements.columns.contains("lang")
+        val hasDt = statements.columns.contains("datatype")
+        val litAttr =
+          when(lit(hasLang) && col("lang").isNotNull,
+            concat(lit(" xml:lang=\""), col("lang"), lit("\"")))
+            .when(lit(hasDt) && col("datatype").isNotNull,
+              concat(lit(" rdf:datatype=\""), xmlEsc(col("datatype")), lit("\"")))
+            .otherwise(lit(""))
+        when(col("okind") === "iri",
+          concat(open, lit(" rdf:resource=\""), xmlEsc(col("object")), lit("\"/>")))
+          .when(col("okind") === "bnode",
+            concat(open, lit(" rdf:nodeID=\""),
+              xmlEsc(col("object").substr(lit(3), length(col("object")))),
+              lit("\"/>")))
+          .otherwise(close(litAttr))
+      }
+    val subjAttr =
+      when(col("subject").startsWith("_:"),
+        concat(lit("rdf:nodeID=\""),
+          xmlEsc(col("subject").substr(lit(3), length(col("subject")))), lit("\"")))
+        .otherwise(concat(lit("rdf:about=\""), xmlEsc(col("subject")), lit("\"")))
     val line = when(local === "", raise_error(concat(
       lit("RdfXml: predicate has no XML-name local part and cannot be " +
         "expressed in RDF/XML: "), col("predicate"))))
       .otherwise(concat(
-        lit("<rdf:Description rdf:about=\""), xmlEsc(col("subject")),
-        lit("\"><"), local, lit(" xmlns=\""), xmlEsc(ns),
-        lit("\">"), xmlEsc(col("object")),
-        lit("</"), local, lit("></rdf:Description>")))
+        lit("<rdf:Description "), subjAttr, lit(">"), prop,
+        lit("</rdf:Description>")))
     statements.select(line.as("value"))
   }
 
@@ -121,21 +153,50 @@ object RdfXml {
       Seq("</rdf:RDF>"))
   }
 
+  // groups: 1 subject attribute blob (about|nodeID), 2 local, 3 xmlns,
+  // 4 extra-attribute blob (lang/datatype/resource/nodeID, possibly
+  // empty), 5 literal text (absent on empty property elements)
   private val Line =
-    "^<rdf:Description rdf:about=\"([^\"]*)\"><([A-Za-z_][A-Za-z0-9_.-]*) " +
-      "xmlns=\"([^\"]*)\">([^<]*)</\\2></rdf:Description>$"
+    "^<rdf:Description (rdf:(?:about|nodeID)=\"[^\"]*\")>" +
+      "<([A-Za-z_][A-Za-z0-9_.-]*) xmlns=\"([^\"]*)\"" +
+      "((?: [A-Za-z:]+=\"[^\"]*\")*)" +
+      "(?:>([^<]*)</\\2>|/>)</rdf:Description>$"
   private val Framing = "^(<\\?xml|<rdf:RDF|</rdf:RDF>)"
 
-  /** Parse back into a 3-column triple frame (predicate = xmlns + local;
-    * the closing tag is backreference-checked against the opening one).
-    * Framing, `@prefix` and `#` comment lines are metadata; malformed
-    * lines → all-null rows, the shared contract.
+  private val AAbout = "^rdf:about=\"([^\"]*)\"$"
+  private val ANode = "^rdf:nodeID=\"([^\"]*)\"$"
+  private val ALang = " xml:lang=\"([A-Za-z][A-Za-z0-9-]*)\""
+  private val ADt = " rdf:datatype=\"([^\"]*)\""
+  private val ARes = " rdf:resource=\"([^\"]*)\""
+  private val ANodeAttr = " rdf:nodeID=\"([^\"]*)\""
+
+  /** Parse back into the TYPED statement frame (triples only — RDF/XML
+    * carries no graph): predicate = xmlns + local with the closing tag
+    * backreference-checked; `rdf:resource`/`rdf:nodeID`/`xml:lang`/
+    * `rdf:datatype` land in okind/lang/datatype, bnode ids re-prefixed
+    * `_:`. Framing, `@prefix` and `#` comment lines are metadata;
+    * malformed lines → all-null rows, the shared contract.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val ok = col("value").rlike(Line)
     def grp(i: Int): Column = regexp_extract(col("value"), Line, i)
     def some(c: Column): Column =
       when(ok, c).otherwise(lit(null).cast("string"))
+    val subjBlob = grp(1)
+    val attrs = grp(4)
+    def a(p: String): Column = regexp_extract(attrs, p, 1)
+    val hasRes = attrs.rlike(ARes)
+    val hasNode = attrs.rlike(ANodeAttr)
+    val hasLang = attrs.rlike(ALang)
+    val hasDt = attrs.rlike(ADt)
+    val objectC =
+      when(hasRes, xmlUnesc(a(ARes)))
+        .when(hasNode, concat(lit("_:"), xmlUnesc(a(ANodeAttr))))
+        .otherwise(xmlUnesc(grp(5)))
+    val okindC =
+      when(hasRes, lit("iri"))
+        .when(hasNode, lit("bnode"))
+        .when(grp(5).isNotNull, lit("literal"))
     spark.read.text(path)
       .filter(!col("value").rlike(NQuads.FullLineComment) &&
         !col("value").rlike(Framing))
@@ -143,8 +204,14 @@ object RdfXml {
         Seq(Line)).as("value"))
       .filter(!col("value").rlike(NQuads.PrefixLine))
       .select(
-        some(xmlUnesc(grp(1))).as("subject"),
+        some(when(subjBlob.rlike(AAbout),
+          xmlUnesc(regexp_extract(subjBlob, AAbout, 1)))
+          .otherwise(concat(lit("_:"),
+            xmlUnesc(regexp_extract(subjBlob, ANode, 1))))).as("subject"),
         some(concat(xmlUnesc(grp(3)), grp(2))).as("predicate"),
-        some(xmlUnesc(grp(4))).as("object"))
+        some(objectC).as("object"),
+        some(okindC).as("okind"),
+        some(when(hasLang, a(ALang))).as("lang"),
+        some(when(hasDt, xmlUnesc(a(ADt)))).as("datatype"))
   }
 }

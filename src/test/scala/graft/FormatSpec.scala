@@ -73,6 +73,7 @@ class FormatSpec extends SparkSpec {
     assert(lines.exists(_.contains(
       "a&lt;b&gt;&amp;c &quot;quoted&quot;&#10;newline&#9;tab")))
     val back = RdfXml.read(spark, s"$dir/out.rdf")
+      .select("subject", "predicate", "object")
     assert(back.exceptAll(stmts).isEmpty && stmts.exceptAll(back).isEmpty)
     // a predicate with no XML-name local part fails loudly, never invalid
     val bad = Seq(("http://e.org/d", "http://e.org/p/", "x"))
@@ -96,6 +97,7 @@ class FormatSpec extends SparkSpec {
       "<uri>http://e.org/d3</uri><uri>http://e.org/p</uri>" +
       "<plainLiteral>evil&quot;}]}</plainLiteral></triple></graph>"))
     val back = Trix.read(spark, s"$dir/out.trix")
+      .select("subject", "predicate", "object", "source")
     assert(back.exceptAll(quadFrame).isEmpty && quadFrame.exceptAll(back).isEmpty)
     val dir2 = tmpDir("trix-nq")
     NQuads.write(quadFrame, s"$dir2/out.nq")
@@ -317,6 +319,55 @@ class FormatSpec extends SparkSpec {
     NQuads.write(typed, s"$nd/out.nq")
     val viaNq = NQuads.read(spark, s"$nd/out.nq")
     assert(jback.exceptAll(viaNq).isEmpty && viaNq.exceptAll(jback).isEmpty)
+  }
+
+  test("typed objects round-trip through TriX and RDF/XML " +
+      "(their native term vocabularies)") {
+    val typed = Seq(
+      ("http://e.org/d1", "http://e.org/p", "http://e.org/other",
+        "iri", null, null, "http://e.org/g1"),
+      ("_:s9", "http://e.org/p", "_:b7", "bnode", null, null, null),
+      ("http://e.org/d3", "http://e.org/p", "bonjour",
+        "literal", "fr", null, null),
+      ("http://e.org/d4", "http://e.org/p", "42",
+        "literal", null, s"${Xsd}integer", "http://e.org/g2"),
+      ("http://e.org/d5", "http://e.org/p", "plain \"q\"\n",
+        "literal", null, null, null)
+    ).toDF("subject", "predicate", "object", "okind", "lang", "datatype", "source")
+    // TriX: <uri>/<id> resources, xml:lang, typedLiteral
+    val td = tmpDir("trix-typed")
+    Trix.write(typed, s"$td/out.trix")
+    val tl = spark.read.text(s"$td/out.trix").collect().map(_.getString(0)).toSet
+    assert(tl.exists(_.contains("<uri>http://e.org/other</uri></triple>")),
+      tl.mkString("\n"))
+    assert(tl.exists(_.contains("<id>s9</id>")), tl.mkString("\n"))
+    assert(tl.exists(_.contains("<id>b7</id></triple>")))
+    assert(tl.exists(_.contains("<plainLiteral xml:lang=\"fr\">bonjour</plainLiteral>")))
+    assert(tl.exists(_.contains(
+      "<typedLiteral datatype=\"http://www.w3.org/2001/XMLSchema#integer\">42</typedLiteral>")))
+    val tback = Trix.read(spark, s"$td/out.trix")
+    assert(tback.exceptAll(typed).isEmpty && typed.exceptAll(tback).isEmpty)
+    // RDF/XML: rdf:resource / rdf:nodeID empty elements, xml:lang,
+    // rdf:datatype, bnode subject via rdf:nodeID (triple format)
+    val tripleTyped = typed.drop("source")
+    val xd = tmpDir("rdfxml-typed")
+    RdfXml.write(tripleTyped, s"$xd/out.rdf")
+    val xl = spark.read.text(s"$xd/out.rdf").collect().map(_.getString(0)).toSet
+    assert(xl.exists(_.contains(" rdf:resource=\"http://e.org/other\"/>")),
+      xl.mkString("\n"))
+    assert(xl.exists(l => l.contains("<rdf:Description rdf:nodeID=\"s9\">") &&
+      l.contains(" rdf:nodeID=\"b7\"/>")))
+    assert(xl.exists(_.contains(" xml:lang=\"fr\">bonjour</p>")))
+    assert(xl.exists(_.contains(
+      " rdf:datatype=\"http://www.w3.org/2001/XMLSchema#integer\">42</p>")))
+    val xback = RdfXml.read(spark, s"$xd/out.rdf")
+    assert(xback.exceptAll(tripleTyped).isEmpty &&
+      tripleTyped.exceptAll(xback).isEmpty)
+    // cross-format agreement with the N-Quads path on the same frame
+    val nd = tmpDir("nq-typed2")
+    NQuads.write(typed, s"$nd/out.nq")
+    val viaNq = NQuads.read(spark, s"$nd/out.nq")
+    assert(tback.exceptAll(viaNq).isEmpty && viaNq.exceptAll(tback).isEmpty)
   }
 
   test("lang-tagged literals round-trip through N-Triples and Turtle") {
