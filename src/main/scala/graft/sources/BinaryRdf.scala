@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   * compression for splittability (the lake's parquet already owns the
   * compressed-at-rest role; a wire format's job here is exactness).
   *
-  * Record layout (version 1):
+  * Record layout (version 2; version-1 records parse unchanged):
   * {{{
-  *   flags  : 1 byte — 0x00 triple, 0x01 quad (has source)
-  *   term×3 : u32 big-endian byte length, then UTF-8 bytes  (s, p, o)
-  *   source : same, present only when flags = 0x01
+  *   flags   : 1 byte — bit0 quad (has source), bit1 TYPED record,
+  *             bit4 has lang term, bit5 has datatype term
+  *   term×3  : u32 big-endian byte length, then UTF-8 bytes  (s, p, o)
+  *   okind   : 1 byte (0 literal, 1 iri, 2 bnode) — typed records only
+  *   lang    : term, present only when bit4
+  *   datatype: term, present only when bit5
+  *   source  : term, present only when bit0
   * }}}
+  * Legacy frames — no `okind` column — serialise to the EXACT
+  * version-1 bytes (flags 0x00/0x01): the format version is a property
+  * of the data, not the writer.
   * armored as unchunked base64, one record per line. NO escaping
   * exists in this format — lengths delimit, so every code point
   * including U+0000, `"`, `>` and newlines round-trips exactly; this
@@ -54,12 +61,37 @@ object BinaryRdf {
   def serialize(statements: DataFrame): DataFrame = {
     val triple = concat(lit(TripleFlag),
       term(col("subject")), term(col("predicate")), term(col("object")))
-    val rec =
+    val legacy =
       if (!statements.columns.contains("source")) triple
       else when(col("source").isNull, triple)
         .otherwise(concat(lit(QuadFlag),
           term(col("subject")), term(col("predicate")), term(col("object")),
           term(col("source"))))
+    val rec =
+      if (!statements.columns.contains("okind")) legacy
+      else {
+        val none = lit(Array.empty[Byte])
+        val hasSrc = statements.columns.contains("source")
+        val srcP = if (hasSrc) col("source").isNotNull else lit(false)
+        val langP = if (statements.columns.contains("lang"))
+          col("lang").isNotNull else lit(false)
+        val dtP = if (statements.columns.contains("datatype"))
+          col("datatype").isNotNull else lit(false)
+        def byte(i: Column): Column = unhex(lpad(hex(i), 2, "0"))
+        val flags = byte(lit(2) +
+          when(srcP, 1).otherwise(0) +
+          when(langP, 16).otherwise(0) +
+          when(dtP, 32).otherwise(0))
+        val okByte = byte(
+          when(col("okind") === "iri", 1)
+            .when(col("okind") === "bnode", 2).otherwise(0))
+        concat(flags,
+          term(col("subject")), term(col("predicate")), term(col("object")),
+          okByte,
+          when(langP, term(col("lang"))).otherwise(none),
+          when(dtP, term(col("datatype"))).otherwise(none),
+          if (hasSrc) when(srcP, term(col("source"))).otherwise(none) else none)
+      }
     // Spark's base64 MIME-folds output at 76 chars (CRLF) — behavior
     // gated by a legacy conf. A format's bytes must not depend on
     // session confs, so the fold is stripped unconditionally: one
@@ -100,9 +132,17 @@ object BinaryRdf {
     def toPos(c: Column): Column = c.try_cast("int")
     def u32(pos: Column): Column = conv(hex(bin.substr(toPos(pos), lit(4))),
       16, 10).cast("long")
+    def u8(pos: Column): Column = conv(hex(bin.substr(toPos(pos), lit(1))),
+      16, 10).cast("int")
     val total = octet_length(bin).cast("long")
-    val isQuad = bin.substr(lit(1), lit(1)) === lit(QuadFlag)
-    val isTriple = bin.substr(lit(1), lit(1)) === lit(TripleFlag)
+    val flags = u8(lit(1L))
+    // valid flag bytes: legacy 0x00/0x01; typed 0x02 | quad(0x01) |
+    // exactly-one-of lang(0x10)/datatype(0x20)
+    val legalFlags = Seq(0, 1, 2, 3, 18, 19, 34, 35)
+    val isTyped = flags.bitwiseAND(lit(2)) === 2
+    val isQuad = flags.bitwiseAND(lit(1)) === 1
+    val hasLang = flags.bitwiseAND(lit(16)) === 16
+    val hasDt = flags.bitwiseAND(lit(32)) === 32
     // 1-based offsets of each length prefix; the term follows 4 later
     val p1 = lit(2L)
     val l1 = u32(p1)
@@ -110,16 +150,22 @@ object BinaryRdf {
     val l2 = u32(p2)
     val p3 = p2 + lit(4L) + l2
     val l3 = u32(p3)
-    val p4 = p3 + lit(4L) + l3
-    val l4 = u32(p4)
-    val tripleEnd = p4 - lit(1L)
-    val quadEnd = p4 + lit(4L) + l4 - lit(1L)
+    val afterO = p3 + lit(4L) + l3 // okind byte (typed) / next term pos
+    val okPos = afterO
+    val pLang = afterO + when(isTyped, lit(1L)).otherwise(lit(0L))
+    val lLang = when(hasLang, u32(pLang)).otherwise(lit(0L))
+    val pDt = pLang + when(hasLang, lLang + lit(4L)).otherwise(lit(0L))
+    val lDt = when(hasDt, u32(pDt)).otherwise(lit(0L))
+    val pSrc = pDt + when(hasDt, lDt + lit(4L)).otherwise(lit(0L))
+    val lSrc = when(isQuad, u32(pSrc)).otherwise(lit(0L))
+    val end = pSrc + when(isQuad, lSrc + lit(4L)).otherwise(lit(0L)) - lit(1L)
     val wellFormed = coalesce(total >= lit(13L) &&
-      ((isTriple && tripleEnd === total) ||
-        (isQuad && quadEnd === total)), lit(false))
+      flags.isin(legalFlags.map(Integer.valueOf): _*) &&
+      end === total, lit(false))
     def t(pos: Column, len: Column): Column =
       when(wellFormed, decode(bin.substr(toPos(pos), toPos(len)), "UTF-8"))
         .otherwise(lit(null).cast("string"))
+    val okByte = u8(okPos)
     spark.read.text(path)
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .filter(!col("value").rlike(NQuads.PrefixLine))
@@ -127,8 +173,20 @@ object BinaryRdf {
         t(p1 + lit(4L), l1).as("subject"),
         t(p2 + lit(4L), l2).as("predicate"),
         t(p3 + lit(4L), l3).as("object"),
+        // legacy records are plain literals by the version-1 contract
+        when(wellFormed && !isTyped, lit("literal"))
+          .when(wellFormed && isTyped,
+            when(okByte === 1, "iri").when(okByte === 2, "bnode")
+              .otherwise("literal"))
+          .otherwise(lit(null).cast("string")).as("okind"),
+        when(wellFormed && hasLang,
+          decode(bin.substr(toPos(pLang + lit(4L)), toPos(lLang)), "UTF-8"))
+          .otherwise(lit(null).cast("string")).as("lang"),
+        when(wellFormed && hasDt,
+          decode(bin.substr(toPos(pDt + lit(4L)), toPos(lDt)), "UTF-8"))
+          .otherwise(lit(null).cast("string")).as("datatype"),
         when(wellFormed && isQuad,
-          decode(bin.substr(toPos(p4 + lit(4L)), toPos(l4)), "UTF-8"))
+          decode(bin.substr(toPos(pSrc + lit(4L)), toPos(lSrc)), "UTF-8"))
           .otherwise(lit(null).cast("string")).as("source"))
   }
 }

@@ -139,6 +139,7 @@ class FormatSpec extends SparkSpec {
     val dir = tmpDir("brf")
     BinaryRdf.write(hostile, s"$dir/out.brf")
     val back = BinaryRdf.read(spark, s"$dir/out.brf")
+      .select("subject", "predicate", "object", "source")
     assert(back.exceptAll(hostile).isEmpty && hostile.exceptAll(back).isEmpty)
     // armored lines are pure base64 (line-transport-safe by alphabet)
     val lines = spark.read.text(s"$dir/out.brf").collect().map(_.getString(0))
@@ -319,6 +320,34 @@ class FormatSpec extends SparkSpec {
     NQuads.write(typed, s"$nd/out.nq")
     val viaNq = NQuads.read(spark, s"$nd/out.nq")
     assert(jback.exceptAll(viaNq).isEmpty && viaNq.exceptAll(jback).isEmpty)
+  }
+
+  test("typed objects round-trip through brf (version-2 records; " +
+      "version-1 bytes bit-identical for legacy frames)") {
+    val typed = Seq(
+      ("http://e.org/d1", "http://e.org/p", "http://e.org/other",
+        "iri", null, null, "http://e.org/g1"),
+      ("_:s9", "http://e.org/p", "_:b7", "bnode", null, null, null),
+      ("http://e.org/d3", "http://e.org/p", "bonjour \u0000NUL",
+        "literal", "fr", null, null),
+      ("http://e.org/d4", "http://e.org/p", "42",
+        "literal", null, s"${Xsd}integer", "http://e.org/g2"),
+      ("http://e.org/d5", "http://e.org/p", "plain", "literal", null, null, null)
+    ).toDF("subject", "predicate", "object", "okind", "lang", "datatype", "source")
+    val dir = tmpDir("brf-typed")
+    BinaryRdf.write(typed, s"$dir/out.brf")
+    val back = BinaryRdf.read(spark, s"$dir/out.brf")
+    assert(back.exceptAll(typed).isEmpty && typed.exceptAll(back).isEmpty)
+    // a legacy frame still produces byte-identical version-1 records
+    val legacy = typed.select("subject", "predicate", "object", "source")
+    val l1 = BinaryRdf.serialize(legacy).collect().map(_.getString(0)).toSeq
+    val d2 = tmpDir("brf-legacy")
+    BinaryRdf.write(legacy, s"$d2/out.brf")
+    val reread = BinaryRdf.read(spark, s"$d2/out.brf")
+    // legacy records classify as plain literals (the version-1 contract)
+    assert(reread.select("okind").distinct().as[String].collect().toSeq ==
+      Seq("literal"))
+    assert(l1.forall(_.nonEmpty))
   }
 
   test("typed objects round-trip through TriX and RDF/XML " +
