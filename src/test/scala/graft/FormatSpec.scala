@@ -322,6 +322,32 @@ class FormatSpec extends SparkSpec {
     assert(jback.exceptAll(viaNq).isEmpty && viaNq.exceptAll(jback).isEmpty)
   }
 
+  test("typed frames survive the live HTTP transport in every dialect") {
+    val typed = Seq(
+      ("http://e.org/d1", "http://e.org/p", "http://e.org/other",
+        "iri", null, null, "http://e.org/g1"),
+      ("http://e.org/d3", "http://e.org/p", "bonjour",
+        "literal", "fr", null, null),
+      ("http://e.org/d4", "http://e.org/p", "42",
+        "literal", null, s"${Xsd}integer", "http://e.org/g2"),
+      ("http://e.org/d5", "http://e.org/p", "plain", "literal", null, null, null)
+    ).toDF("subject", "predicate", "object", "okind", "lang", "datatype", "source")
+    val tripleView = typed.drop("source")
+    val srv = graft.sources.Http.serve(typed, Map("e" -> "http://e.org/"))
+    try StatementFormats.registry.foreach { case (fmt, codec) =>
+      val got = graft.sources.Http.read(spark, srv.url,
+        accept = Seq(codec.mime)).localCheckpoint()
+      val want =
+        if (Set("nq", "trig", "jsonld", "trix", "brf").contains(fmt)) typed
+        else tripleView
+      val gotAligned = got.select(want.columns.map(org.apache.spark.sql
+        .functions.col).toIndexedSeq: _*)
+      assert(gotAligned.exceptAll(want).isEmpty &&
+        want.exceptAll(gotAligned).isEmpty,
+        s"format $fmt did not round-trip TYPED terms over HTTP")
+    } finally srv.stop()
+  }
+
   test("typed objects round-trip through brf (version-2 records; " +
       "version-1 bytes bit-identical for legacy frames)") {
     val typed = Seq(
