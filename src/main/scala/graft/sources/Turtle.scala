@@ -165,6 +165,90 @@ object Turtle {
   // quoted literals (escape-aware) with @lang / ^^<iri> / ^^curie
   // suffixes, <iri>, _:bnode, and the bare shorthands (boolean /
   // integer / decimal / double / CURIE)
+  // ---- DOCUMENT reader (third-party Turtle, round 6) ----
+
+  /** One list-body token: a quoted literal (escape-aware, optional
+    * lang/datatype suffix), `<iri>`, bnode, bare shorthand (CURIE /
+    * boolean / numeric — never containing `;`/`,`), or a separator.
+    */
+  private val ListTok =
+    "(?:" + RdfTerms.QuotedLitPat +
+      "(?:@[A-Za-z][A-Za-z0-9-]*|\\^\\^<[^>]*>|\\^\\^(?:[A-Za-z_][\\w.-]*)?:[^\\s;,]*)?" +
+      "|<[^>]*>|_:[^\\s;,]+|[^\"<\\s;,][^\\s;,]*|;|,)"
+
+  /** Parse THIRD-PARTY Turtle the statement-oriented way: the input is
+    * split on the ` .` statement terminator (so a statement may span
+    * any number of physical lines — the predicate-list layout of real
+    * ontology files, e.g. the reference's `foaf.ttl` fixture), comment
+    * lines are dropped, whitespace runs collapse, and each statement's
+    * `subject p1 o1, o2; p2 o3` body unrolls into one row per
+    * (predicate, object) pair via a columnar state machine — no UDFs,
+    * one `aggregate` over the token array. CURIEs/`a` resolve against
+    * the document's own `@prefix` header; objects take the full typed
+    * term grammar ([[RdfTerms.parseObject]]).
+    *
+    * Documented limits (all-null rows, the malformed contract): triple-
+    * quoted multiline literals; a literal containing the exact sequence
+    * `" ."` (it reads as a statement terminator); inline `[...]` bnode
+    * property lists and collections.
+    */
+  def readDocument(spark: SparkSession, path: String): DataFrame = {
+    val prefixes = NQuads.readPrefixes(spark, path)
+    // chunks = statements: ' .' ends a statement (also @prefix lines,
+    // filtered below). Trailing chunk holds only whitespace.
+    val chunks = spark.read.option("lineSep", " .").text(path)
+      // comment LINES inside a chunk (incl. file banners gluing to the
+      // following statement) go first, then whitespace normalizes
+      .select(regexp_replace(col("value"), "(?m)^\\s*#[^\\n]*$", "").as("value"))
+      .select(trim(regexp_replace(col("value"), "\\s+", " ")).as("value"))
+      .filter(length(col("value")) > 0)
+      .filter(!col("value").startsWith("@prefix"))
+    val toks = regexp_extract_all(col("value"), lit(ListTok), lit(0))
+    // full-consumption check: stripping every token must leave only
+    // whitespace, else the chunk is malformed (never silently partial)
+    val consumed = regexp_replace(col("value"), ListTok, "")
+    val matched = consumed.rlike("^\\s*$") && size(toks) >= lit(3)
+    // state machine over the body tokens: 0 = expect predicate,
+    // 1 = expect object, 2 = after object (separator or end legal)
+    val pairT = "array<struct<p:string,o:string>>"
+    def mk(pred: Column, st: Column, err: Column, out: Column): Column =
+      struct(pred.as("pred"), st.as("st"), err.as("err"), out.as("out"))
+    val init = mk(lit(null).cast("string"), lit(0), lit(false),
+      array().cast(pairT))
+    val folded = aggregate(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      init, (acc, t) => {
+        val pred = acc.getField("pred"); val st = acc.getField("st")
+        val err = acc.getField("err"); val out = acc.getField("out")
+        when(err, acc)
+          .when(t === ";",
+            when(st === 2, mk(lit(null).cast("string"), lit(0), lit(false), out))
+              .otherwise(mk(pred, st, lit(true), out)))
+          .when(t === ",",
+            when(st === 2, mk(pred, lit(1), lit(false), out))
+              .otherwise(mk(pred, st, lit(true), out)))
+          .when(st === 0, mk(t, lit(1), lit(false), out))
+          .when(st === 1, mk(pred, lit(2), lit(false),
+            array_append(out, struct(pred.as("p"), t.as("o")))))
+          .otherwise(mk(pred, st, lit(true), out))
+      })
+    val ok = matched && !folded.getField("err") && folded.getField("st") === 2
+    val nullPair = array(struct(lit(null).cast("string").as("p"),
+      lit(null).cast("string").as("o")))
+    val pairs = when(ok, folded.getField("out")).otherwise(nullPair)
+    val subjTok = when(ok, element_at(toks, 1)).otherwise(lit(null).cast("string"))
+    val exploded = chunks.select(subjTok.as("_st"),
+      explode(pairs).as("_pair"))
+    val parsedObj = RdfTerms.parseObject(col("_pair.o"),
+      turtle = true, prefixes = prefixes)
+    exploded.select(
+      resolveTerm(col("_st"), prefixes).as("subject"),
+      resolvePred(col("_pair.p"), prefixes).as("predicate"),
+      parsedObj(0).as("object"),
+      parsedObj(1).as("okind"),
+      parsedObj(2).as("lang"),
+      parsedObj(3).as("datatype"))
+  }
+
   private val Line = s"^(\\S+) (\\S+) (${RdfTerms.objTokenPat(turtle = true)}) \\.$$"
   private val TrigLine =
     s"^(\\S+) \\{ (\\S+) (\\S+) (${RdfTerms.objTokenPat(turtle = true)}) \\. \\}$$"

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.sources.{BinaryRdf, JsonLd, NQuads, RdfJson, RdfXml, StatementFormats, Trix, Turtle}
 
@@ -423,6 +423,79 @@ class FormatSpec extends SparkSpec {
     NQuads.write(typed, s"$nd/out.nq")
     val viaNq = NQuads.read(spark, s"$nd/out.nq")
     assert(tback.exceptAll(viaNq).isEmpty && viaNq.exceptAll(tback).isEmpty)
+  }
+
+  test("readDocument parses real multi-line Turtle: the reference's foaf.ttl " +
+      "(predicate lists, a-keyword, CURIEs, 627 statements)") {
+    val foaf = "/root/reference/grafter.repository/dev-resources/grafter/" +
+      "rdf4j/repository/rdfs/foaf.ttl"
+    assume(new java.io.File(foaf).exists(), s"fixture $foaf not present")
+    val rows = Turtle.readDocument(spark, foaf).localCheckpoint()
+    val good = rows.filter(col("subject").isNotNull)
+    // 93 statements; 91 parse into 627 (s,p,o) rows — ONE statement's
+    // literal contains the sequence `" ."` (foaf:plan's ".plan files"
+    // comment) and splits mid-literal: the two fragments surface as the
+    // documented all-null malformed rows, never as silent partial data
+    assert(good.count() == 627, s"got ${good.count()} statements")
+    assert(rows.filter(col("subject").isNull).count() == 2)
+    val rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    val foafNs = "http://xmlns.com/foaf/0.1/"
+    // `a` resolves to rdf:type; CURIE subjects/objects expand; the
+    // object is typed as an IRI
+    assert(good.filter(col("subject") === s"${foafNs}Person" &&
+      col("predicate") === Turtle.RdfType &&
+      col("object") === s"${rdfs}Class" && col("okind") === "iri").count() == 1)
+    // predicate-list unrolling: foaf:Person carries many properties
+    assert(good.filter(col("subject") === s"${foafNs}Person").count() >= 8)
+    // plain literals from the lists classify as literals
+    assert(good.filter(col("subject") === s"${foafNs}Person" &&
+      col("predicate") === s"${rdfs}label" &&
+      col("object") === "Person" && col("okind") === "literal").count() == 1)
+    // every parsed object classified (iri or literal — foaf has no
+    // bnode objects in line-expressible statements)
+    assert(good.filter(col("okind").isNull).isEmpty)
+    // the document's own @prefix header resolved every CURIE: no
+    // residual `prefix:local` forms in subjects/predicates
+    assert(good.filter(col("predicate").rlike("^[A-Za-z]+:[A-Za-z]") &&
+      !col("predicate").startsWith("http")).isEmpty)
+  }
+
+  test("readDocument handles object lists, typed and tagged literals in lists") {
+    val dir = tmpDir("ttl-doc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "in.ttl"),
+      """@prefix : <http://e.org/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |# banner comment
+        |:d1 :p "a", "b", "c" ;
+        |    :q 42 ;
+        |    :r "bonjour"@fr, "hello"@en ;
+        |    :s "1.5"^^xsd:decimal ;
+        |    :t :other, <http://x.org/y> .
+        |:d2 :p "solo" .
+        |""".stripMargin)
+    val rows = Turtle.readDocument(spark, dir).localCheckpoint()
+    assert(rows.filter(col("subject").isNull).isEmpty)
+    assert(rows.count() == 10)
+    val d1 = rows.filter(col("subject") === "http://e.org/d1")
+    assert(d1.filter(col("predicate") === "http://e.org/p")
+      .select("object").as[String].collect().toSet == Set("a", "b", "c"))
+    assert(d1.filter(col("predicate") === "http://e.org/q" &&
+      col("datatype") === s"${Xsd}integer" && col("object") === "42").count() == 1)
+    assert(d1.filter(col("predicate") === "http://e.org/r")
+      .select("lang").as[String].collect().toSet == Set("fr", "en"))
+    assert(d1.filter(col("predicate") === "http://e.org/s" &&
+      col("datatype") === s"${Xsd}decimal").count() == 1)
+    assert(d1.filter(col("predicate") === "http://e.org/t" &&
+      col("okind") === "iri")
+      .select("object").as[String].collect().toSet ==
+      Set("http://e.org/other", "http://x.org/y"))
+    // malformed body (dangling comma) → all-null, never partial
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.ttl"),
+      ":d3 :p \"x\", .\n")
+    val bad = Turtle.readDocument(spark, s"$dir/bad.ttl").collect()
+    assert(bad.length == 1 && (0 until 6).forall(bad(0).isNullAt))
   }
 
   test("lang-tagged literals round-trip through N-Triples and Turtle") {
