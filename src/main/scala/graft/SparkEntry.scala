@@ -671,6 +671,30 @@ object SparkEntry {
           xsd + "integer")).cast("long").as("sum_int"),
         count(col("lang")).as("n_lang"))
     }),
+    "q90_ttl_document" -> ((s, dir) => { implicit val sp = s
+      // DOCUMENT-oriented Turtle loop: statements serialise with CURIE
+      // compaction + @prefix header (Turtle.write), then parse back
+      // through the third-party document reader (statement-terminator
+      // splitting + list state machine, Turtle.readDocument) — the gate
+      // proves write ∘ readDocument = id including CURIE resolution,
+      // against the oracle's direct reconstruction
+      val d = t(dir, "documents")
+      val m = Map("doc" -> "http://example.org/doc/",
+        "dct" -> "http://purl.org/dc/terms/")
+      val stmts = d.select(
+          concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+          lit("http://purl.org/dc/terms/language").as("predicate"),
+          col("lang").as("object"))
+        .unionAll(d.select(
+          concat(lit("http://example.org/doc/"), col("doc_id")).as("subject"),
+          lit(graft.sources.Turtle.RdfType).as("predicate"),
+          col("source").as("object")))
+      val root = s"${sys.props("java.io.tmpdir")}/graft-q90-" +
+        s"${s.sparkContext.applicationId}-" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Turtle.write(stmts, s"$root/out.ttl", m)
+      graft.sources.Turtle.readDocument(s, s"$root/out.ttl")
+        .select("subject", "predicate", "object")
+    }),
     "q80_jsonld" -> ((s, dir) => { implicit val sp = s
       // JSON-LD flat line serialisation (formats.clj:8-19 :jsonld):
       // triple nodes + @graph-wrapped quad nodes, escaping shared with
@@ -1593,6 +1617,14 @@ object SparkEntry {
            'http://purl.org/dc/terms/title', substr(text, 1, 8),
            'literal', lang, CAST(NULL AS VARCHAR)
          FROM documents""",
+    "q90_ttl_document" ->
+      """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS subject,
+           'http://purl.org/dc/terms/language' AS predicate,
+           lang AS object FROM documents
+         UNION ALL
+         SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR),
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           source FROM documents""",
     "q89_typed_native" ->
       """SELECT 'http://purl.org/dc/terms/language' AS predicate,
            count(*) AS cnt, CAST(NULL AS BIGINT) AS sum_int,
