@@ -108,6 +108,32 @@ object StatementFormats {
     }
   }
 
+  /** The reference's `statements`-from-file entry point (extension
+    * sniff + parse, io.clj:686-713 with formats.clj:67-71 coercion):
+    * read a statement FILE into the typed statement frame by its
+    * extension (or an explicit `format` mime/extension override).
+    * Turtle/N3 files route through [[Turtle.readDocument]] — the
+    * statement-oriented reader that handles real-world multi-line
+    * predicate-list layouts — while every other registered dialect is
+    * line-oriented by construction. Unknown formats fail loudly with
+    * the known list, the reference's own error contract.
+    */
+  def readFile(spark: SparkSession, path: String,
+               format: Option[String] = None): DataFrame = {
+    val key = format.map(f => formatFor(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown statement format '$f'; known: ${registry.keys.mkString(", ")}")))
+      .getOrElse {
+        val ext = path.split('?').head.split('/').last
+          .split('.').drop(1).lastOption.getOrElse("")
+        formatFor(ext).getOrElse(throw new IllegalArgumentException(
+          s"cannot infer statement format for '$path'; " +
+            s"known extensions: ${registry.keys.mkString(", ")}"))
+      }
+    if (key == "ttl" || key == "n3") Turtle.readDocument(spark, path)
+    else registry(key).read(spark, path)
+  }
+
   /** HTTP Accept-header negotiation over the registry: entries ordered by
     * q-value (default 1.0) then position; `*∕*` and `type∕*` wildcards
     * resolve to the first registered (sub)match; q=0 excludes. Returns

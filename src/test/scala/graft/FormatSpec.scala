@@ -498,6 +498,31 @@ class FormatSpec extends SparkSpec {
     assert(bad.length == 1 && (0 until 6).forall(bad(0).isNullAt))
   }
 
+  test("readFile: extension-sniffed statements entry point, ttl routes " +
+      "to the document reader") {
+    val foaf = "/root/reference/grafter.repository/dev-resources/grafter/" +
+      "rdf4j/repository/rdfs/foaf.ttl"
+    assume(new java.io.File(foaf).exists(), s"fixture $foaf not present")
+    // .ttl → document reader: the multi-line foaf statements all parse
+    assert(StatementFormats.readFile(spark, foaf)
+      .filter(col("subject").isNotNull).count() == 627)
+    // explicit mime override beats the extension
+    assert(StatementFormats.readFile(spark, foaf, Some("text/turtle"))
+      .filter(col("subject").isNotNull).count() == 627)
+    // .nt → the N-family line reader
+    val one = "/root/reference/grafter.io/dev/resources/grafter/rdf/1.nt"
+    assert(StatementFormats.readFile(spark, one).count() == 1)
+    // unknown extension fails loudly with the known list
+    val e = intercept[IllegalArgumentException] {
+      StatementFormats.readFile(spark, "/tmp/x.unknownext")
+    }
+    assert(e.getMessage.contains("known extensions"))
+    val e2 = intercept[IllegalArgumentException] {
+      StatementFormats.readFile(spark, "/tmp/x.nt", Some("text/banana"))
+    }
+    assert(e2.getMessage.contains("unknown statement format"))
+  }
+
   test("lang-tagged literals round-trip through N-Triples and Turtle") {
     val dir = tmpDir("langlit")
     java.nio.file.Files.writeString(
