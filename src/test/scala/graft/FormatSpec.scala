@@ -523,6 +523,73 @@ class FormatSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown statement format"))
   }
 
+  test("fuzz: 120 seeded typed statements round-trip through every dialect") {
+    // deterministic generator: literals draw from a hostile alphabet
+    // (quotes, backslashes, newline family, unicode incl. supplementary,
+    // each grammar's own structural delimiters); IRIs stay in the legal
+    // IRI charset; langs legal BCP47-ish tags. NUL excluded — every text
+    // dialect rejects it loudly by contract (brf's NUL-legality has its
+    // own test).
+    val rnd = new scala.util.Random(20260818L)
+    val hostile = Array("\"", "\\", "\n", "\t", "\r", "ü", "日", "😀",
+      "<", ">", "&", "#", " . ", "\" <g> .", "@prefix ", "}]}", "; ", ", ",
+      "^^", "@en", "'", "{", "}")
+    def lit0(): String =
+      (0 until rnd.nextInt(6)).map(_ => hostile(rnd.nextInt(hostile.length)))
+        .mkString(rnd.nextBoolean().toString, "x", "")
+    def iri(): String = s"http://e.org/r${rnd.nextInt(50)}"
+    def statement(i: Int): (String, String, String, String, String, String, String) = {
+      val subj = if (rnd.nextInt(5) == 0) s"_:b${rnd.nextInt(9)}" else iri()
+      // RDF/XML needs an XML-name local part on every predicate
+      val pred = s"http://e.org/ns#p${rnd.nextInt(9)}"
+      val src = if (rnd.nextInt(3) == 0) null else iri()
+      rnd.nextInt(5) match {
+        case 0 => (subj, pred, iri(), "iri", null, null, src)
+        case 1 => (subj, pred, s"_:o${rnd.nextInt(9)}", "bnode", null, null, src)
+        case 2 => (subj, pred, lit0(), "literal",
+          Seq("en", "fr", "en-GB", "zh")(rnd.nextInt(4)), null, src)
+        case 3 => (subj, pred, lit0(), "literal", null,
+          s"${Xsd}${Seq("integer", "dateTime", "anyURI")(rnd.nextInt(3))}", src)
+        case _ => (subj, pred, lit0(), "literal", null, null, src)
+      }
+    }
+    val typed = (0 until 120).map(statement)
+      .toDF("subject", "predicate", "object", "okind", "lang", "datatype", "source")
+      .localCheckpoint()
+    val tripleView = typed.drop("source")
+    val writers: Map[String, (String) => Unit] = Map(
+      "nq" -> (d => NQuads.write(typed, d)),
+      "nt" -> (d => NQuads.write(tripleView, d)),
+      "ttl" -> (d => Turtle.write(tripleView, d)),
+      "trig" -> (d => Turtle.writeTrig(typed, d)),
+      "jsonld" -> (d => JsonLd.write(typed, d)),
+      "rdf" -> (d => RdfXml.write(tripleView, d)),
+      "trix" -> (d => Trix.write(typed, d)),
+      "rj" -> (d => RdfJson.write(tripleView, d)),
+      "brf" -> (d => BinaryRdf.write(typed, d)))
+    val readers: Map[String, String => org.apache.spark.sql.DataFrame] = Map(
+      "nq" -> (d => NQuads.read(spark, d)),
+      "nt" -> (d => NQuads.read(spark, d)),
+      "ttl" -> (d => Turtle.read(spark, d)),
+      "trig" -> (d => Turtle.readTrig(spark, d)),
+      "jsonld" -> (d => JsonLd.read(spark, d)),
+      "rdf" -> (d => RdfXml.read(spark, d)),
+      "trix" -> (d => Trix.read(spark, d)),
+      "rj" -> (d => RdfJson.read(spark, d)),
+      "brf" -> (d => BinaryRdf.read(spark, d)))
+    writers.foreach { case (fmt, w) =>
+      val dir = s"${tmpDir(s"fuzz-$fmt")}/out.$fmt"
+      w(dir)
+      val want =
+        if (Set("nq", "trig", "jsonld", "trix", "brf").contains(fmt)) typed
+        else tripleView
+      val got = readers(fmt)(dir).select(want.columns.map(col).toIndexedSeq: _*)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"dialect $fmt did not round-trip the fuzz frame: " +
+          got.exceptAll(want).limit(3).collect().mkString(" | "))
+    }
+  }
+
   test("lang-tagged literals round-trip through N-Triples and Turtle") {
     val dir = tmpDir("langlit")
     java.nio.file.Files.writeString(
