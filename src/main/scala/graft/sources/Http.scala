@@ -134,6 +134,43 @@ object StatementFormats {
     else registry(key).read(spark, path)
   }
 
+  /** The writer twin of [[readFile]] — the reference's format-sniffed
+    * `rdf-writer` (io.clj:500-582): write a statement frame to a FILE in
+    * the dialect its extension (or the explicit override) names,
+    * dropping the graph column for triple-only dialects and carrying
+    * the prefix map into the dialects that take one. Typed frames
+    * serialise their okind/lang/datatype terms in every dialect.
+    */
+  def writeFile(statements: DataFrame, path: String,
+                prefixes: Map[String, String] = Map.empty,
+                format: Option[String] = None): Unit = {
+    val key = format.map(f => formatFor(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown statement format '$f'; known: ${registry.keys.mkString(", ")}")))
+      .getOrElse {
+        val ext = path.split('?').head.split('/').last
+          .split('.').drop(1).lastOption.getOrElse("")
+        formatFor(ext).getOrElse(throw new IllegalArgumentException(
+          s"cannot infer statement format for '$path'; " +
+            s"known extensions: ${registry.keys.mkString(", ")}"))
+      }
+    key match {
+      case "nq" => NQuads.write(statements, path, prefixes)
+      case "nt" => NQuads.write(statements.drop("source"), path, prefixes)
+      case "ttl" | "n3" => Turtle.write(statements.drop("source"), path, prefixes)
+      case "trig" => Turtle.writeTrig(statements, path, prefixes)
+      case "jsonld" => JsonLd.write(statements, path, prefixes)
+      case "rdf" => RdfXml.write(statements.drop("source"), path)
+      case "trix" => Trix.write(statements, path)
+      case "rj" => RdfJson.write(statements.drop("source"), path)
+      case "brf" => BinaryRdf.write(statements, path)
+      case other => // a codec registered later: its line serialiser is
+        // the write surface (no header support without a write hook)
+        registry(other).serialize(statements, prefixes)
+          .write.mode("overwrite").text(path)
+    }
+  }
+
   /** HTTP Accept-header negotiation over the registry: entries ordered by
     * q-value (default 1.0) then position; `*∕*` and `type∕*` wildcards
     * resolve to the first registered (sub)match; q=0 excludes. Returns

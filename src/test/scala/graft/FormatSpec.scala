@@ -523,6 +523,32 @@ class FormatSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown statement format"))
   }
 
+  test("writeFile/readFile: extension-sniffed write ∘ read = id per dialect") {
+    val typed = Seq(
+      ("http://e.org/d1", "http://e.org/ns#p", "http://e.org/other",
+        "iri", null, null, "http://e.org/g1"),
+      ("http://e.org/d3", "http://e.org/ns#p", "bonjour",
+        "literal", "fr", null, null),
+      ("http://e.org/d4", "http://e.org/ns#p", "42",
+        "literal", null, s"${Xsd}integer", null)
+    ).toDF("subject", "predicate", "object", "okind", "lang", "datatype", "source")
+    for (ext <- Seq("nq", "nt", "ttl", "trig", "jsonld", "rdf", "trix", "rj", "brf")) {
+      val path = s"${tmpDir(s"wf-$ext")}/out.$ext"
+      StatementFormats.writeFile(typed, path,
+        Map("e" -> "http://e.org/", "xsd" -> Xsd))
+      val want =
+        if (Set("nq", "trig", "jsonld", "trix", "brf").contains(ext)) typed
+        else typed.drop("source")
+      val got = StatementFormats.readFile(spark, path)
+        .select(want.columns.map(col).toIndexedSeq: _*)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"writeFile/readFile identity failed for .$ext")
+    }
+    intercept[IllegalArgumentException] {
+      StatementFormats.writeFile(typed, "/tmp/x.unknownext")
+    }
+  }
+
   test("fuzz: 120 seeded typed statements round-trip through every dialect") {
     // deterministic generator: literals draw from a hostile alphabet
     // (quotes, backslashes, newline family, unicode incl. supplementary,
