@@ -121,7 +121,11 @@ object BinaryRdf {
     * exactly; any mismatch (truncation, trailing bytes, non-base64)
     * yields the all-null row instead of garbage terms.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** The parse transform alone (streaming composes). */
+  def parseLines(linesDf: DataFrame): DataFrame = {
     // Every arithmetic step is null-safe under ANSI mode: non-base64
     // lines never reach unbase64 (regex gate), and a garbage-but-valid
     // base64 line whose declared lengths are absurd nulls out through
@@ -166,7 +170,7 @@ object BinaryRdf {
       when(wellFormed, decode(bin.substr(toPos(pos), toPos(len)), "UTF-8"))
         .otherwise(lit(null).cast("string"))
     val okByte = u8(okPos)
-    spark.read.text(path)
+    linesDf
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .filter(!col("value").rlike(NQuads.PrefixLine))
       .select(

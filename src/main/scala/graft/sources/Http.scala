@@ -134,6 +134,42 @@ object StatementFormats {
     else registry(key).read(spark, path)
   }
 
+  /** The per-dialect parse TRANSFORM (a `value`-column lines frame →
+    * the typed statement frame). Prefix-dependent dialects (ttl/trig/
+    * n3) take the caller's map — an unbounded stream has no finite
+    * header to read one from.
+    */
+  def parserFor(format: String,
+                prefixes: Map[String, String] = Map.empty): DataFrame => DataFrame = {
+    val key = formatFor(format).getOrElse(throw new IllegalArgumentException(
+      s"unknown statement format '$format'; known: ${registry.keys.mkString(", ")}"))
+    key match {
+      case "nq" | "nt" => NQuads.parseLines
+      case "ttl" | "n3" => Turtle.parseLines(_, prefixes)
+      case "trig" => Turtle.parseTrigLines(_, prefixes)
+      case "jsonld" => JsonLd.parseLines
+      case "rdf" => RdfXml.parseLines
+      case "trix" => Trix.parseLines
+      case "rj" => RdfJson.parseLines
+      case "brf" => BinaryRdf.parseLines
+      case other => throw new IllegalArgumentException(
+        s"format '$other' registered without a streaming parse transform")
+    }
+  }
+
+  /** STREAM a directory of statement files: `spark.readStream.text` +
+    * [[parserFor]] — a dropbox of N-Quads (or any registered dialect)
+    * becomes a structured stream of TYPED statements, composable with
+    * every downstream streaming operator (watermarked dedup, admission
+    * control, `foreachBatch` lake upserts). The S2 backpressure knob is
+    * the standard `maxFilesPerTrigger` option.
+    */
+  def readStream(spark: SparkSession, dir: String, format: String,
+                 prefixes: Map[String, String] = Map.empty,
+                 options: Map[String, String] = Map.empty): DataFrame =
+    parserFor(format, prefixes)(
+      spark.readStream.options(options).text(dir))
+
   /** The writer twin of [[readFile]] — the reference's format-sniffed
     * `rdf-writer` (io.clj:500-582): write a statement frame to a FILE in
     * the dialect its extension (or the explicit override) names,

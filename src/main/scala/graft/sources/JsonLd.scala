@@ -127,7 +127,11 @@ object JsonLd {
     * `source = null`. Malformed lines → all-null rows (the shared
     * contract); `@context`/`@prefix` and `#` comment lines are metadata.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** The parse transform alone (streaming composes). */
+  def parseLines(lines: DataFrame): DataFrame = {
     val isQuad = col("value").rlike(QuadLine)
     val isTriple = col("value").rlike(TripleLine)
     def grp(p: String, i: Int): Column = regexp_extract(col("value"), p, i)
@@ -153,7 +157,7 @@ object JsonLd {
           lit("literal"))
     val langC = when(tok.rlike(JLang), t(JLang, 2))
     val dtC = when(tok.rlike(JType), NQuads.unesc(t(JType, 2)))
-    spark.read.text(path)
+    lines
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"),
         Seq(QuadLine, TripleLine, ContextLine)).as("value"))

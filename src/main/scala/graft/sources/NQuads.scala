@@ -171,7 +171,15 @@ object NQuads {
     * [[graft.cdc.Quarantine]]-style handling upstream if the input is
     * untrusted).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** The parse TRANSFORM alone — a single-`value`-column frame of lines
+    * (batch or STREAMING: `spark.readStream.text(dir)` composes
+    * directly, making any dropbox of statement files a structured
+    * stream) → the typed statement frame.
+    */
+  def parseLines(lines: DataFrame): DataFrame = {
     val isQuad = col("value").rlike(QuadLine)
     val isTriple = col("value").rlike(TripleLine)
     def grp(pattern: String, i: Int): Column = regexp_extract(col("value"), pattern, i)
@@ -184,7 +192,7 @@ object NQuads {
     def res(c: Column): Column =
       when(c.startsWith("<"), c.substr(lit(2), length(c) - 2)).otherwise(c)
     val parsedObj = RdfTerms.parseObject(tok(3))
-    spark.read.text(path)
+    lines
       .filter(length(trim(col("value"))) > 0) // blank lines are not statements
       .filter(!col("value").rlike(FullLineComment))
       .select(stripTrailingComment(col("value"),

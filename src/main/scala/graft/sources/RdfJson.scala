@@ -97,7 +97,11 @@ object RdfJson {
     * null — triple format). Malformed lines → all-null rows, the shared
     * parser contract.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** The parse transform alone (streaming composes). */
+  def parseLines(lines: DataFrame): DataFrame = {
     val isTriple = col("value").rlike(TripleLine)
     def grp(i: Int) =
       when(isTriple, NQuads.unesc(regexp_extract(col("value"), TripleLine, i)))
@@ -116,7 +120,7 @@ object RdfJson {
         .when(tok.rlike(JBnode), lit("bnode"))
         .when(tok.rlike(JLang) || tok.rlike(JDt) || tok.rlike(JPlain),
           lit("literal"))
-    spark.read.text(path)
+    lines
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"), Seq(TripleLine))
         .as("value"))

@@ -177,7 +177,11 @@ object RdfXml {
     * `_:`. Framing, `@prefix` and `#` comment lines are metadata;
     * malformed lines → all-null rows, the shared contract.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** The parse transform alone (streaming composes). */
+  def parseLines(lines: DataFrame): DataFrame = {
     val ok = col("value").rlike(Line)
     def grp(i: Int): Column = regexp_extract(col("value"), Line, i)
     def some(c: Column): Column =
@@ -197,7 +201,7 @@ object RdfXml {
       when(hasRes, lit("iri"))
         .when(hasNode, lit("bnode"))
         .when(grp(5).isNotNull, lit("literal"))
-    spark.read.text(path)
+    lines
       .filter(!col("value").rlike(NQuads.FullLineComment) &&
         !col("value").rlike(Framing))
       .select(NQuads.stripTrailingComment(col("value"),

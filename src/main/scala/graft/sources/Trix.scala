@@ -112,7 +112,11 @@ object Trix {
     * Framing, `@prefix` and `#` comment lines are metadata; malformed
     * lines → all-null rows, the shared contract.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** The parse transform alone (streaming composes). */
+  def parseLines(lines: DataFrame): DataFrame = {
     val isQuad = col("value").rlike(QuadLine)
     val isTriple = col("value").rlike(TripleLine)
     def grp(p: String, i: Int): Column = regexp_extract(col("value"), p, i)
@@ -137,7 +141,7 @@ object Trix {
         .when(objT.rlike(TId), lit("bnode"))
         .when(objT.rlike(TLang) || objT.rlike(TTyped) || objT.rlike(TPlain),
           lit("literal"))
-    spark.read.text(path)
+    lines
       .filter(!col("value").rlike(NQuads.FullLineComment) &&
         !col("value").rlike(Framing))
       .select(NQuads.stripTrailingComment(col("value"),

@@ -131,8 +131,14 @@ object Turtle {
   private def resolvePred(t: Column, prefixes: Map[String, String]): Column =
     when(t === "a", lit(RdfType)).otherwise(resolveTerm(t, prefixes))
 
-  def readTrig(spark: SparkSession, path: String): DataFrame = {
-    val prefixes = NQuads.readPrefixes(spark, path)
+  def readTrig(spark: SparkSession, path: String): DataFrame =
+    parseTrigLines(spark.read.text(path), NQuads.readPrefixes(spark, path))
+
+  /** The TriG parse transform alone (streaming composes; prefixes are
+    * caller-supplied — an unbounded stream has no finite header).
+    */
+  def parseTrigLines(lines: DataFrame,
+                     prefixes: Map[String, String] = Map.empty): DataFrame = {
     def resolve(t: Column): Column = resolveTerm(t, prefixes)
     def pred(t: Column): Column = resolvePred(t, prefixes)
     val isQuad = col("value").rlike(TrigLine)
@@ -145,7 +151,7 @@ object Turtle {
         .otherwise(lit(null).cast("string"))
     val parsedObj = RdfTerms.parseObject(pick(4, 3)(identity),
       turtle = true, prefixes = prefixes)
-    spark.read.text(path)
+    lines
       .filter(length(trim(col("value"))) > 0) // blank lines are not statements
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"),
@@ -267,8 +273,15 @@ object Turtle {
     * bnode property paths are NOT line-expressible: such lines surface
     * as all-null rows, same contract as [[NQuads.read]].
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val prefixes = NQuads.readPrefixes(spark, path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path), NQuads.readPrefixes(spark, path))
+
+  /** The Turtle line-parse transform alone (streaming composes;
+    * prefixes are caller-supplied — an unbounded stream has no finite
+    * header).
+    */
+  def parseLines(lines: DataFrame,
+                 prefixes: Map[String, String] = Map.empty): DataFrame = {
     def grp(i: Int): Column = regexp_extract(col("value"), Line, i)
     def resolve(t: Column): Column = resolveTerm(t, prefixes)
     val ok = col("value").rlike(Line)
@@ -276,7 +289,7 @@ object Turtle {
       when(ok, grp(i)).otherwise(lit(null).cast("string"))
     val parsedObj = RdfTerms.parseObject(tok(3),
       turtle = true, prefixes = prefixes)
-    spark.read.text(path)
+    lines
       .filter(length(trim(col("value"))) > 0) // blank lines are not statements
       .filter(!col("value").rlike(NQuads.FullLineComment))
       .select(NQuads.stripTrailingComment(col("value"),

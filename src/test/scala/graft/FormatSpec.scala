@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions.{col, lit}
 
 import graft.sources.{BinaryRdf, JsonLd, NQuads, RdfJson, RdfXml, StatementFormats, Trix, Turtle}
@@ -547,6 +548,48 @@ class FormatSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StatementFormats.writeFile(typed, "/tmp/x.unknownext")
     }
+  }
+
+  test("readStream: a dropbox of statement files is a typed statement stream") {
+    val dir = tmpDir("stmt-stream")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/a.nq"),
+      "<http://d1> <http://p> \"x\" <http://g> .\n" +
+        "<http://d2> <http://p> <http://o> .\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/b.nq"),
+      "# comment\n<http://d3> <http://p> \"y\"@en <http://g> .\n")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Row]
+    StatementFormats.readStream(spark, s"$dir/in", "nq",
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.collect(); ()
+      }.start().awaitTermination()
+    assert(seen.size == 3)
+    val byS = seen.map(r => r.getString(0) ->
+      (r.getString(2), r.getString(3), Option(r.getString(4)))).toMap
+    assert(byS("http://d1") == (("x", "literal", None)))
+    assert(byS("http://d2") == (("http://o", "iri", None)))
+    assert(byS("http://d3") == (("y", "literal", Some("en"))))
+    // ttl streaming takes the caller's prefix map
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ttl"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ttl/a.ttl"), "e:d4 a \"Doc\" .\n")
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[Row]
+    StatementFormats.readStream(spark, s"$dir/ttl", "text/turtle",
+        prefixes = Map("e" -> "http://e.org/"))
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen2 ++= b.collect(); ()
+      }.start().awaitTermination()
+    assert(seen2.size == 1 && seen2.head.getString(0) == "http://e.org/d4" &&
+      seen2.head.getString(1) == Turtle.RdfType)
   }
 
   test("fuzz: 120 seeded typed statements round-trip through every dialect") {
