@@ -49,6 +49,20 @@ object CdcIngest {
     // silently drop them ([[graft.lake.LakeTable.mergeSchemaFrom]]); a
     // no-change batch costs one in-memory compare, no IO
     if (autoEvolve) table.mergeSchemaFrom(batch.schema)
+    // exactly-once skip for a re-delivered epoch — but the micro-batch's
+    // STATEFUL lineage (the watermarked dedup upstream of foreachBatch)
+    // must still execute: every state-store partition has to commit for
+    // the batch to complete (Spark validates per-batch commit coverage,
+    // and a frame left unconsumed fails the stream), and running it
+    // re-advances the dedup state exactly as any idempotent sink would
+    // on re-delivery. One foreachPartition drain, no shuffle added.
+    if (epochId <= table.lastCommittedEpoch) {
+      // the noop sink, not foreachPartition: the drain must execute the
+      // batch's OWN incremental plan (df.rdd would replan outside it and
+      // the state commits would not register against this batch)
+      batch.write.format("noop").mode("overwrite").save()
+      return None
+    }
     val src0 = if (dedup) Dedup.exact(batch) else batch
     // untrusted feeds: side-output schema-divergent rows with lineage
     // instead of silently nulling them (reference io.clj:185-209 — errors

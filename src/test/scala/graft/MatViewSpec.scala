@@ -351,6 +351,47 @@ class MatViewSpec extends SparkSpec {
     assert(viewSet(v) == recompute(base))
   }
 
+  test("EXACT decomposable count-distinct via stacked views: " +
+      "MatView(source,n_tok) → MatView(source), zero recompute at both levels") {
+    // count(distinct x) per group cannot be retracted in one view — but
+    // a STACK of two decomposable views computes it exactly: v1 counts
+    // per (group, x) pair (zero-net pairs tombstone out), v2 counts
+    // v1's LIVE pairs per group = the distinct-x count. Both levels fold
+    // O(changed keys); the single-view alternative re-aggregates every
+    // touched group from base (the documented recompute mode).
+    val dir = tmpDir("mv14")
+    ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
+    val v1 = MatView.create(spark, s"$dir/v1", base, Seq("source", "n_tok"))
+    val v2 = MatView.create(spark, s"$dir/v2", v1.table, Seq("source"))
+    def expected: Set[(String, Long)] =
+      base.read().groupBy(col("source"))
+        .agg(countDistinct(col("n_tok")).as("nd"))
+        .as[(String, Long)].collect().toSet
+    def got: Set[(String, Long)] =
+      v2.read().select(col("source"), col("cnt"))
+        .as[(String, Long)].collect().toSet
+    (0 until 4).foreach { c =>
+      replayChunks(dir, base, chunks = 4, from = c, until = c + 1)
+      v1.maintain(); v2.maintain()
+      assert(got == expected,
+        s"stacked distinct-count diverged after chunk $c")
+      if (c > 0) { // post-bootstrap folds: both levels stay decomposable
+        assert(v1.lastRecomputedGroups == 0L)
+        assert(v2.lastRecomputedGroups == 0L)
+      }
+    }
+    // the stack attaches to ingest as ordered views (v1 before v2)
+    ChangeFeed.writeFeed(spark,
+      cfg.copy(seed = 11L, numEvents = 1200L), s"$dir/feed2", chunks = 1)
+    spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed2")
+      .withColumn("lsn", col("lsn") + lit(cfg.numEvents))
+      .write.mode("append").parquet(s"$dir/feed")
+    CdcIngest.run(spark, s"$dir/feed", base, s"$dir/ckpt",
+      maxFilesPerTrigger = 2, views = Seq(v1, v2)).awaitTermination()
+    assert(got == expected)
+  }
+
   test("maintainEvery=4: view folds on the cadence, lands fold-oracle exact") {
     val dir = tmpDir("mv13")
     ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 8)
