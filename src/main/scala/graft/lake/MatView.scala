@@ -445,8 +445,15 @@ object MatView {
     * `recomputed` are `(outputName, aggregateSqlExpr)` pairs — e.g.
     * `"min(n_tok)"`, `"max(element_at(tokens, 1))"`,
     * `"count(distinct source)"` — for aggregates that CANNOT be
-    * retracted; any non-empty `recomputed` switches maintenance to
-    * affected-group recompute (see [[MatView.maintain]]'s cost note).
+    * retracted; min/max-ONLY lists ride the decomposable hybrid fold
+    * (see [[MatView.maintain]]), anything else switches maintenance to
+    * affected-group recompute (cost note there). For EXACT
+    * count-distinct with few giant groups, prefer STACKED views over
+    * recompute mode: `v1 = create(base, groups :+ x)` (pair counts;
+    * zero-net pairs tombstone out) and `v2 = create(v1.table, groups)`
+    * — v2's `cnt` is count(distinct x) per group, maintained
+    * O(changed keys) at both levels (MatViewSpec pins exactness and
+    * zero recompute).
     * Output column types for `recomputed` are resolved by planning the
     * aggregation against the base schema, so a non-aggregate or
     * ill-typed expression fails HERE, not at the first maintain.
