@@ -25,11 +25,18 @@ import org.apache.spark.sql.types._
   * is null contribute 0 (oracle form: `sum(coalesce(expr, 0))`).
   * Non-decomposable aggregates (min/max/count-distinct…) are declared
   * separately as `recomputed` — they cannot be retracted (a delete can
-  * RAISE a min), so their presence switches maintenance to
-  * affected-group recompute: every group the range touched is
-  * re-aggregated from the base as-of the fold target. Cost ∝ the SIZE
-  * of the affected groups vs the decomposable path's changed-key cost —
-  * with few giant groups prefer sums-only views.
+  * RAISE a min). Lists made ONLY of bare min/max and bare
+  * `count(distinct col)` entries still fold decomposably: min/max via
+  * the hybrid path (insert extremes fold via least/greatest; only a
+  * retraction AT a stored extreme recomputes that ONE group),
+  * `count(distinct key)` as an alias of `cnt` (one live row per key),
+  * and `count(distinct other-col)` via an internal two-level stacked
+  * view (see [[stackFor]]) — O(changed keys) per fold at every level.
+  * Anything else switches maintenance to affected-group recompute:
+  * every group the range touched is re-aggregated from the base as-of
+  * the fold target — cost ∝ the SIZE of the affected groups, so with
+  * few giant groups prefer expressing the view in the decomposable
+  * forms above.
   *
   * Incremental step for range (from, to]:
   *  1. range winners: [[LakeTable.changesBetween]] rows, max-`_lsn`
@@ -111,12 +118,56 @@ final class MatView private (
   private val SumValPrefix = "_sv_"
   private val MmValPrefix = "_mmv_"
 
-  /** `recomputed` parsed as plain min/max aggregates — `(name, isMin,
-    * innerExprSql)` for every entry, or None when ANY entry is something
-    * else (count distinct, …), which keeps the full affected-group
-    * recompute path. */
-  private lazy val minMaxOnly: Option[Seq[(String, Boolean, String)]] =
-    MatView.parseMinMax(spark, recomputed)
+  /** `recomputed` parsed for the decomposable-maintenance paths: every
+    * entry a bare min/max (hybrid fold) or a bare `count(distinct col)`
+    * (cnt-alias / internal stacked views), or None when ANY entry is
+    * something else, which keeps the full affected-group recompute path.
+    */
+  private lazy val recAggs: Option[Seq[MatView.RecAgg]] =
+    MatView.parseRecomputed(spark, recomputed, groupCols)
+
+  /** Internal stacked views backing exact decomposable count-distinct —
+    * the mv14 pattern made internal (one stack per `count(distinct x)`
+    * with x ≠ the base key): v1 counts live base rows per (groups…, x),
+    * so zero-net pairs tombstone out, and v2 sums v1's live non-null-x
+    * pairs per group, which IS `count(distinct x)`. Both levels fold
+    * O(changed keys) — the fold cost the affected-group recompute path
+    * pays in full-group re-aggregation becomes two decomposable folds.
+    * `count(distinct key)` needs no stack at all: the current state
+    * holds exactly one live row per key, so it equals `cnt`.
+    * Created lazily under the view's own aux dir (self-healing: a view
+    * created before stacking existed bootstraps its stack, pinned to
+    * the next fold's target, on first use). v1 buckets like the BASE
+    * (pair cardinality scales with base keys), v2 like the view.
+    */
+  private val stackCache =
+    scala.collection.mutable.Map.empty[String, (MatView, MatView)]
+  private def stackFor(cd: MatView.CdAgg): (MatView, MatView) =
+    stackCache.getOrElseUpdate(cd.name, {
+      val r1 = s"${table.root}/aux/cd-${cd.name}-pairs"
+      val r2 = s"${table.root}/aux/cd-${cd.name}-counts"
+      val v1 =
+        if (table.fs.exists(s"$r1/meta")) MatView.load(spark, r1, base, fs = table.fs)
+        else MatView.create(spark, r1, base, groupCols :+ cd.xcol,
+          numBuckets = base.numBuckets, fs = table.fs)
+      val v2 =
+        if (table.fs.exists(s"$r2/meta")) MatView.load(spark, r2, v1.table, fs = table.fs)
+        else MatView.create(spark, r2, v1.table, groupCols,
+          sums = Seq(cd.name -> s"IF(`${cd.xcol}` IS NOT NULL, 1L, 0L)"),
+          numBuckets = table.numBuckets, fs = table.fs)
+      (v1, v2)
+    })
+
+  /** Fold this view forward until its frontier reaches `target`,
+    * EXACT-as-of: bootstrap and range ends are pinned ≤ target even if
+    * the base head has advanced past it — the lockstep driver for
+    * internal stacks (their state must be read at the PARENT fold's
+    * target, never at a fresher base head). */
+  private[lake] def maintainTo(target: Long): Unit = {
+    var f = table.lastCommittedEpoch
+    while (f < target && maintainImpl(Int.MaxValue, pin = target).isDefined)
+      f = table.lastCommittedEpoch
+  }
 
   /** Pre-evaluate the min/max INNER expressions per row (cast to the
     * view's stored column type so decomposable folds compare and union
@@ -175,14 +226,35 @@ final class MatView private (
     */
   def maintain(maxSnapshots: Int = Int.MaxValue): Option[Long] = {
     require(maxSnapshots > 0, s"maxSnapshots must be positive: $maxSnapshots")
+    maintainImpl(maxSnapshots, Long.MaxValue)
+  }
+
+  private def maintainImpl(maxSnapshots: Int, pin: Long): Option[Long] = {
     base.refresh()
     val from = table.lastCommittedEpoch
-    val head = base.currentSnapshotId
+    val head = math.min(base.currentSnapshotId, pin)
     if (head < 0 || head <= from) return None
+
+    // the decomposable-recompute parse, needed by bootstrap and fold
+    // alike: mm rides the hybrid min/max fold, cd the cnt-alias /
+    // stacked-view fold; a None parse keeps the legacy recompute path
+    val aggsParsed: Seq[MatView.RecAgg] =
+      if (recomputed.nonEmpty) recAggs.getOrElse(Seq.empty) else Seq.empty
+    val mm: Seq[(String, Boolean, String)] =
+      aggsParsed.collect { case MatView.MmAgg(n, m, e) => (n, m, e) }
+    val cds: Seq[MatView.CdAgg] = aggsParsed.collect { case c: MatView.CdAgg => c }
+    val stacked = cds.filter(_.xcol != base.keyCol)
 
     if (from < 0) { // bootstrap: full recompute at head (projected —
       // the scan never reads columns the view doesn't aggregate; pinned
       // to `head` so a concurrent base writer can't smear the snapshot)
+      // internal count-distinct stacks bootstrap first, pinned to the
+      // same head, so later folds find them at the view's frontier
+      stacked.foreach { cd =>
+        val (v1, v2) = stackFor(cd)
+        v1.maintainTo(head)
+        v2.maintainTo(v1.table.currentSnapshotId)
+      }
       val full = base.mergedWinners(Some(head), neededBaseCols)
         .filter(!col(LakeTable.TombCol))
         .groupBy(groupCols.map(col): _*)
@@ -196,7 +268,16 @@ final class MatView private (
       return Some(head)
     }
 
-    val to = math.min(head, from + maxSnapshots.toLong)
+    // the fold target never trails an internal stack's frontier: a crash
+    // between a stack fold and the main upsert may have left the stack
+    // ahead, and the main fold must read stack state AT its own target —
+    // flooring `to` at the stack frontier restores lockstep (bounded by
+    // `head`, since stacks only ever fold to past pins ≤ head)
+    val to0 = math.min(head, from + maxSnapshots.toLong)
+    val to =
+      if (stacked.isEmpty) to0
+      else math.max(to0,
+        stacked.map(cd => stackFor(cd)._1.table.lastCommittedEpoch).max)
     val key = base.keyCol
     // 1. after-images: per-key winner WITHIN the range (tombstones ride
     // along). This is only a candidate — late data means a range winner
@@ -204,14 +285,19 @@ final class MatView private (
     // the range read projects to the view-relevant columns before the
     // winner agg — like the before-image merge, the changelog scan never
     // hauls payload the view doesn't aggregate
-    // min/max-only recompute lists ride the HYBRID path: extremes are
-    // decomposable under inserts (least/greatest against the stored
-    // value), and only a retraction AT a group's stored extreme forces
-    // that one group's re-aggregation — an insert-only fold never
-    // touches the base at all
-    val mm: Seq[(String, Boolean, String)] =
-      if (recomputed.nonEmpty) minMaxOnly.getOrElse(Seq.empty) else Seq.empty
-    val hybrid = mm.nonEmpty
+    // min/max entries ride the HYBRID path: extremes are decomposable
+    // under inserts (least/greatest against the stored value), and only
+    // a retraction AT a group's stored extreme forces that one group's
+    // re-aggregation — an insert-only fold never touches the base at
+    // all. count(distinct col) entries ride the same fold: the value is
+    // the base `cnt` when col IS the key (one live row per key), else
+    // it is read from the internal stack maintained in lockstep below.
+    val hybrid = aggsParsed.nonEmpty
+    if (hybrid) stacked.foreach { cd =>
+      val (v1, v2) = stackFor(cd)
+      v1.maintainTo(to)
+      v2.maintainTo(v1.table.currentSnapshotId)
+    }
     def withVals(df: DataFrame): DataFrame =
       if (hybrid) withMmVals(withSumVals(df), mm) else withSumVals(df)
     val delta = base.changesBetween(from, to).select(
@@ -266,10 +352,16 @@ final class MatView private (
       }
       val aggs = (sum(CntCol).as(CntCol) +:
         sums.map(s => sum(s._1).as(s._1))) ++ insRet
-      val touched = mm.map(m => col(s"_ins_${m._1}").isNotNull ||
-          col(s"_ret_${m._1}").isNotNull)
-        .foldLeft(sums.map(s => col(s._1) =!= 0)
-          .foldLeft(col(CntCol) =!= 0)(_ || _))(_ || _)
+      // with count-distinct entries, EVERY contribution group is kept: a
+      // zero-net (cnt, sums, extremes) fold can still move a distinct
+      // count (one key's x retracted, another's inserted), and contrib
+      // groups are bounded by the batch anyway
+      val touched =
+        if (cds.nonEmpty) lit(true)
+        else mm.map(m => col(s"_ins_${m._1}").isNotNull ||
+            col(s"_ret_${m._1}").isNotNull)
+          .foldLeft(sums.map(s => col(s._1) =!= 0)
+            .foldLeft(col(CntCol) =!= 0)(_ || _))(_ || _)
       val gdelta = contribs
         .groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
@@ -285,16 +377,26 @@ final class MatView private (
       // min/max) — or, defensively, when a retraction exists with no
       // stored row to compare against. Groups whose cnt reaches 0 are
       // tombstoned outright, no recompute needed.
-      val needRec = mm.map { case (n, isMin, _) =>
-        val ret = col(s"_ret_$n"); val stored = col(s"_om_$n")
-        ret.isNotNull && (stored.isNull ||
-          (if (isMin) ret <= stored else ret >= stored))
-      }.reduce(_ || _)
-      val classified = gdelta.join(cur, Seq(KeyCol), "left")
+      val needRec =
+        if (mm.isEmpty) lit(false)
+        else mm.map { case (n, isMin, _) =>
+          val ret = col(s"_ret_$n"); val stored = col(s"_om_$n")
+          ret.isNotNull && (stored.isNull ||
+            (if (isMin) ret <= stored else ret >= stored))
+        }.reduce(_ || _)
+      val classified0 = gdelta.join(cur, Seq(KeyCol), "left")
         .withColumn("_newCnt", coalesce(col("_oc"), lit(0L)) + col(CntCol))
         .withColumn("_rec", needRec && col("_newCnt") =!= 0)
         .localCheckpoint() // bounded: distinct touched groups
-      lastRecomputedGroups = classified.filter(col("_rec")).count()
+      // non-key count-distinct values come from the stacks (already
+      // folded to `to` above): one small left join per cd against the
+      // stack's per-group counts — never a base re-aggregation
+      val classified = stacked.foldLeft(classified0) { case (df, cd) =>
+        df.join(stackFor(cd)._2.table.read()
+            .select(col(KeyCol), col(cd.name).as(s"_nd_${cd.name}")),
+          Seq(KeyCol), "left")
+      }
+      lastRecomputedGroups = classified0.filter(col("_rec")).count()
       val decCols: Seq[Column] =
         Seq(when(col("_newCnt") === 0, "D").otherwise("U").as("op"),
           col(KeyCol), lit(to).as("lsn")) ++
@@ -308,6 +410,15 @@ final class MatView private (
             val comb = if (isMin) least(col(s"_om_$n"), col(s"_ins_$n"))
               else greatest(col(s"_om_$n"), col(s"_ins_$n"))
             when(col("_newCnt") === 0, lit(null)).otherwise(comb).as(n)
+          } ++
+          cds.map { cd =>
+            // count(distinct key) IS the live row count; other columns'
+            // counts come from the stack join (0 for a live group whose
+            // pairs are all-null-x — count distinct ignores nulls)
+            val v: Column =
+              if (cd.xcol == base.keyCol) col("_newCnt")
+              else coalesce(col(s"_nd_${cd.name}"), lit(0L))
+            when(col("_newCnt") === 0, lit(null)).otherwise(v).as(cd.name)
           }
       val decRows = classified.filter(!col("_rec")).select(decCols: _*)
       val rows =
@@ -331,7 +442,7 @@ final class MatView private (
         }
       table.upsert(rows, epochId = to, reduce = false,
         summary = Map("matview" -> s"($from,$to] hybrid"))
-      classified.unpersist()
+      classified0.unpersist()
       return Some(to)
     }
     if (recomputed.nonEmpty) {
@@ -411,25 +522,50 @@ final class MatView private (
 object MatView {
   private[lake] val KeyCol = "_g"
 
-  /** Parse a `recomputed` list as plain min/max aggregates: Some((name,
-    * isMin, innerSql)) for every entry iff EVERY entry is a bare
-    * `min(expr)` / `max(expr)` (no DISTINCT, no FILTER, one argument) —
-    * anything else (count distinct, …) returns None, keeping the full
-    * affected-group recompute path. Parse failures also return None:
-    * the hybrid path is an optimization, never a semantics change. */
-  private[lake] def parseMinMax(spark: SparkSession,
-      recomputed: Seq[(String, String)]): Option[Seq[(String, Boolean, String)]] = {
+  /** One parsed `recomputed` entry eligible for decomposable
+    * maintenance: a bare min/max (hybrid fold) or a bare
+    * `count(distinct col)` (cnt-alias when col is the base key, else the
+    * internal stacked-view fold). */
+  private[lake] sealed trait RecAgg
+  private[lake] final case class MmAgg(name: String, isMin: Boolean,
+      inner: String) extends RecAgg
+  private[lake] final case class CdAgg(name: String, xcol: String) extends RecAgg
+
+  /** Parse a `recomputed` list for the decomposable paths: Some(entries)
+    * iff EVERY entry is a bare `min(expr)` / `max(expr)` (no DISTINCT,
+    * no FILTER, one argument) or a bare `count(distinct col)` over a
+    * single plain column that is neither a group column (distinct count
+    * of a group col is degenerate) nor named like the view's `cnt`
+    * (whose stack table would collide). Anything else — or any parse
+    * failure — returns None, keeping the full affected-group recompute
+    * path: the decomposable folds are an optimization, never a
+    * semantics change. */
+  private[lake] def parseRecomputed(spark: SparkSession,
+      recomputed: Seq[(String, String)],
+      groupCols: Seq[String]): Option[Seq[RecAgg]] = {
     if (recomputed.isEmpty) return None
     val parser = spark.sessionState.sqlParser
-    val parsed: Seq[Option[(String, Boolean, String)]] =
+    val parsed: Seq[Option[RecAgg]] =
       recomputed.map { case (n, sql) =>
         try parser.parseExpression(sql) match {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
               if !f.isDistinct && f.filter.isEmpty && f.arguments.size == 1 &&
                 f.nameParts.size == 1 &&
                 Set("min", "max").contains(f.nameParts.head.toLowerCase) =>
-            Some((n, f.nameParts.head.equalsIgnoreCase("min"),
+            Some(MmAgg(n, f.nameParts.head.equalsIgnoreCase("min"),
               f.arguments.head.sql))
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.isDistinct && f.filter.isEmpty && f.arguments.size == 1 &&
+                f.nameParts.size == 1 &&
+                f.nameParts.head.equalsIgnoreCase("count") =>
+            f.arguments.head match {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  if a.nameParts.size == 1 &&
+                    !groupCols.contains(a.nameParts.head) &&
+                    a.nameParts.head != CntCol =>
+                Some(CdAgg(n, a.nameParts.head))
+              case _ => None
+            }
           case _ => None
         } catch { case scala.util.control.NonFatal(_) => None }
       }
@@ -444,16 +580,16 @@ object MatView {
     * to LONG — maintained incrementally (retraction arithmetic).
     * `recomputed` are `(outputName, aggregateSqlExpr)` pairs — e.g.
     * `"min(n_tok)"`, `"max(element_at(tokens, 1))"`,
-    * `"count(distinct source)"` — for aggregates that CANNOT be
-    * retracted; min/max-ONLY lists ride the decomposable hybrid fold
-    * (see [[MatView.maintain]]), anything else switches maintenance to
-    * affected-group recompute (cost note there). For EXACT
-    * count-distinct with few giant groups, prefer STACKED views over
-    * recompute mode: `v1 = create(base, groups :+ x)` (pair counts;
-    * zero-net pairs tombstone out) and `v2 = create(v1.table, groups)`
-    * — v2's `cnt` is count(distinct x) per group, maintained
-    * O(changed keys) at both levels (MatViewSpec pins exactness and
-    * zero recompute).
+    * `"count(distinct doc_id)"` — for aggregates that CANNOT be
+    * retracted; lists made only of bare min/max and bare
+    * `count(distinct col)` ride the decomposable hybrid fold (see
+    * [[MatView.maintain]] — count-distinct is maintained exactly via
+    * the cnt-alias or an INTERNAL stacked view, the mv14 pattern:
+    * `v1 = (groups…, x)` pair counts whose zero-net pairs tombstone
+    * out, `v2` counts v1's live pairs per group — O(changed keys) at
+    * both levels, MatViewSpec pins exactness and zero recompute).
+    * Anything else switches maintenance to affected-group recompute
+    * (cost note there).
     * Output column types for `recomputed` are resolved by planning the
     * aggregation against the base schema, so a non-aggregate or
     * ill-typed expression fails HERE, not at the first maintain.

@@ -123,7 +123,8 @@ class MatViewSpec extends SparkSpec {
     assert(v.table.read().filter(col("source") === "g1").isEmpty)
   }
 
-  test("recompute mode: min/max/distinct stay exact through deletes and value moves") {
+  test("min/max + count(distinct key) stay exact through deletes and value moves " +
+      "(decomposable: hybrid fold + cnt-alias); legacy recompute mode too") {
     val dir = tmpDir("mv8")
     ChangeFeed.writeFeed(spark, cfg, s"$dir/feed", chunks = 4)
     val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 4)
@@ -132,6 +133,18 @@ class MatViewSpec extends SparkSpec {
       sums = Seq("sum_tok0" -> "element_at(tokens, 1)"),
       recomputed = Seq("min_tok0" -> "min(element_at(tokens, 1))",
         "max_ntok" -> "max(n_tok)", "n_docs" -> "count(distinct doc_id)"))
+    // the LEGACY affected-group recompute path, still exercised by any
+    // non-decomposable entry (count distinct over an EXPRESSION)
+    val legacy = MatView.create(spark, s"$dir/vl", base, Seq("source"),
+      recomputed = Seq("nd_tok" -> "count(distinct element_at(tokens, 1))"))
+    def expectedLegacy: Set[(String, Long, Long)] =
+      base.read().groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(element_at(col("tokens"), 1)).as("nd"))
+        .as[(String, Long, Long)].collect().toSet
+    def gotLegacy: Set[(String, Long, Long)] =
+      legacy.read().select(col("source"), col("cnt"), col("nd_tok"))
+        .as[(String, Long, Long)].collect().toSet
     def expected: Set[(String, Long, Long, Int, Int, Long)] =
       base.read().groupBy(col("source"))
         .agg(count(lit(1)).as("cnt"),
@@ -145,11 +158,18 @@ class MatViewSpec extends SparkSpec {
           col("min_tok0"), col("max_ntok"), col("n_docs"))
         .as[(String, Long, Long, Int, Int, Long)].collect().toSet
     v.maintain() // bootstrap carries the recompute aggs too
+    legacy.maintain()
     assert(got == expected)
+    assert(gotLegacy == expectedLegacy)
     (2 until 4).foreach { c =>
       replayChunks(dir, base, chunks = 4, from = c, until = c + 1)
       assert(v.maintain().contains(base.currentSnapshotId))
-      assert(got == expected) // deletes can RAISE the min — only a recompute gets this right
+      assert(legacy.maintain().contains(base.currentSnapshotId))
+      assert(got == expected) // deletes can RAISE the min — hybrid recomputes the hit group
+      assert(gotLegacy == expectedLegacy)
+      // count(distinct doc_id) rides the cnt-alias: no stack tables
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/v/aux/cd-n_docs-pairs")))
     }
     // a reloaded view keeps its recompute definition
     val r = MatView.load(spark, s"$dir/v", base)
@@ -551,11 +571,98 @@ class MatViewSpec extends SparkSpec {
       assert(v.maintain().contains(base.currentSnapshotId))
       assert(got == expected)
     }
-    // mixed min/max + count-distinct still routes to the legacy full
-    // recompute path (count distinct cannot ride the hybrid fold)
+    // mixed min/max + count-distinct(key) rides the decomposable fold
+    // (min via hybrid, nd as the cnt-alias), never the legacy recompute
     val v2 = MatView.create(spark, s"$dir/v2", base, Seq("source"),
       recomputed = Seq("mn" -> "min(n_tok)", "nd" -> "count(distinct doc_id)"))
     v2.maintain()
     assert(v2.lastRecomputedGroups == -1L) // bootstrap, not a fold
+    def got2: Set[(String, Long, Int, Long)] =
+      v2.read().select(col("source"), col("cnt"), col("mn"), col("nd"))
+        .as[(String, Long, Int, Long)].collect().toSet
+    def expected2: Set[(String, Long, Int, Long)] =
+      base.read().groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), min(col("n_tok")).as("mn"),
+          countDistinct(col("doc_id")).as("nd"))
+        .as[(String, Long, Int, Long)].collect().toSet
+    assert(got2 == expected2)
+    // one more chunk: the incremental fold stays exact and never runs a
+    // full-base re-aggregation (recomputed groups bounded by extreme
+    // retractions, not by touched-group count)
+    ChangeFeed.writeFeed(spark,
+      cfg.copy(seed = 13L, numEvents = 1200L), s"$dir/feed2", chunks = 1)
+    val more = spark.read.schema(Schemas.changeEvent).parquet(s"$dir/feed2")
+      .withColumn("lsn", col("lsn") + lit(cfg.numEvents))
+    CdcIngest.applyBatch(base, more, epochId = 99L)
+    assert(v2.maintain().contains(base.currentSnapshotId))
+    assert(v2.lastRecomputedGroups >= 0L)
+    assert(got2 == expected2)
+  }
+
+  test("internal count-distinct stack (non-key column): exact through dup " +
+      "values, deletes, value moves and group migration — zero recompute") {
+    val dir = tmpDir("mv15")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    val mk = (op: String, id: String, lsn: Long, toks: Seq[Int], src: String) =>
+      (op, id, lsn, toks, src)
+    def apply(rows: Seq[(String, String, Long, Seq[Int], String)], e: Long): Unit = {
+      val df = rows.toDF("op", "doc_id", "lsn", "tokens", "source")
+        .select(col("op"), col("doc_id"), col("lsn"),
+          current_timestamp().as("ts"), col("tokens"),
+          size(col("tokens")).cast("int").as("n_tok"), col("source"))
+      CdcIngest.applyBatch(base, df, epochId = e)
+    }
+    // view counts distinct n_tok (NOT the key): maintained via the
+    // internal two-level stack, O(changed keys), zero base re-agg
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      recomputed = Seq("nd" -> "count(distinct n_tok)"))
+    def got: Set[(String, Long, Long)] =
+      v.read().select(col("source"), col("cnt"), col("nd"))
+        .as[(String, Long, Long)].collect().toSet
+    def expected: Set[(String, Long, Long)] =
+      base.read().groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("n_tok")).as("nd"))
+        .as[(String, Long, Long)].collect().toSet
+
+    // g1: n_tok {1, 2, 3} (nd 3); g2: {1, 2} (nd 2)
+    apply(Seq(mk("I", "a", 1L, Seq(1), "g1"), mk("I", "b", 2L, Seq(1, 2), "g1"),
+      mk("I", "c", 3L, Seq(1, 2, 3), "g1"), mk("I", "d", 4L, Seq(9), "g2"),
+      mk("I", "e", 5L, Seq(8, 7), "g2")), 0L)
+    v.maintain() // bootstrap (stack bootstraps pinned to the same head)
+    assert(got == expected)
+    // the stack's backing tables live under the view's aux dir
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v/aux/cd-nd-pairs/meta")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v/aux/cd-nd-counts/meta")))
+
+    def fold(): Unit = {
+      assert(v.maintain().contains(base.currentSnapshotId))
+      assert(v.lastRecomputedGroups == 0L) // never re-aggregates from base
+      assert(got == expected)
+    }
+    // duplicate-value insert: nd unchanged, cnt up
+    apply(Seq(mk("I", "f", 6L, Seq(4, 5), "g1")), 1L)
+    fold()
+    // delete ONE holder of a duplicated value: pair survives, nd unchanged
+    apply(Seq(mk("D", "b", 7L, Seq.empty, "g1")), 2L)
+    fold()
+    // delete the LAST holder: pair dies, nd drops
+    apply(Seq(mk("D", "f", 8L, Seq.empty, "g1")), 3L)
+    fold()
+    // value move (n_tok 3 → 1, joining a's existing pair): nd drops again
+    apply(Seq(mk("U", "c", 9L, Seq(9), "g1")), 4L)
+    fold()
+    // group migration: a moves g1 → g2 with a fresh value
+    apply(Seq(mk("U", "a", 10L, Seq(9, 9, 9, 9), "g2")), 5L)
+    fold()
+    // reload (crash-restart analog): stack definitions round-trip
+    val r = MatView.load(spark, s"$dir/v", base)
+    assert(r.maintain().isEmpty)
+    apply(Seq(mk("I", "g", 11L, Seq(6, 6), "g2")), 6L)
+    assert(r.maintain().contains(base.currentSnapshotId))
+    assert(r.lastRecomputedGroups == 0L)
+    assert(r.read().select(col("source"), col("cnt"), col("nd"))
+      .as[(String, Long, Long)].collect().toSet == expected)
   }
 }
