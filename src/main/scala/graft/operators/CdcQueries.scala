@@ -19,6 +19,24 @@ import graft.stream.CdcIngest
   */
 object CdcQueries {
 
+  /** Scale-adaptive bucket count for a replay of ~`events` feed rows:
+    * one bucket per ~512k rows, so delta files land in a healthy size
+    * band at ANY scale. The previous policy (bucket count = core count)
+    * was tuned to neither end: at sandbox scale it writes events/32-row
+    * files per chunk and the commit floor (footer stats, renames,
+    * per-file opens on every later merge) dominates replay time; at
+    * cluster scale it would write one-bucket giants. Floored at 8 so
+    * the bucket-local merged read still parallelizes on small feeds,
+    * capped at 64k buckets (driver-tracked manifest entries);
+    * `SPARK_GRAFT_REPLAY_BUCKETS` overrides for cluster layouts where
+    * the target file size differs.
+    */
+  private def adaptiveBuckets(events: Long): Int =
+    sys.env.get("SPARK_GRAFT_REPLAY_BUCKETS").map(_.toInt).getOrElse {
+      val target = 512L * 1024
+      math.min(65536L, math.max(8L, (events + target - 1) / target)).toInt
+    }
+
   def eventsAsFeed(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val isDel = col("event_type") === "error"
@@ -54,10 +72,7 @@ object CdcQueries {
       s"${spark.sparkContext.applicationId}-$slot-" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     deleteRecursively(java.nio.file.Paths.get(root))
-    // bucket count = available parallelism: the bucket-local merged read
-    // runs one task per bucket, so undersizing buckets caps the read at a
-    // fraction of the machine (and at cluster scale: of the executors)
-    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    val buckets = adaptiveBuckets(hi - lo + 1)
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = buckets)
     val per = (hi - lo + chunks) / chunks
     var c = 0
@@ -113,7 +128,7 @@ object CdcQueries {
       s"${spark.sparkContext.applicationId}-matview-" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     deleteRecursively(java.nio.file.Paths.get(root))
-    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    val buckets = adaptiveBuckets(hi - lo + 1)
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = buckets)
     val per = (hi - lo + chunks) / chunks
     var view: graft.lake.MatView = null
@@ -146,7 +161,7 @@ object CdcQueries {
       s"${spark.sparkContext.applicationId}-matviewmm-" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     deleteRecursively(java.nio.file.Paths.get(root))
-    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    val buckets = adaptiveBuckets(hi - lo + 1)
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = buckets)
     val per = (hi - lo + chunks) / chunks
     var view: graft.lake.MatView = null
@@ -191,7 +206,8 @@ object CdcQueries {
       s"${spark.sparkContext.applicationId}-joinview-" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     deleteRecursively(java.nio.file.Paths.get(root))
-    val buckets = math.max(8, spark.sparkContext.defaultParallelism)
+    // each side sees roughly half the events (lsn parity split)
+    val buckets = adaptiveBuckets((hi - lo + 1) / 2)
     val docs = LakeTable.create(spark, s"$root/d", Schemas.docRow, numBuckets = buckets)
     val scores = LakeTable.create(spark, s"$root/s", StructType(Seq(
       StructField("doc_id", StringType, nullable = false),
