@@ -23,6 +23,12 @@ import graft.functions.TextOps
   */
 object DedupOps {
 
+  /** Edge bound for [[connectedComponents]]' driver-side union-find fast
+    * path: 1M edges collect to a few tens of MB of driver memory (two
+    * longs each, same bound philosophy as a broadcast threshold); larger
+    * graphs take the distributed pointer-jumped fixpoint. */
+  val DriverComponentsMaxEdges: Long = 1L << 20
+
   /** Exact content dedup: hash-groupBy on md5(content), keep the smallest
     * doc_id as canonical. One shuffle, map-side partial agg.
     */
@@ -308,7 +314,9 @@ object DedupOps {
     * clustering.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          driverMaxEdges: Long = DedupOps.DriverComponentsMaxEdges)
+      : DataFrame = {
     // checkpoint the DIRECTED pair frame, not the symmetrized union: the
     // two union branches don't share their subplan (no CSE across union
     // in Catalyst), so checkpointing after the union would compute the
@@ -316,6 +324,40 @@ object DedupOps {
     // symmetrize itself is a cheap projection over the cached RDD.
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst")).localCheckpoint()
+    // SMALL-GRAPH FAST PATH: below the edge bound, close the components
+    // driver-side with union-find — one bounded collect of two long
+    // columns (the count runs over the checkpointed RDD, no recompute).
+    // The distributed fixpoint below pays ~3 shuffles + 2 driver actions
+    // PER ROUND, a fixed multi-second floor that dwarfs a tiny graph;
+    // same gate philosophy as a broadcast-join threshold. Results are
+    // identical (min reachable id per vertex, order-insensitive), and
+    // graphs past the bound — the 100 TB posture — take the distributed
+    // path unchanged.
+    if (e0.count() <= driverMaxEdges) {
+      val es = e0.collect()
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id: the root is always the component's least
+        // vertex, which is exactly the label the fixpoint converges to
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val verts = es.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val labels = verts.map(v => (v, find(v))).toSeq
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      return labels.toDF("v", "comp")
+    }
     // no distinct: min-aggregation is duplicate-insensitive, so duplicate
     // edges only pad the per-round join input — a full dedup shuffle of
     // the edge list costs more than they ever will

@@ -40,10 +40,17 @@ class GraphPropertySpec extends SparkSpec {
     (1 to 5).foreach { _ =>
       val edges = gen.sample.getOrElse(Seq((0L, 1L)))
       if (edges.nonEmpty) {
+        val want = unionFind(50, edges)
+        // driver union-find fast path (the small-graph default)
         val got = DedupOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val want = unionFind(50, edges)
         assert(got == want, s"edges=$edges")
+        // distributed pointer-jumped fixpoint (forced past the gate):
+        // must produce the identical partition and labels
+        val gotDist = DedupOps.connectedComponents(edges.toDF("a", "b"),
+            "a", "b", driverMaxEdges = -1L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist == want, s"edges=$edges (distributed path)")
       }
     }
   }
