@@ -44,11 +44,14 @@ object GraphOps {
     edges.filter(!col(predicateCol).isin(excluded: _*))
       .select(col("src"), col("dst")).distinct()
 
-  /** OneOrMorePath `+`: transitive closure (≥1 hop) by semi-naive
-    * iteration: frontier ⋈ edges, minus already-known pairs, until empty.
-    * Checkpointing truncates plan lineage each round (without it the
-    * plan doubles per iteration). Distributed-safe: per-iteration work is
-    * one equi-join + one distinct; never collects edges to the driver.
+  /** OneOrMorePath `+`: transitive closure (≥1 hop). Small edge sets
+    * (≤ `driverMaxEdges` after distinct) close driver-side with a BFS —
+    * the per-round fixed cost of the loop dwarfs them. Larger graphs run
+    * the semi-naive iteration: frontier ⋈ edges, minus already-known
+    * pairs, until empty. Checkpointing truncates plan lineage each round
+    * (without it the plan doubles per iteration). The distributed path's
+    * per-iteration work is one equi-join + one distinct and never
+    * collects edges to the driver.
     *
     * THROWS when the frontier is still non-empty at `maxIters` — a
     * truncated closure is silently wrong, never an acceptable answer.
@@ -60,10 +63,19 @@ object GraphOps {
     *   is the fault-tolerant choice.
     */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 20,
-                        reliableCheckpoint: Boolean = false): DataFrame = {
+                        reliableCheckpoint: Boolean = false,
+                        driverMaxEdges: Long = DriverClosureMaxEdges): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     val e = cp(edges.select("src", "dst").distinct())
+    // SMALL-GRAPH FAST PATH: the semi-naive loop pays a join + distinct +
+    // exceptAll + checkpoint + emptiness action PER ROUND — a fixed
+    // multi-second floor that dwarfs small graphs. Below the edge bound
+    // (count over the checkpointed RDD, no recompute) a driver-side BFS
+    // produces the identical pair set, type-generically; a closure that
+    // explodes past the pair bound mid-computation falls through to the
+    // distributed loop (same gate philosophy as a broadcast threshold).
+    if (e.count() <= driverMaxEdges) driverClosure(e).foreach(df => return df)
     var closure = e
     var frontier = e
     var i = 0
@@ -100,5 +112,54 @@ object GraphOps {
     transitiveClosure(edges, maxIters, reliableCheckpoint)
       .union(nodes.select(col("n").as("src"), col("n").as("dst")))
       .distinct()
+  }
+
+  /** Edge bound for [[transitiveClosure]]'s driver-side BFS fast path:
+    * 8k distinct edges collect to well under a MB; graphs past it — the
+    * 100 TB posture — take the distributed semi-naive loop. */
+  val DriverClosureMaxEdges: Long = 8192
+
+  /** Pair bound for the driver BFS result: a closure that exceeds it
+    * (pathological density from a small edge set) aborts back to the
+    * distributed loop rather than ballooning driver memory. */
+  private val DriverClosureMaxPairs: Int = 1 << 21
+
+  /** Driver-side BFS closure over a collected edge set, generic in the
+    * src/dst types (no cast — the output schema is the input's). Returns
+    * None when the pair set outgrows [[DriverClosureMaxPairs]]. */
+  private def driverClosure(e: DataFrame): Option[DataFrame] = {
+    val rows = e.collect()
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    rows.foreach { r =>
+      adj.computeIfAbsent(r.get(0),
+        _ => new java.util.ArrayList[Any]()).add(r.get(1))
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val srcs = adj.keySet().iterator()
+    while (srcs.hasNext) {
+      val a = srcs.next()
+      val seen = new java.util.HashSet[Any]()
+      val stack = new java.util.ArrayDeque[Any]()
+      // reach-with-≥1-step: seed with a's neighbors; a itself is emitted
+      // only when a cycle leads back to it
+      val nb0 = adj.get(a)
+      var i = 0
+      while (i < nb0.size()) {
+        val n = nb0.get(i); if (seen.add(n)) stack.push(n); i += 1
+      }
+      while (!stack.isEmpty) {
+        val x = stack.pop()
+        out.add(org.apache.spark.sql.Row(a, x))
+        if (out.size() > DriverClosureMaxPairs) return None
+        val nbs = adj.get(x)
+        if (nbs != null) {
+          var j = 0
+          while (j < nbs.size()) {
+            val n = nbs.get(j); if (seen.add(n)) stack.push(n); j += 1
+          }
+        }
+      }
+    }
+    Some(e.sparkSession.createDataFrame(out, e.schema))
   }
 }

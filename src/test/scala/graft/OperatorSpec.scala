@@ -211,14 +211,20 @@ class OperatorSpec extends SparkSpec {
 
   test("transitive closure refuses to return a truncated result at the cap") {
     val chain = (0 until 25).map(i => (i, i + 1)).toDF("src", "dst")
-    // 25-hop chain needs 24 iterations: the default cap of 20 must THROW,
-    // never silently truncate
+    // 25-hop chain needs 24 iterations: the DISTRIBUTED loop's default
+    // cap of 20 must THROW, never silently truncate (forced past the
+    // small-graph gate — the driver BFS cannot truncate at all)
     val ex = intercept[IllegalStateException] {
-      GraphOps.transitiveClosure(chain, maxIters = 20).count()
+      GraphOps.transitiveClosure(chain, maxIters = 20, driverMaxEdges = -1L).count()
     }
     assert(ex.getMessage.contains("did not converge"))
-    val full = GraphOps.transitiveClosure(chain, maxIters = 30)
+    val full = GraphOps.transitiveClosure(chain, maxIters = 30, driverMaxEdges = -1L)
     assert(full.count() == 25L * 26 / 2) // all (i,j) with i<j over 26 nodes
+    // the driver fast path (the small-graph default) needs no iteration
+    // cap and lands the identical pair set
+    val fast = GraphOps.transitiveClosure(chain, maxIters = 20)
+    assert(fast.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      full.collect().map(r => (r.getInt(0), r.getInt(1))).toSet)
   }
 
   test("IVF ANN: k-means recall floor at nprobe=2; deterministic centroids") {
@@ -537,11 +543,15 @@ class OperatorSpec extends SparkSpec {
     // copy the closure holds. The closure must stay a SET.
     val diamond = Seq((1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (4, 5))
       .toDF("src", "dst")
+    val want = Set((1,2),(1,3),(1,4),(1,5),(2,4),(2,5),(3,4),(3,5),(4,5))
     val tc = GraphOps.transitiveClosure(diamond)
     assert(tc.count() == tc.distinct().count(),
       "transitive closure returned duplicate (src,dst) rows")
-    assert(tc.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
-      Set((1,2),(1,3),(1,4),(1,5),(2,4),(2,5),(3,4),(3,5),(4,5)))
+    assert(tc.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == want)
+    // distributed loop (forced past the gate) lands the identical set
+    val tcDist = GraphOps.transitiveClosure(diamond, driverMaxEdges = -1L)
+    assert(tcDist.count() == tcDist.distinct().count())
+    assert(tcDist.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == want)
     // same pattern through Path's one-or-more, which returns the closure
     // frame directly (no masking distinct downstream)
     import graft.operators.Path
