@@ -71,10 +71,10 @@ import org.apache.spark.sql.types._
   * Scale posture at 10^10 base rows: per-maintain work is
   * O(changed keys) + one key/group/sum-column-pruned base scan
   * (before-images) + O(affected groups) on the view side. The view read
-  * in step 4 is a full merged scan of the VIEW table — fine while group
-  * cardinality ≪ base cardinality (the normal case for an aggregate
-  * view); for million-group views the same per-file key blooms that
-  * serve [[LakeTable.lookupAll]] prune it. Lagging views catch up in
+  * in step 4 is FILE-PRUNED to the touched groups' buckets on
+  * multi-file views ([[LakeTable.winnersForKeySubset]] behind a
+  * file-count pre-gate — see [[viewCurrent]]), so million-group views
+  * with small folds never pay an O(groups) scan. Lagging views catch up in
   * bounded `maxSnapshots` ranges without replaying the feed, and a view
   * that lagged past the base's retention horizon fails loudly
   * (changesBetween's expiry contract) instead of silently skipping —
@@ -157,6 +157,49 @@ final class MatView private (
           numBuckets = table.numBuckets, fs = table.fs)
       (v1, v2)
     })
+
+  /** File count of the last fold's view-side current read (step 4/5) —
+    * observability for the pruned path (specs pin that a small fold on a
+    * multi-file view opens a strict subset). */
+  private[graft] var lastViewReadFiles: Int = -1
+
+  /** Current view rows projected to `names` (the key rides along),
+    * FILE-PRUNED to the fold's touched groups when their key set is
+    * bounded: the group keys are collected driver-side (`gdeltaCk` is
+    * checkpointed and bounded by the batch) and the read opens only
+    * those keys' buckets' bloom-surviving files
+    * ([[LakeTable.winnersForKeySubset]], whose selectivity gate serves
+    * the plain full scan whenever pruning can't skip much — e.g. a
+    * few-file sandbox view). Callers key-restrict by joining on
+    * [[MatView.KeyCol]], satisfying the subset contract. Million-group
+    * views with small folds stop paying an O(groups) view scan per
+    * maintain; a fold touching more keys than the cap reads most
+    * buckets anyway, so the full merged read is the better plan there.
+    */
+  private def viewCurrent(gdelta: DataFrame, names: Seq[String])
+      : (DataFrame, DataFrame) = {
+    // metadata-only pre-gate: probing costs a checkpoint job + a driver
+    // collect per fold, which measured ~10-25% of a whole sandbox fold —
+    // pure overhead on a small view whose handful of files the ≥80%
+    // selectivity gate would keep anyway. Only a view with enough live
+    // files for pruning to plausibly win pays the probe at all.
+    if (table.liveFiles().size < MatView.MinPrunedViewFiles) {
+      lastViewReadFiles = -1
+      return (gdelta, table.read())
+    }
+    val ck = gdelta.localCheckpoint() // bounded: touched groups
+    val probe = ck.select(col(KeyCol))
+      .limit(MatView.MaxPrunedViewKeys + 1).collect()
+      .map(_.getString(0)).toSeq
+    val df =
+      if (probe.nonEmpty && probe.length <= MatView.MaxPrunedViewKeys)
+        table.winnersForKeySubset(probe, columns = names)
+          .filter(!col(LakeTable.TombCol))
+          .drop(LakeTable.LsnCol, LakeTable.TombCol)
+      else table.read()
+    lastViewReadFiles = df.inputFiles.length
+    (ck, df)
+  }
 
   /** Fold this view forward until its frontier reaches `target`,
     * EXACT-as-of: bootstrap and range ends are pinned ≤ target even if
@@ -371,7 +414,9 @@ final class MatView private (
         Seq(col(KeyCol), col(CntCol).as("_oc")) ++
           sums.map(s => col(s._1).as(s"_o_${s._1}")) ++
           mm.map(m => col(m._1).as(s"_om_${m._1}"))
-      val cur = table.read().select(curCols: _*)
+      val (gdeltaCk, cur0) = viewCurrent(gdelta,
+        (CntCol +: sums.map(_._1)) ++ mm.map(_._1))
+      val cur = cur0.select(curCols: _*)
       // a group needs recomputing ONLY when a retraction's value reaches
       // its stored extreme (removing the possible last witness of the
       // min/max) — or, defensively, when a retraction exists with no
@@ -384,7 +429,7 @@ final class MatView private (
           ret.isNotNull && (stored.isNull ||
             (if (isMin) ret <= stored else ret >= stored))
         }.reduce(_ || _)
-      val classified0 = gdelta.join(cur, Seq(KeyCol), "left")
+      val classified0 = gdeltaCk.join(cur, Seq(KeyCol), "left")
         .withColumn("_newCnt", coalesce(col("_oc"), lit(0L)) + col(CntCol))
         .withColumn("_rec", needRec && col("_newCnt") =!= 0)
         .localCheckpoint() // bounded: distinct touched groups
@@ -443,6 +488,7 @@ final class MatView private (
       table.upsert(rows, epochId = to, reduce = false,
         summary = Map("matview" -> s"($from,$to] hybrid"))
       classified0.unpersist()
+      gdeltaCk.unpersist()
       return Some(to)
     }
     if (recomputed.nonEmpty) {
@@ -483,17 +529,19 @@ final class MatView private (
       .filter(sums.map(s => col(s._1) =!= 0)
         .foldLeft(col(CntCol) =!= 0)(_ || _))
       .withColumn(KeyCol, gkey)
-    // 4. merge into current view values (affected groups only)
+    // 4. merge into current view values (affected groups only) — the
+    // view-side read file-pruned to the touched groups' buckets
     val curCols: Seq[Column] =
       Seq(col(KeyCol), col(CntCol).as("_oc")) ++
         sums.map(s => col(s._1).as(s"_o_${s._1}"))
-    val cur = table.read().select(curCols: _*)
+    val (gdeltaCk, cur0) = viewCurrent(gdelta, CntCol +: sums.map(_._1))
+    val cur = cur0.select(curCols: _*)
     val mergedCols: Seq[Column] =
       Seq(col(KeyCol)) ++ groupCols.map(col) ++
         Seq((coalesce(col("_oc"), lit(0L)) + col(CntCol)).as(CntCol)) ++
         sums.map(s =>
           (coalesce(col(s"_o_${s._1}"), lit(0L)) + col(s._1)).as(s._1))
-    val merged = gdelta.join(cur, Seq(KeyCol), "left").select(mergedCols: _*)
+    val merged = gdeltaCk.join(cur, Seq(KeyCol), "left").select(mergedCols: _*)
     val rowCols: Seq[Column] =
       Seq(when(col(CntCol) === 0, "D").otherwise("U").as("op"),
         col(KeyCol), lit(to).as("lsn")) ++
@@ -501,6 +549,7 @@ final class MatView private (
     val rows = merged.select(rowCols: _*)
     table.upsert(rows, epochId = to, reduce = false,
       summary = Map("matview" -> s"($from,$to]"))
+    gdeltaCk.unpersist()
     Some(to)
   }
 
@@ -574,6 +623,18 @@ object MatView {
 
   /** Always-maintained row count per group (drives tombstoning). */
   val CntCol = "cnt"
+
+  /** Driver-side cap on the collected touched-group key set that unlocks
+    * the file-pruned view-side read (same bound philosophy as
+    * [[JoinView.MaxPrunedKeys]]): 64k keys is a few MB on the driver; a
+    * fold touching more groups than this reads most buckets anyway. */
+  val MaxPrunedViewKeys = 65536
+
+  /** Minimum live view files before a fold pays the pruning probe at
+    * all (checkpoint + driver collect, measured 10-25% of a small
+    * sandbox fold): below this the ≥80% selectivity gate would keep
+    * nearly every file anyway, so the full merged read wins. */
+  val MinPrunedViewFiles = 24
 
   /** Create the view's backing table + persisted definition. `sums` are
     * `(outputName, sqlExpr)` pairs evaluated against base rows and cast

@@ -599,6 +599,46 @@ class MatViewSpec extends SparkSpec {
     assert(got2 == expected2)
   }
 
+  test("view-side merge read is file-pruned to the touched groups' buckets") {
+    val dir = tmpDir("mv16")
+    val base = LakeTable.create(spark, s"$dir/t", Schemas.docRow, numBuckets = 2)
+    val mk = (op: String, id: String, lsn: Long, tok: Int, src: String) =>
+      (op, id, lsn, Seq(tok), src)
+    def apply(rows: Seq[(String, String, Long, Seq[Int], String)], e: Long): Unit = {
+      val df = rows.toDF("op", "doc_id", "lsn", "tokens", "source")
+        .select(col("op"), col("doc_id"), col("lsn"),
+          current_timestamp().as("ts"), col("tokens"),
+          size(col("tokens")).cast("int").as("n_tok"), col("source"))
+      CdcIngest.applyBatch(base, df, epochId = e)
+    }
+    // 8-bucket view over 8 groups: the bootstrap spreads view rows over
+    // several buckets, later single-group folds add one file each
+    val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
+      Seq("s_tok" -> "element_at(tokens, 1)"), numBuckets = 8)
+    apply((0 until 8).map(g => mk("I", s"d$g", g + 1L, 10 * g, s"g$g")), 0L)
+    v.maintain() // bootstrap
+    // enough single-group folds to grow the view past the probe pre-gate
+    // (MinPrunedViewFiles) — each fold adds one delta file
+    (1 to 24).foreach { i =>
+      apply(Seq(mk("I", s"x$i", 100L + i, i, s"g${i % 8}")), i.toLong)
+      v.maintain()
+    }
+    val fullFiles = v.table.read().inputFiles.length
+    assert(fullFiles >= MatView.MinPrunedViewFiles, s"layout too small: $fullFiles")
+    // a fold touching ONE group reads a strict subset of the view files
+    apply(Seq(mk("I", "y", 200L, 7, "g1")), 25L)
+    v.maintain()
+    assert(v.lastViewReadFiles > 0 && v.lastViewReadFiles < fullFiles,
+      s"view read opened ${v.lastViewReadFiles} of $fullFiles files — not pruned")
+    // and the view stays exact
+    val want = base.read().groupBy(col("source"))
+      .agg(count(lit(1)).as("c"),
+        sum(coalesce(element_at(col("tokens"), 1).cast("long"), lit(0L))).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(v.read().select(col("source"), col("cnt"), col("s_tok"))
+      .collect().map(_.toString).sorted.toSeq == want)
+  }
+
   test("internal count-distinct stack (non-key column): exact through dup " +
       "values, deletes, value moves and group migration — zero recompute") {
     val dir = tmpDir("mv15")
