@@ -281,8 +281,28 @@ final class MatView private (
     // the decomposable-recompute parse, needed by bootstrap and fold
     // alike: mm rides the hybrid min/max fold, cd the cnt-alias /
     // stacked-view fold; a None parse keeps the legacy recompute path
-    val aggsParsed: Seq[MatView.RecAgg] =
+    val parsed0: Seq[MatView.RecAgg] =
       if (recomputed.nonEmpty) recAggs.getOrElse(Seq.empty) else Seq.empty
+    val stacked0 = parsed0.collect {
+      case c: MatView.CdAgg if c.xcol != base.keyCol => c
+    }
+    // SIZE GATE for the stacked fold: per fold the stack pays two extra
+    // table commits (v1, v2), a fixed floor that measured SLOWER than
+    // legacy affected-group recompute on a 4 M-row base (ViewSmoke
+    // distinct 5.4 vs distinct_legacy 4.4 s/fold) — the stack's
+    // O(changed keys) asymptotics only beat the recompute's
+    // O(affected-group size) once re-aggregating the groups costs more
+    // than the commit floor. Manifest row count (driver-side metadata,
+    // an upper bound on any group's size) is the proxy: small bases take
+    // the legacy recompute, large bases — where a giant group would make
+    // recompute a per-fold full-base scan — take the stack. Existing
+    // stacks keep being used (no flapping; a spec or a shrunken table
+    // never strands a maintained stack).
+    val useStacks = stacked0.isEmpty ||
+      base.liveFiles().map(_.rows).sum >= MatView.StackMinBaseRows ||
+      stackCache.nonEmpty ||
+      table.fs.exists(s"${table.root}/aux/cd-${stacked0.head.name}-pairs/meta")
+    val aggsParsed: Seq[MatView.RecAgg] = if (useStacks) parsed0 else Seq.empty
     val mm: Seq[(String, Boolean, String)] =
       aggsParsed.collect { case MatView.MmAgg(n, m, e) => (n, m, e) }
     val cds: Seq[MatView.CdAgg] = aggsParsed.collect { case c: MatView.CdAgg => c }
@@ -635,6 +655,15 @@ object MatView {
     * sandbox fold): below this the ≥80% selectivity gate would keep
     * nearly every file anyway, so the full merged read wins. */
   val MinPrunedViewFiles = 24
+
+  /** Minimum base live rows (manifest metadata) before non-key
+    * count-distinct maintenance switches from legacy affected-group
+    * recompute to the internal stacked fold — below it the stack's two
+    * extra commits per fold cost more than re-aggregating the groups
+    * (measured crossover ~4 M rows on this hardware; set conservatively
+    * above it). Mutable for tests and for cluster tuning via config
+    * wrappers; existing stacks keep being used regardless. */
+  private[graft] var StackMinBaseRows: Long = 16L * 1024 * 1024
 
   /** Create the view's backing table + persisted definition. `sums` are
     * `(outputName, sqlExpr)` pairs evaluated against base rows and cast

@@ -49,12 +49,28 @@ object ViewSmoke {
     val preimages = sys.env.get("SPARK_GRAFT_PREIMAGES").contains("1")
     if (mode == "join") { joinSmoke(spark, cfg, root, chunks); return }
     val table = LakeTable.create(spark, s"$root/t", Schemas.docRow, numBuckets = 32)
+    // "distinct" = count-distinct via the decomposable paths (key-col →
+    // cnt alias; non-key → internal stacked views, gate forced OPEN so
+    // the stack is what gets measured); "distinct_legacy" computes the
+    // SAME values through parser-defeating expressions, so maintenance
+    // runs the legacy affected-group recompute — the A/B that sets
+    // MatView.StackMinBaseRows (measured: legacy wins at ≤4 M rows,
+    // the stack's O(changed keys) wins once group re-agg outgrows the
+    // two extra per-fold commits)
+    if (mode == "distinct") MatView.StackMinBaseRows = 0L
     val view = MatView.create(spark, s"$root/v", table, Seq("source"),
       sums = Seq("sum_ntok" -> "n_tok"),
-      recomputed =
-        if (mode == "recompute")
+      recomputed = mode match {
+        case "recompute" =>
           Seq("min_ntok" -> "min(n_tok)", "max_ntok" -> "max(n_tok)")
-        else Seq.empty)
+        case "distinct" =>
+          Seq("nd_docs" -> "count(distinct doc_id)",
+            "nd_tok" -> "count(distinct n_tok)")
+        case "distinct_legacy" =>
+          Seq("nd_docs" -> "count(distinct concat(doc_id))",
+            "nd_tok" -> "count(distinct n_tok + 0)")
+        case _ => Seq.empty
+      })
     // nViews > 1 attaches extra aggregate views over the same captured
     // columns — the amortization case: ONE capture scan at ingest serves
     // every view's fold
@@ -106,16 +122,22 @@ object ViewSmoke {
     if (tailBatches % maintainEvery != 0) allViews.foreach(_.catchUpAll())
     val tailSec = (System.nanoTime() - t1) / 1e9
 
+    val recAggs =
+      if (mode == "recompute")
+        Seq(min(col("n_tok")).as("min_ntok"), max(col("n_tok")).as("max_ntok"))
+      else if (mode.startsWith("distinct"))
+        Seq(count_distinct(col("doc_id")).as("nd_docs"),
+          count_distinct(col("n_tok")).as("nd_tok"))
+      else Seq.empty
     val aggs = count(lit(1)).as("cnt") +:
-      (sum(coalesce(col("n_tok").cast("long"), lit(0L))).as("sum_ntok") +:
-        (if (mode == "recompute")
-          Seq(min(col("n_tok")).as("min_ntok"), max(col("n_tok")).as("max_ntok"))
-        else Seq.empty))
+      (sum(coalesce(col("n_tok").cast("long"), lit(0L))).as("sum_ntok") +: recAggs)
     val want = table.read().groupBy(col("source"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map(_.toString).sorted.toSeq
     val outCols = Seq("source", "cnt", "sum_ntok") ++
-      (if (mode == "recompute") Seq("min_ntok", "max_ntok") else Seq.empty)
+      (if (mode == "recompute") Seq("min_ntok", "max_ntok")
+      else if (mode.startsWith("distinct")) Seq("nd_docs", "nd_tok")
+      else Seq.empty)
     val got = view.read()
       .select(outCols.map(col): _*)
       .collect().map(_.toString).sorted.toSeq

@@ -653,7 +653,11 @@ class MatViewSpec extends SparkSpec {
       CdcIngest.applyBatch(base, df, epochId = e)
     }
     // view counts distinct n_tok (NOT the key): maintained via the
-    // internal two-level stack, O(changed keys), zero base re-agg
+    // internal two-level stack, O(changed keys), zero base re-agg.
+    // The size gate normally routes toy-sized bases to the legacy
+    // recompute — force the stack here to pin its exactness.
+    val savedGate = MatView.StackMinBaseRows
+    MatView.StackMinBaseRows = 0L
     val v = MatView.create(spark, s"$dir/v", base, Seq("source"),
       recomputed = Seq("nd" -> "count(distinct n_tok)"))
     def got: Set[(String, Long, Long)] =
@@ -702,6 +706,25 @@ class MatViewSpec extends SparkSpec {
     apply(Seq(mk("I", "g", 11L, Seq(6, 6), "g2")), 6L)
     assert(r.maintain().contains(base.currentSnapshotId))
     assert(r.lastRecomputedGroups == 0L)
+    assert(r.read().select(col("source"), col("cnt"), col("nd"))
+      .as[(String, Long, Long)].collect().toSet == expected)
+    // with the default size gate, a fresh toy-sized view routes non-key
+    // count-distinct to the LEGACY recompute (no stacks created) — the
+    // measured small-base crossover — while an EXISTING stack keeps
+    // being used (r above, even after the gate is restored)
+    MatView.StackMinBaseRows = savedGate
+    val v3 = MatView.create(spark, s"$dir/v3", base, Seq("source"),
+      recomputed = Seq("nd" -> "count(distinct n_tok)"))
+    v3.maintain() // bootstrap
+    apply(Seq(mk("I", "h", 12L, Seq(2), "g1")), 7L)
+    assert(v3.maintain().contains(base.currentSnapshotId))
+    assert(v3.lastRecomputedGroups > 0L) // legacy affected-group recompute
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v3/aux/cd-nd-pairs")))
+    assert(v3.read().select(col("source"), col("cnt"), col("nd"))
+      .as[(String, Long, Long)].collect().toSet == expected)
+    assert(r.maintain().contains(base.currentSnapshotId))
+    assert(r.lastRecomputedGroups == 0L) // existing stack still in use
     assert(r.read().select(col("source"), col("cnt"), col("nd"))
       .as[(String, Long, Long)].collect().toSet == expected)
   }
